@@ -1,0 +1,191 @@
+"""Static-shape graph batching for XLA.
+
+The reference relies on PyG dynamic batching (concatenate graphs, offset
+indices — every batch a new shape). Under `jit` that would recompile per
+batch, so this module packs graphs into fixed-capacity arenas with validity
+masks — the keystone design decision for the TPU build (SURVEY.md §7 step 2).
+
+Conventions:
+- Node arena has capacity `Np`; index `Np-1` is the reserved DUMMY node.
+  Padded edges point src=dst=dummy so their messages scatter into a slot
+  that is never pooled. Padded nodes carry graph id `G` (one extra segment,
+  dropped after pooling).
+- Edge arena capacity `Ep`; index `Ep-1` is the reserved DUMMY bond, the
+  target of padded line-graph edges.
+- Graph arena capacity `G`; padded graph rows have `graph_mask=False`,
+  y=1.0 (safe under log), weight 0.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from .store import GraphStore
+
+
+class GraphBatch(NamedTuple):
+    """One padded batch; a pytree of arrays with static shapes."""
+
+    nodes: np.ndarray        # [Np, F_node] f32
+    node_graph: np.ndarray   # [Np] i32 — graph slot, padding → G
+    edge_src: np.ndarray     # [Ep] i32 — node index (message source)
+    edge_dst: np.ndarray     # [Ep] i32 — node index (aggregation target)
+    edge_attr: np.ndarray    # [Ep, F_edge] f32
+    edge_mask: np.ndarray    # [Ep] f32 (1 = real)
+    lg_src: np.ndarray       # [Lp] i32 — bond index
+    lg_dst: np.ndarray       # [Lp] i32
+    lg_attr: np.ndarray      # [Lp, F_angle] f32
+    lg_mask: np.ndarray      # [Lp] f32
+    globals_: np.ndarray     # [G, 59] f32
+    sg_num: np.ndarray       # [G] i32 (1..230, 0 unknown/padding)
+    y: np.ndarray            # [G, T] f32
+    graph_mask: np.ndarray   # [G] f32
+    weight: np.ndarray       # [G] f32 per-sample loss weights
+    sample_index: np.ndarray  # [G] i32 global dataset index (−1 padding)
+
+    @property
+    def capacity(self):
+        return (self.nodes.shape[0], self.edge_src.shape[0],
+                self.lg_src.shape[0], self.y.shape[0])
+
+    @property
+    def n_real_graphs(self) -> int:
+        return int(np.asarray(self.graph_mask).sum())
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchBudget:
+    """Fixed arena capacities; one compilation per budget."""
+
+    n_graphs: int
+    n_nodes: int    # includes the dummy slot
+    n_edges: int    # includes the dummy slot
+    n_lg_edges: int
+
+    @classmethod
+    def plan(cls, store: GraphStore, indices: Sequence[int], batch_size: int,
+             slack: float = 1.15, quantile: float = 0.95) -> "BatchBudget":
+        """Size arenas so `batch_size` typical graphs fit: capacity =
+        max(largest single graph, batch_size × q-quantile × slack), rounded
+        up to a multiple of 8 (TPU sublane) with +1 dummy slot."""
+        idx = np.asarray(list(indices), dtype=np.int64)
+        if idx.size == 0:
+            raise ValueError("Cannot plan a batch budget over an empty index set.")
+        n = np.diff(store.node_off)[idx]
+        e = np.diff(store.edge_off)[idx]
+        l = np.diff(store.lg_off)[idx]
+
+        def cap(counts: np.ndarray) -> int:
+            per = float(np.quantile(counts, quantile)) if counts.size else 1.0
+            need = max(int(counts.max(initial=1)),
+                       int(np.ceil(batch_size * per * slack)))
+            return _round_up(need + 1, 8)
+
+        return cls(n_graphs=int(batch_size), n_nodes=cap(n), n_edges=cap(e),
+                   n_lg_edges=cap(l))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BatchPacker:
+    """Greedy first-fit packer: graphs are packed in the given order until a
+    capacity would overflow, then the batch is emitted."""
+
+    def __init__(self, store: GraphStore, budget: BatchBudget):
+        self.store = store
+        self.budget = budget
+
+    def pack(self, indices: Sequence[int],
+             weights: Optional[np.ndarray] = None,
+             drop_remainder: bool = False) -> Iterator[GraphBatch]:
+        b = self.budget
+        cur: List[int] = []
+        n_used, e_used, l_used = 0, 0, 0
+        for i in indices:
+            n, e, l = self.store.counts(int(i))
+            if n > b.n_nodes - 1 or e > b.n_edges - 1 or l > b.n_lg_edges:
+                raise ValueError(
+                    f"Graph {i} (nodes={n}, edges={e}, lg={l}) exceeds batch budget {b}; "
+                    "re-plan with a larger quantile/slack.")
+            if (len(cur) + 1 > b.n_graphs or n_used + n > b.n_nodes - 1
+                    or e_used + e > b.n_edges - 1 or l_used + l > b.n_lg_edges):
+                yield self._assemble(cur, weights)
+                cur, n_used, e_used, l_used = [], 0, 0, 0
+            cur.append(int(i))
+            n_used += n
+            e_used += e
+            l_used += l
+        if cur and not drop_remainder:
+            yield self._assemble(cur, weights)
+
+    def _assemble(self, graph_ids: List[int], weights: Optional[np.ndarray]) -> GraphBatch:
+        s, b = self.store, self.budget
+        Np, Ep, Lp, G = b.n_nodes, b.n_edges, b.n_lg_edges, b.n_graphs
+        dummy_node, dummy_edge = Np - 1, Ep - 1
+        f_node, f_edge, f_angle = s.node_dim, s.edge_dim, s.angle_dim
+
+        nodes = np.zeros((Np, f_node), dtype=np.float32)
+        node_graph = np.full(Np, G, dtype=np.int32)
+        edge_src = np.full(Ep, dummy_node, dtype=np.int32)
+        edge_dst = np.full(Ep, dummy_node, dtype=np.int32)
+        edge_attr = np.zeros((Ep, f_edge), dtype=np.float32)
+        edge_mask = np.zeros(Ep, dtype=np.float32)
+        lg_src = np.full(Lp, dummy_edge, dtype=np.int32)
+        lg_dst = np.full(Lp, dummy_edge, dtype=np.int32)
+        lg_attr = np.zeros((Lp, f_angle), dtype=np.float32)
+        lg_mask = np.zeros(Lp, dtype=np.float32)
+        globals_ = np.zeros((G, s.global_scalar_dim), dtype=np.float32)
+        sg_num = np.zeros(G, dtype=np.int32)
+        y = np.ones((G, s.target_dim), dtype=np.float32)
+        graph_mask = np.zeros(G, dtype=np.float32)
+        weight = np.zeros(G, dtype=np.float32)
+        sample_index = np.full(G, -1, dtype=np.int32)
+
+        n_cursor = e_cursor = l_cursor = 0
+        for slot, g in enumerate(graph_ids):
+            n0, n1 = s.node_off[g], s.node_off[g + 1]
+            e0, e1 = s.edge_off[g], s.edge_off[g + 1]
+            l0, l1 = s.lg_off[g], s.lg_off[g + 1]
+            n, e, l = n1 - n0, e1 - e0, l1 - l0
+
+            nodes[n_cursor:n_cursor + n] = s.node_feats[n0:n1]
+            node_graph[n_cursor:n_cursor + n] = slot
+            edge_src[e_cursor:e_cursor + e] = s.edge_src[e0:e1] + n_cursor
+            edge_dst[e_cursor:e_cursor + e] = s.edge_dst[e0:e1] + n_cursor
+            edge_attr[e_cursor:e_cursor + e] = s.edge_attr[e0:e1]
+            edge_mask[e_cursor:e_cursor + e] = 1.0
+            lg_src[l_cursor:l_cursor + l] = s.lg_src[l0:l1] + e_cursor
+            lg_dst[l_cursor:l_cursor + l] = s.lg_dst[l0:l1] + e_cursor
+            lg_attr[l_cursor:l_cursor + l] = s.lg_attr[l0:l1]
+            lg_mask[l_cursor:l_cursor + l] = 1.0
+            globals_[slot] = s.global_scalars[g]
+            sg_num[slot] = s.sg_num[g]
+            yg = s.y[g]
+            if np.isfinite(yg).all():
+                y[slot] = yg
+            graph_mask[slot] = 1.0
+            weight[slot] = 1.0 if weights is None else float(weights[g])
+            sample_index[slot] = g
+            n_cursor += n
+            e_cursor += e
+            l_cursor += l
+
+        return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
+                          edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
+                          globals_, sg_num, y, graph_mask, weight, sample_index)
+
+
+def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,
+                  *, shuffle: bool, rng: Optional[np.random.Generator] = None,
+                  weights: Optional[np.ndarray] = None) -> List[GraphBatch]:
+    """Materialize one epoch's batches (optionally shuffled)."""
+    order = np.asarray(list(indices), dtype=np.int64)
+    if shuffle:
+        if rng is None:
+            rng = np.random.default_rng()
+        order = order[rng.permutation(order.size)]
+    return list(BatchPacker(store, budget).pack(order, weights=weights))

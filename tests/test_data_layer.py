@@ -1,0 +1,195 @@
+"""Tests for the dataset layer (L2): store round-trips, splits, transforms,
+and the static-shape batch packer."""
+import numpy as np
+import pytest
+
+from gnnep_tpu.data.batching import BatchBudget, BatchPacker, GraphBatch, epoch_batches
+from gnnep_tpu.data.splits import derive_splits, group_indices, group_kfold, group_split_four
+from gnnep_tpu.data.store import GraphStore, load_sample, save_sample, write_index
+from gnnep_tpu.data.transforms import FeatureScaler, LogTransformer
+
+from synthetic import make_samples, make_store
+
+
+class TestStore:
+    def test_sample_roundtrip(self, tmp_path):
+        s = make_samples(1)[0]
+        p = save_sample(tmp_path, s)
+        s2 = load_sample(p)
+        np.testing.assert_allclose(s2.node_feats, s.node_feats)
+        np.testing.assert_array_equal(s2.lg_src, s.lg_src)
+        assert s2.material_id == s.material_id and s2.sg_num == s.sg_num
+        np.testing.assert_allclose(s2.y, s.y)
+
+    def test_arena_offsets(self):
+        samples = make_samples(5)
+        store = GraphStore.from_samples(samples)
+        assert store.n_graphs == 5
+        for g, s in enumerate(samples):
+            got = store.sample(g)
+            np.testing.assert_allclose(got.node_feats, s.node_feats)
+            np.testing.assert_array_equal(got.edge_src, s.edge_src)
+            np.testing.assert_array_equal(got.lg_dst, s.lg_dst)
+
+    def test_load_dir_with_cache(self, tmp_path):
+        for s in make_samples(4):
+            save_sample(tmp_path, s)
+        store1 = GraphStore.load_dir(tmp_path)
+        assert (tmp_path / "_arena_cache.npz").exists()
+        store2 = GraphStore.load_dir(tmp_path)  # from cache
+        np.testing.assert_allclose(store1.node_feats, store2.node_feats)
+        assert store1.material_ids == store2.material_ids
+        write_index(tmp_path, store1)
+        assert (tmp_path / "index.json").exists()
+
+    def test_target_filtering(self):
+        samples = make_samples(4)
+        samples[2].y = None
+        store = GraphStore.from_samples(samples).filter_targets()
+        assert store.n_graphs == 3
+        assert "mp-0002" not in store.material_ids
+
+
+class TestSplits:
+    def test_deterministic_and_disjoint(self):
+        keys = [f"g{i % 10}" for i in range(50)]
+        g2i = group_indices(keys)
+        a = group_split_four(g2i, 42, 0.2, 0.1, 0.1)
+        b = group_split_four(g2i, 42, 0.2, 0.1, 0.1)
+        assert a == b
+        all_idx = sorted(sum((list(x) for x in a), []))
+        assert all_idx == list(range(50))
+        sets = [set(x) for x in a]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert not (sets[i] & sets[j])
+
+    def test_groups_not_split_across_partitions(self):
+        keys = [f"g{i % 10}" for i in range(50)]
+        g2i = group_indices(keys)
+        tr, va, ca, te = group_split_four(g2i, 7, 0.2, 0.1, 0.1)
+        for part in (tr, va, ca, te):
+            part_groups = {keys[i] for i in part}
+            for g in part_groups:
+                assert set(g2i[g]) <= set(part)
+
+    def test_kfold_partitions_train(self):
+        keys = [f"g{i}" for i in range(20)]
+        g2i = group_indices(keys)
+        train = list(range(16))
+        folds = group_kfold(g2i, train, 4, 0)
+        joined = sorted(sum(folds, []))
+        assert joined == sorted(train)
+
+    def test_derive_splits_end_to_end(self):
+        store = make_store(12)
+        tr, va, ca, te, folds = derive_splits(store.group_keys(), 42, 0.1, 0.1, 0.1, 3)
+        assert len(tr) + len(va) + len(ca) + len(te) == 12
+        assert sorted(sum(folds, [])) == tr
+
+
+class TestTransforms:
+    def test_scaler_zero_mean_unit_std(self):
+        store = make_store(8)
+        idx = list(range(8))
+        scaler = FeatureScaler.fit(store, idx)
+        std_store = scaler.apply(store)
+        x = std_store.node_feats
+        varying = store.node_feats.std(axis=0) > 1e-8
+        np.testing.assert_allclose(x[:, varying].mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(x[:, varying].std(axis=0), 1.0, atol=1e-3)
+        g = std_store.global_scalars
+        gv = store.global_scalars.std(axis=0) > 1e-8
+        np.testing.assert_allclose(g[:, gv].mean(axis=0), 0.0, atol=1e-4)
+
+    def test_scaler_state_roundtrip(self):
+        store = make_store(6)
+        scaler = FeatureScaler.fit(store, list(range(6)))
+        s2 = FeatureScaler.from_state_dict(scaler.state_dict())
+        np.testing.assert_allclose(s2.scalar_mean, scaler.scalar_mean)
+        a = scaler.apply(store).node_feats
+        b = s2.apply(store).node_feats
+        np.testing.assert_allclose(a, b)
+
+    def test_log_transformer(self):
+        y = np.abs(np.random.default_rng(0).normal(50, 20, (100, 2))) + 1.0
+        t = LogTransformer.fit(y)
+        z = t.transform(y)
+        np.testing.assert_allclose(z.mean(axis=0), 0.0, atol=1e-9)
+        np.testing.assert_allclose(z.std(axis=0), 1.0, atol=1e-9)
+        np.testing.assert_allclose(t.inverse(z), y, rtol=1e-9)
+        t2 = LogTransformer.from_state_dict(t.state_dict())
+        np.testing.assert_allclose(t2.transform(y), z)
+
+    def test_log_transformer_rejects_nonpositive(self):
+        with pytest.raises(ValueError):
+            LogTransformer.fit(np.array([[1.0, -2.0]]))
+
+
+class TestBatching:
+    def test_budget_and_single_batch(self):
+        store = make_store(6)
+        budget = BatchBudget.plan(store, range(6), batch_size=6)
+        batches = list(BatchPacker(store, budget).pack(range(6)))
+        assert len(batches) == 1
+        b = batches[0]
+        assert b.n_real_graphs == 6
+        Np, Ep, Lp, G = b.capacity
+        assert (Np % 8, Ep % 8, Lp % 8) == (0, 0, 0)
+        # arena reconstruction: per-graph node features match the store
+        for slot in range(6):
+            sel = b.node_graph == slot
+            orig = store.sample(int(b.sample_index[slot]))
+            np.testing.assert_allclose(b.nodes[sel], orig.node_feats)
+
+    def test_dummy_conventions(self):
+        store = make_store(6)
+        budget = BatchBudget.plan(store, range(6), batch_size=3)
+        b = next(iter(BatchPacker(store, budget).pack(range(6))))
+        Np, Ep, Lp, G = b.capacity
+        pad_e = b.edge_mask == 0
+        assert pad_e.any()
+        assert (b.edge_src[pad_e] == Np - 1).all() and (b.edge_dst[pad_e] == Np - 1).all()
+        pad_l = b.lg_mask == 0
+        if pad_l.any():
+            assert (b.lg_src[pad_l] == Ep - 1).all()
+        # padded nodes map to graph slot G
+        assert (b.node_graph[b.nodes.sum(axis=1) == 0] <= G).all()
+        assert (np.sort(np.unique(b.node_graph))[-1] == G)
+
+    def test_edge_indices_offset_correctly(self):
+        store = make_store(6)
+        budget = BatchBudget.plan(store, range(6), batch_size=6)
+        b = next(iter(BatchPacker(store, budget).pack(range(6))))
+        # every real edge endpoint belongs to the same graph slot on both sides
+        real = b.edge_mask == 1
+        src_graph = b.node_graph[b.edge_src[real]]
+        dst_graph = b.node_graph[b.edge_dst[real]]
+        np.testing.assert_array_equal(src_graph, dst_graph)
+        # real lg edges connect bonds of the same graph
+        lreal = b.lg_mask == 1
+        np.testing.assert_array_equal(
+            b.node_graph[b.edge_src[b.lg_src[lreal]]],
+            b.node_graph[b.edge_src[b.lg_dst[lreal]]])
+
+    def test_multi_batch_split(self):
+        store = make_store(10)
+        budget = BatchBudget.plan(store, range(10), batch_size=4)
+        batches = list(BatchPacker(store, budget).pack(range(10)))
+        assert sum(b.n_real_graphs for b in batches) == 10
+        assert all(b.capacity == batches[0].capacity for b in batches)
+
+    def test_epoch_batches_shuffle_deterministic(self):
+        store = make_store(10)
+        budget = BatchBudget.plan(store, range(10), batch_size=4)
+        a = epoch_batches(store, range(10), budget, shuffle=True,
+                         rng=np.random.default_rng(1))
+        b = epoch_batches(store, range(10), budget, shuffle=True,
+                         rng=np.random.default_rng(1))
+        np.testing.assert_array_equal(a[0].sample_index, b[0].sample_index)
+
+    def test_oversize_graph_raises(self):
+        store = make_store(4)
+        budget = BatchBudget(n_graphs=2, n_nodes=2, n_edges=8, n_lg_edges=8)
+        with pytest.raises(ValueError, match="exceeds batch budget"):
+            list(BatchPacker(store, budget).pack(range(4)))
