@@ -1,0 +1,188 @@
+"""Heteroscedastic ALIGNN regressor as pure JAX functions over param pytrees.
+
+Architecture parity with the reference model family
+(`/root/reference/scripts/train.py:303-401,528-586`):
+
+- 2-layer MLP encoders for node(206)→H, edge(36)→H, angle(11)→H
+- L interleaved blocks: EdgeUpdate = β-gated transformer conv over the LINE
+  graph with angle embeddings as edge features, then NodeUpdate = projection
+  of the updated bond states + transformer conv over the ATOM graph (the
+  ALIGNN coupling: angle → bond → atom within one layer)
+- each block: LayerNorm → residual `state + dropout(relu(out))`
+- segment-mean pooling over graphs, concat with 59 standardized global
+  scalars + 230-way space-group one-hot, feat_proj MLP
+- per-target mean and log-variance heads (heteroscedastic Gaussian)
+
+Everything is shape-static: graphs arrive as padded `GraphBatch` arenas, the
+space-group one-hot is expanded on device from an int index, and empty-graph
+guards are data-dependent `where`s rather than Python branches.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.featurize import N_SG
+from ..ops.graph_attention import (TransformerConvParams, _torch_linear_init,
+                                   init_transformer_conv, transformer_conv)
+from ..ops.segment import segment_mean
+
+Params = Dict[str, Any]
+
+LN_EPS = 1e-5  # torch.nn.LayerNorm default
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignnConfig:
+    node_dim: int
+    edge_dim: int
+    angle_dim: int
+    global_dim: int          # scalar globals + space-group one-hot (59 + 230)
+    target_dim: int = 2
+    hidden: int = 256
+    layers: int = 4
+    heads: int = 4
+    dropout: float = 0.15
+
+    def __post_init__(self):
+        if self.heads <= 0:
+            raise ValueError("heads must be positive")
+        if self.target_dim <= 0:
+            raise ValueError("target_dim must be positive")
+        if self.hidden % self.heads != 0:
+            raise ValueError("hidden size must be divisible by number of heads")
+
+
+def _init_mlp(rng, in_dim: int, hidden: int) -> Params:
+    k0, k1 = jax.random.split(rng)
+    w0, b0 = _torch_linear_init(k0, in_dim, hidden)
+    w1, b1 = _torch_linear_init(k1, hidden, hidden)
+    return {"w0": w0, "b0": b0, "w1": w1, "b1": b1}
+
+
+def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.relu(x @ p["w0"] + p["b0"]) @ p["w1"] + p["b1"]
+
+
+def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def init_alignn(rng: jax.Array, cfg: AlignnConfig) -> Params:
+    keys = jax.random.split(rng, 7 + 2 * cfg.layers)
+    h = cfg.hidden
+    params: Params = {
+        "node_enc": _init_mlp(keys[0], cfg.node_dim, h),
+        "edge_enc": _init_mlp(keys[1], cfg.edge_dim, h),
+        "angle_enc": _init_mlp(keys[2], cfg.angle_dim, h),
+        "edge_blocks": [],
+        "node_blocks": [],
+    }
+    for i in range(cfg.layers):
+        params["edge_blocks"].append({
+            "conv": init_transformer_conv(keys[7 + 2 * i], h, h, edge_dim=h),
+            "ln_scale": jnp.ones(h), "ln_bias": jnp.zeros(h),
+        })
+        kp, kc = jax.random.split(keys[8 + 2 * i])
+        pw, pb = _torch_linear_init(kp, h, h)
+        params["node_blocks"].append({
+            "edge_proj_w": pw, "edge_proj_b": pb,
+            "conv": init_transformer_conv(kc, h, h, edge_dim=h),
+            "ln_scale": jnp.ones(h), "ln_bias": jnp.zeros(h),
+        })
+    fw, fb = _torch_linear_init(keys[3], h + cfg.global_dim, h)
+    params["feat_proj"] = {"w": fw, "b": fb}
+    mw, mb = _torch_linear_init(keys[4], h, cfg.target_dim)
+    params["mean_head"] = {"w": mw, "b": mb}
+    lw, lb = _torch_linear_init(keys[5], h, cfg.target_dim)
+    params["logvar_head"] = {"w": lw, "b": lb}
+    return params
+
+
+def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
+                  train: bool, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Encoders → interleaved LG/atom convs → pooling → feat_proj. Returns [G, H]."""
+    drop = cfg.dropout if train else 0.0
+
+    def next_key():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    node_state = _mlp(params["node_enc"], batch.nodes)
+    edge_state = _mlp(params["edge_enc"], batch.edge_attr)
+    angle_emb = _mlp(params["angle_enc"], batch.lg_attr)
+
+    has_lg = jnp.sum(batch.lg_mask) > 0
+    has_edges = jnp.sum(batch.edge_mask) > 0
+
+    for eb, nb in zip(params["edge_blocks"], params["node_blocks"]):
+        # EdgeUpdate: line-graph conv with angle features (train.py:303-317)
+        out = transformer_conv(
+            eb["conv"], edge_state, batch.lg_src, batch.lg_dst, angle_emb,
+            heads=cfg.heads, edge_mask=batch.lg_mask,
+            dropout_rate=drop, dropout_rng=next_key())
+        out = _layer_norm(out, eb["ln_scale"], eb["ln_bias"])
+        updated = edge_state + _dropout(jax.nn.relu(out), drop, next_key())
+        edge_state = jnp.where(has_lg, updated, edge_state)
+
+        # NodeUpdate: atom conv fed by projected bond states (train.py:320-336)
+        edge_feat = edge_state @ nb["edge_proj_w"] + nb["edge_proj_b"]
+        out = transformer_conv(
+            nb["conv"], node_state, batch.edge_src, batch.edge_dst, edge_feat,
+            heads=cfg.heads, edge_mask=batch.edge_mask,
+            dropout_rate=drop, dropout_rng=next_key())
+        out = _layer_norm(out, nb["ln_scale"], nb["ln_bias"])
+        updated = node_state + _dropout(jax.nn.relu(out), drop, next_key())
+        node_state = jnp.where(has_edges, updated, node_state)
+
+    n_graphs = batch.y.shape[0]
+    pooled = segment_mean(node_state, batch.node_graph, n_graphs + 1)[:n_graphs]
+    sg_one_hot = jax.nn.one_hot(batch.sg_num - 1, N_SG, dtype=pooled.dtype)
+    feats = jnp.concatenate([pooled, batch.globals_, sg_one_hot], axis=-1)
+    feats = _dropout(feats, drop, next_key())
+    shared = jax.nn.relu(feats @ params["feat_proj"]["w"] + params["feat_proj"]["b"])
+    shared = _dropout(shared, drop, next_key())
+    return shared
+
+
+def alignn_apply(params: Params, cfg: AlignnConfig, batch, *,
+                 train: bool = False, rng: Optional[jax.Array] = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward pass → (mean [G,T], logvar [G,T]) in transformed target space."""
+    shared = _shared_trunk(params, cfg, batch, train=train, rng=rng)
+    mean = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
+    logvar = shared @ params["logvar_head"]["w"] + params["logvar_head"]["b"]
+    return mean, logvar
+
+
+def alignn_embed(params: Params, cfg: AlignnConfig, batch) -> jnp.ndarray:
+    """Penultimate embedding (train.py:576-577), used by KNN density weighting."""
+    return _shared_trunk(params, cfg, batch, train=False, rng=None)
+
+
+def config_from_params(params: Params, *, edge_dim: int, angle_dim: int,
+                       global_dim: int, heads: int, dropout: float = 0.0,
+                       ) -> AlignnConfig:
+    """Infer architecture from parameter shapes (checkpoints are the
+    architecture contract, as in reference evaluate.py:146-176)."""
+    node_dim, hidden = params["node_enc"]["w0"].shape
+    layers = len(params["edge_blocks"])
+    target_dim = params["mean_head"]["w"].shape[1]
+    return AlignnConfig(node_dim=node_dim, edge_dim=edge_dim, angle_dim=angle_dim,
+                        global_dim=global_dim, target_dim=target_dim,
+                        hidden=hidden, layers=layers, heads=heads, dropout=dropout)
