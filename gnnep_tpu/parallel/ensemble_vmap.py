@@ -1,0 +1,201 @@
+"""Member-parallel ensemble training via vmap over a stacked parameter axis.
+
+The reference trains its 5 members strictly sequentially
+(`/root/reference/scripts/train.py:2052-2095`). On TPU the members are
+embarrassingly parallel: with homogeneous architectures we stack parameters
+along a leading member axis and run ONE jitted step that vmaps loss+grad
+across members, each member consuming its own bootstrap batch stream. One
+compilation, M× arithmetic intensity — this is the ensemble-axis parallelism
+called for by the north star (SURVEY.md §2g).
+
+Early stopping runs per-member on the host: a member whose patience has
+expired keeps computing (lock-step) but its parameter snapshot is frozen, so
+selection semantics match sequential training; the wall-clock cost is the
+slowest member, not the sum.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import epoch_batches
+from ..models.alignn import AlignnConfig, init_alignn
+from ..train.config import TrainConfig
+from ..train.loop import (TrainHyper, collect_predictions, cosine_lr,
+                          make_forward, sigma_mask)
+from ..train.member import BestSelector
+from ..train.metrics import eval_metrics
+
+
+def _stack_trees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _unstack_tree(tree, m: int):
+    return [jax.tree.map(lambda x, i=i: np.asarray(x[i]), tree) for i in range(m)]
+
+
+def train_members_vmapped(setup, cfg: TrainConfig
+                          ) -> Tuple[List[Dict], List[AlignnConfig]]:
+    if cfg.member_hiddens is not None and len(set(cfg.member_hiddens)) > 1:
+        raise ValueError("vmap member-parallel training requires homogeneous "
+                         "hidden sizes; use member_parallel='sequential'.")
+    if cfg.enable_density_weighting:
+        raise ValueError("KNN density weighting is not supported in vmap mode; "
+                         "use member_parallel='sequential'.")
+    from ..train.ensemble import model_config  # late import (cycle)
+
+    s = setup.store
+    m = cfg.ensemble_size
+    num_folds = len(setup.folds)
+    full_train = set(setup.train_idx)
+    hidden = cfg.member_hiddens[0] if cfg.member_hiddens else cfg.hidden
+    # per-member dropout differs only through the rng-driven masks' rate; a
+    # traced scalar per member keeps one compilation
+    dropouts = [float(cfg.member_override(cfg.member_dropouts, i, cfg.dropout))
+                for i in range(m)]
+    if len(set(dropouts)) > 1:
+        raise ValueError("vmap mode currently requires a shared dropout rate; "
+                         "use member_parallel='sequential' for per-member dropout.")
+    lrs = [float(cfg.member_override(cfg.member_lrs, i, cfg.lr)) for i in range(m)]
+
+    mc = model_config(cfg, s, hidden=hidden, dropout=dropouts[0])
+    hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
+                       feature_jitter_std=cfg.feature_jitter_std,
+                       min_logvar_floor=cfg.min_logvar_floor)
+
+    seeds = [cfg.seed + i * 1007 for i in range(m)]
+    member_params = [init_alignn(jax.random.fold_in(jax.random.PRNGKey(sd), 0), mc)
+                     for sd in seeds]
+    params = _stack_trees(member_params)
+    smask = sigma_mask(member_params[0])
+
+    import optax
+
+    from ..train.loop import hetero_nll
+    adam = optax.scale_by_adam()
+    opt_state = adam.init(params)
+    mu = jnp.asarray(setup.transformer.means, dtype=jnp.float32)
+    sd_ = jnp.asarray(setup.transformer.stds, dtype=jnp.float32)
+
+    def one_member_grads(p, batch, rng):
+        y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd_
+
+        def loss_fn(pp):
+            loss, aux = hetero_nll(pp, mc, hyper, batch, y_z, rng, train=True)
+            return loss, aux
+
+        (_, (mean, logvar, sample_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        stats = jnp.array([sample_loss.sum(), batch.graph_mask.sum()])
+        return grads, stats
+
+    @jax.jit
+    def stacked_step(params, opt_state, batches, rngs, lr_vec):
+        grads, stats = jax.vmap(one_member_grads)(params, batches, rngs)
+        updates, opt_state = adam.update(grads, opt_state, params)
+        wd = hyper.weight_decay
+
+        def apply_leaf(u, p, is_sigma_leaf):
+            # lr_vec: [M, 2] — column 0 mean lr, column 1 sigma lr
+            lr = jnp.where(is_sigma_leaf, lr_vec[:, 1], lr_vec[:, 0])
+            lr = lr.reshape((-1,) + (1,) * (p.ndim - 1))
+            return p - lr * (u + wd * p)
+
+        params = jax.tree.map(
+            lambda u, p, ms: apply_leaf(u, p, ms), updates, params,
+            jax.tree.map(lambda b: jnp.asarray(b), smask))
+        return params, opt_state, stats
+
+    # per-member data streams (bootstrap + fold assignment, as sequential)
+    member_train_idx: List[List[int]] = []
+    for i in range(m):
+        fold_idx = i % num_folds
+        train_i = sorted(full_train - set(setup.folds[fold_idx])) \
+            if num_folds > 1 else list(setup.train_idx)
+        if cfg.bootstrap and train_i:
+            ratio = cfg.bootstrap_ratio if cfg.bootstrap_ratio > 0 else 1.0
+            count = max(1, int(round(len(train_i) * ratio)))
+            rng_boot = np.random.default_rng(seeds[i])
+            train_i = rng_boot.choice(np.asarray(train_i, dtype=np.int64),
+                                      size=count, replace=True).tolist()
+        member_train_idx.append(train_i)
+
+    mean_sched = cosine_lr(cfg.epochs, cfg.warmup_epochs, 1.0, cfg.lr_min / cfg.lr)
+    sigma_base = cfg.sigma_lr_max if cfg.sigma_lr_max > 0 else cfg.lr
+    sigma_sched = cosine_lr(cfg.epochs, cfg.sigma_warmup_epochs, 1.0,
+                            cfg.lr_min / sigma_base)
+
+    forward = make_forward(mc, cfg.min_logvar_floor)
+    selectors = [BestSelector(cfg) for _ in range(m)]
+    best_params: List[Dict] = [None] * m  # type: ignore[list-item]
+    stale = [0] * m
+    stopped = [False] * m
+    patience = max(cfg.early_stop, 0)
+    shuffle_rngs = [np.random.default_rng(sd + 17) for sd in seeds]
+    keys = [jax.random.PRNGKey(sd + 1) for sd in seeds]
+    val_batches = [epoch_batches(s, setup.folds[i % num_folds], setup.budget,
+                                 shuffle=False) for i in range(m)]
+
+    for epoch in range(1, cfg.epochs + 1):
+        lr_vec = np.stack([
+            [lrs[i] * mean_sched(epoch - 1), sigma_base * sigma_sched(epoch - 1)]
+            for i in range(m)]).astype(np.float32)
+        streams = [epoch_batches(s, member_train_idx[i], setup.budget,
+                                 shuffle=True, rng=shuffle_rngs[i])
+                   for i in range(m)]
+        n_steps = min(len(st) for st in streams)
+        loss_sums = np.zeros(m)
+        graph_sums = np.zeros(m)
+        for t in range(n_steps):
+            batch_stack = jax.tree.map(lambda *xs: np.stack(xs),
+                                       *[streams[i][t] for i in range(m)])
+            step_keys = []
+            for i in range(m):
+                keys[i], k = jax.random.split(keys[i])
+                step_keys.append(k)
+            params, opt_state, stats = stacked_step(
+                params, opt_state, batch_stack, jnp.stack(step_keys),
+                jnp.asarray(lr_vec))
+            stats = np.asarray(stats)
+            loss_sums += stats[:, 0]
+            graph_sums += stats[:, 1]
+
+        members_now = _unstack_tree(params, m)
+        all_stopped = True
+        for i in range(m):
+            if stopped[i]:
+                continue
+            mean_z, sigma_z, y_val, _ = collect_predictions(
+                forward, members_now[i], val_batches[i])
+            vm = eval_metrics(mean_z, sigma_z, y_val, setup.transformer)
+            if selectors[i].consider(epoch, vm):
+                best_params[i] = members_now[i]
+            if epoch > 5:
+                if selectors[i].significant_improve:
+                    stale[i] = 0
+                else:
+                    stale[i] += 1
+                    if stale[i] >= patience:
+                        stopped[i] = True
+            if not stopped[i]:
+                all_stopped = False
+            if cfg.verbose:
+                print(f"[vmap member {i}] epoch {epoch:03d} "
+                      f"train_loss={loss_sums[i] / max(graph_sums[i], 1):.4f} "
+                      f"val_mae={vm['mae']:.4f} val_ece={vm['ece']:.4f}"
+                      + (" [stopped]" if stopped[i] else ""))
+        if all_stopped:
+            break
+
+    members_now = _unstack_tree(params, m)
+    out = [bp if bp is not None else members_now[i] for i, bp in enumerate(best_params)]
+    return out, [mc] * m

@@ -1,0 +1,91 @@
+"""Training configuration — the framework's equivalent of the reference's
+argparse surface (`/root/reference/scripts/train.py:1079-1212`), as a typed
+dataclass usable programmatically and from the CLI."""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from .loop import MIN_LOGVAR_FLOOR
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    data_dir: str = "data/mp_gnn"
+    save_dir: str = "artifacts/ensemble"
+    batch_size: int = 64
+    epochs: int = 60
+    hidden: int = 256
+    layers: int = 4
+    heads: int = 4
+    dropout: float = 0.15
+    ensemble_size: int = 5
+    member_dropouts: Optional[List[float]] = None
+    member_lrs: Optional[List[float]] = None
+    member_hiddens: Optional[List[int]] = None
+
+    # splits
+    seed: int = 42
+    val_frac: float = 0.1
+    calib_frac: float = 0.05
+    test_frac: float = 0.1
+
+    # optimizer / schedules
+    lr: float = 3e-4
+    lr_min: float = 1e-5
+    weight_decay: float = 1e-4
+    warmup_epochs: int = 2
+    sigma_warmup_epochs: int = 8
+    sigma_lr_max: float = 3e-4
+    optimizer: str = "adamw"
+
+    # loss / regularization
+    min_logvar_floor: float = MIN_LOGVAR_FLOOR
+    log_sigma_l2: float = 0.1
+    feature_jitter_std: float = 0.1
+    freq_bins: int = 6
+    freq_gamma: float = 0.0
+    relative_eps: float = 1e-6
+
+    # early stopping / selection
+    early_stop: int = 20
+    delta_mae: float = 1.0
+    delta_mae_reset: float = 1.0
+    delta_ece: float = 0.01
+    delta_coverage: float = 0.02
+
+    # bootstrap / data
+    bootstrap: bool = True
+    bootstrap_ratio: float = 1.3
+    train_subset_ratio: float = 1.0
+    use_mat2vec: bool = True
+
+    # calibration
+    conformal_alpha: float = 0.1
+    conformal_method: str = "scaled"
+
+    # KNN density weighting (opt-in, reference train.py:1178-1192)
+    enable_density_weighting: bool = False
+    weight_warmup_epochs: int = 8
+    knn_k: int = 20
+    knn_eps: float = 1e-6
+    knn_alpha: float = 0.75
+    knn_beta: float = 1.0
+    knn_weight_min: float = 0.2
+    knn_weight_max: float = 1.0
+    knn_refresh: int = 5
+
+    # framework extensions (no reference analogue)
+    member_parallel: str = "sequential"  # 'sequential' | 'vmap'
+    save_embeddings: bool = False
+    batch_quantile: float = 0.95
+    batch_slack: float = 1.15
+    verbose: bool = True
+
+    def member_override(self, values: Optional[List], i: int, default):
+        if values is None:
+            return default
+        if len(values) != self.ensemble_size:
+            raise ValueError(
+                f"Per-member override expects {self.ensemble_size} entries, got {len(values)}")
+        return values[i]

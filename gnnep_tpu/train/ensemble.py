@@ -1,0 +1,245 @@
+"""Deep-ensemble training driver: setup → members → calibration → artifacts.
+
+Orchestration parity with the reference `main` (`/root/reference/scripts/
+train.py:1948-2163`): grouped splits + K-fold member validation, per-member
+seeds `seed + i*1007`, bootstrap resampling, per-member hidden/dropout/LR
+overrides, mixture aggregation on the calibration split, affine debias,
+scaled conformal quantiles, and the artifact trio. Members can train
+sequentially or — the TPU-native path with homogeneous architectures —
+member-parallel via `vmap` (see `gnnep_tpu.parallel.ensemble_vmap`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.batching import BatchBudget, epoch_batches
+from ..data.splits import derive_splits
+from ..data.store import GraphStore
+from ..data.transforms import FeatureScaler, LogTransformer
+from ..models.alignn import AlignnConfig
+from .artifacts import (save_conformal, save_member, save_scaler_state)
+from .bins import compute_bin_statistics
+from .calibrate import (apply_conformal_intervals, conformal_calibration,
+                        ensemble_mixture, fit_affine_debias)
+from .config import TrainConfig
+from .loop import collect_predictions, make_forward
+from .member import train_member
+from .metrics import error_stats
+
+N_SG_ONE_HOT = 230
+
+
+@dataclasses.dataclass
+class TrainingSetup:
+    """Everything derived from the dataset before member training starts."""
+
+    store: GraphStore            # standardized
+    scaler: FeatureScaler
+    transformer: LogTransformer
+    budget: BatchBudget
+    train_idx: List[int]
+    val_idx: List[int]
+    calib_idx: List[int]
+    test_idx: List[int]
+    folds: List[List[int]]
+    bin_edges: np.ndarray
+    bin_weights: np.ndarray
+
+
+def prepare(cfg: TrainConfig, store: Optional[GraphStore] = None) -> TrainingSetup:
+    """Load/standardize the dataset and derive splits (train.py:1300-1447)."""
+    if store is None:
+        store = GraphStore.load_dir(cfg.data_dir)
+    if not cfg.use_mat2vec and store.node_dim > 6:
+        store = dataclasses.replace(store, node_feats=store.node_feats[:, :6].copy())
+
+    train_idx, val_idx, calib_idx, test_idx, folds = derive_splits(
+        store.group_keys(), cfg.seed, cfg.val_frac, cfg.calib_frac,
+        cfg.test_frac, cfg.ensemble_size)
+    if not train_idx:
+        raise ValueError("Training split is empty; adjust fractions or seed.")
+
+    scaler = FeatureScaler.fit(store, train_idx)
+    std_store = scaler.apply(store)
+    train_targets = store.y[np.asarray(train_idx, dtype=np.int64)]
+    transformer = LogTransformer.fit(train_targets)
+    bin_edges, bin_weights, _, _ = compute_bin_statistics(
+        train_targets, cfg.freq_bins, cfg.freq_gamma, eps=cfg.relative_eps)
+
+    budget = BatchBudget.plan(std_store, range(std_store.n_graphs), cfg.batch_size,
+                              slack=cfg.batch_slack, quantile=cfg.batch_quantile)
+    return TrainingSetup(std_store, scaler, transformer, budget, train_idx,
+                         val_idx, calib_idx, test_idx, folds, bin_edges, bin_weights)
+
+
+def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] = None,
+                 dropout: Optional[float] = None) -> AlignnConfig:
+    h = int(hidden if hidden is not None else cfg.hidden)
+    if h % cfg.heads != 0:
+        raise ValueError(f"Hidden dimension {h} must be divisible by heads ({cfg.heads})")
+    return AlignnConfig(
+        node_dim=store.node_dim, edge_dim=store.edge_dim, angle_dim=store.angle_dim,
+        global_dim=store.global_scalar_dim + N_SG_ONE_HOT,
+        target_dim=store.target_dim, hidden=h, layers=cfg.layers, heads=cfg.heads,
+        dropout=float(dropout if dropout is not None else cfg.dropout))
+
+
+def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
+                     batches, floor: float):
+    """Member forwards → ([M,N,T] means, [M,N,T] vars, [N,T] targets)."""
+    means, variances, targets = [], [], None
+    for params, mc in zip(members, model_cfgs):
+        forward = make_forward(mc, floor)
+        mean_z, sigma_z, y, _ = collect_predictions(forward, params, batches)
+        means.append(mean_z)
+        variances.append(sigma_z ** 2)
+        targets = y
+    return np.stack(means), np.stack(variances), targets
+
+
+def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
+    """Full training pipeline; returns summary dict with test stats."""
+    t_start = time.time()
+    setup = prepare(cfg, store)
+    s = setup.store
+    save_dir = Path(cfg.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    if cfg.verbose:
+        print(f"Dataset: {s.n_graphs} graphs | node_dim={s.node_dim} "
+              f"edge_dim={s.edge_dim} angle_dim={s.angle_dim}")
+        print(f"Splits: train={len(setup.train_idx)} val={len(setup.val_idx)} "
+              f"calib={len(setup.calib_idx)} test={len(setup.test_idx)}")
+        print(f"Batch budget: {setup.budget}")
+
+    full_train = set(setup.train_idx)
+    num_folds = len(setup.folds)
+    members: List[Dict] = []
+    model_cfgs: List[AlignnConfig] = []
+
+    if cfg.member_parallel == "vmap":
+        from ..parallel.ensemble_vmap import train_members_vmapped
+        members, model_cfgs = train_members_vmapped(setup, cfg)
+        for i, (params, mc) in enumerate(zip(members, model_cfgs)):
+            save_member(save_dir / f"model_{i}.npz", params, mc)
+    else:
+        for i in range(cfg.ensemble_size):
+            seed_i = cfg.seed + i * 1007
+            fold_idx = i % num_folds
+            holdout = setup.folds[fold_idx]
+            train_i = sorted(full_train - set(holdout)) if num_folds > 1 \
+                else setup.train_idx
+            ratio = min(max(cfg.train_subset_ratio, 0.0) or 1.0, 1.0)
+            if 0.0 < ratio < 1.0 and train_i:
+                rng_sub = np.random.default_rng(seed_i)
+                keep = max(1, int(round(len(train_i) * ratio)))
+                perm = rng_sub.permutation(len(train_i))[:keep]
+                train_i = sorted(train_i[j] for j in np.sort(perm))
+            mc = model_config(
+                cfg, s,
+                hidden=cfg.member_override(cfg.member_hiddens, i, cfg.hidden),
+                dropout=cfg.member_override(cfg.member_dropouts, i, cfg.dropout))
+            member_cfg = dataclasses.replace(
+                cfg, lr=float(cfg.member_override(cfg.member_lrs, i, cfg.lr)))
+            if cfg.verbose:
+                print(f"Training ensemble member {i + 1}/{cfg.ensemble_size} "
+                      f"(fold {fold_idx + 1}/{num_folds}) with seed {seed_i} | "
+                      f"train={len(train_i)} fold_val={len(holdout)}")
+            params, _ = train_member(s, member_cfg, mc, setup.transformer,
+                                     setup.budget, seed_i, train_i, holdout)
+            members.append(params)
+            model_cfgs.append(mc)
+            save_member(save_dir / f"model_{i}.npz", params, mc)
+
+    dims = {"node_dim": s.node_dim, "edge_dim": s.edge_dim,
+            "angle_dim": s.angle_dim, "global_scalar_dim": s.global_scalar_dim,
+            "sg_dim": N_SG_ONE_HOT, "target_dim": s.target_dim,
+            "heads": cfg.heads, "seed": cfg.seed, "val_frac": cfg.val_frac,
+            "calib_frac": cfg.calib_frac, "test_frac": cfg.test_frac,
+            "ensemble_size": cfg.ensemble_size}
+    save_scaler_state(save_dir / "scaler_state.npz", setup.scaler,
+                      setup.transformer, dims)
+
+    # --- conformal calibration on the dedicated calib split ----------------
+    if not setup.calib_idx:
+        raise ValueError("Calibration split is empty; set calib_frac > 0 and rerun.")
+    calib_batches = epoch_batches(s, setup.calib_idx, setup.budget, shuffle=False)
+    m_means, m_vars, calib_y = collect_ensemble(members, model_cfgs, calib_batches,
+                                                cfg.min_logvar_floor)
+    mean_z, var_z = ensemble_mixture(m_means, m_vars)
+    std_z = np.sqrt(var_z)
+    target_z = setup.transformer.transform(calib_y)
+    a, b = fit_affine_debias(mean_z, target_z)
+    mean_z_cal = mean_z * a + b
+    conf = conformal_calibration(
+        mean_z_cal, std_z if cfg.conformal_method == "scaled" else None,
+        calib_y, setup.transformer, cfg.conformal_alpha, cfg.conformal_method)
+    save_conformal(save_dir / "conformal.json", conf, a, b)
+
+    if cfg.save_embeddings:
+        _save_embeddings(save_dir, members, model_cfgs, s, setup)
+
+    # --- final test report -------------------------------------------------
+    summary: Dict = {"members": len(members), "train_time_s": time.time() - t_start}
+    if setup.test_idx:
+        test_batches = epoch_batches(s, setup.test_idx, setup.budget, shuffle=False)
+        tm, tv, test_y = collect_ensemble(members, model_cfgs, test_batches,
+                                          cfg.min_logvar_floor)
+        mean_zt, var_zt = ensemble_mixture(tm, tv)
+        mean_zt = mean_zt * a + b
+        std_zt = np.sqrt(var_zt)
+        mean_orig, lower, upper = apply_conformal_intervals(
+            mean_zt, std_zt if cfg.conformal_method == "scaled" else None,
+            conf, setup.transformer)
+        stats = error_stats(mean_orig, test_y)
+        covered = ((test_y >= lower) & (test_y <= upper)).astype(float)
+        summary["test_stats"] = stats
+        summary["conformal_coverage"] = {
+            "per_target": covered.mean(axis=0).tolist(),
+            "overall": float(covered.mean()),
+            "target": 1.0 - cfg.conformal_alpha,
+        }
+        if cfg.verbose:
+            print("Test diagnostics (ensemble mean):")
+            for label, v in stats.items():
+                print(f"  {label}: rmse={v['rmse']:.4f}, mae={v['mae']:.4f}, "
+                      f"std={v['std']:.4f}, mean_err={v['mean_error']:.4f}")
+            print("Conformal PI coverage:")
+            for t, c in enumerate(covered.mean(axis=0)):
+                print(f"  target_{t}: {c:.4f}")
+            print(f"  overall: {covered.mean():.4f} "
+                  f"(target={1.0 - cfg.conformal_alpha:.4f})")
+    elif cfg.verbose:
+        print("No test split; skipping final evaluation.")
+
+    (save_dir / "train_summary.json").write_text(json.dumps(summary, indent=2, default=float))
+    return summary
+
+
+def _save_embeddings(save_dir: Path, members, model_cfgs, store, setup) -> None:
+    """Ensemble-mean penultimate embeddings per split (train.py:2125-2131)."""
+    import jax
+
+    from ..models.alignn import alignn_embed
+
+    splits = {"train": setup.train_idx, "val": setup.val_idx,
+              "calib": setup.calib_idx, "test": setup.test_idx}
+    for name, idx in splits.items():
+        if not idx:
+            continue
+        batches = epoch_batches(store, idx, setup.budget, shuffle=False)
+        accum = []
+        for batch in batches:
+            zs = []
+            for params, mc in zip(members, model_cfgs):
+                z = np.asarray(jax.jit(lambda p, b, m=mc: alignn_embed(p, m, b))(params, batch))
+                zs.append(z)
+            z_mean = np.mean(zs, axis=0)
+            accum.append(z_mean[np.asarray(batch.graph_mask) > 0])
+        np.savez(save_dir / f"embeddings_{name}.npz", z=np.concatenate(accum))

@@ -1,0 +1,192 @@
+"""Jitted training/eval steps: heteroscedastic NLL, AdamW with dual LR groups.
+
+The reference's training numerics (`/root/reference/scripts/train.py:607-723,
+1215-1232,1516-1545`) recast as pure functions:
+
+- loss = mean over real graphs of mean-over-targets of ½(logvar + diff²/var),
+  logvar clamped at the floor (−2.9 default), optional per-sample weights,
+  plus λ·mean((½logvar)²) log-σ L2
+- Gaussian feature jitter on node/global features (train-time augmentation)
+- global-norm gradient clip at 5.0
+- AdamW where the logvar head gets its own learning rate ("sigma" group with
+  separate warmup), implemented as scale_by_adam + a per-leaf decoupled
+  weight-decay update selected by a sigma mask — LRs are traced scalars so
+  epoch-wise cosine schedules never retrigger compilation
+
+Targets are transformed on device with the fitted log-transform constants
+baked into the step closure.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.alignn import AlignnConfig, alignn_apply
+
+MIN_LOGVAR_FLOOR = -2.9  # reference train.py:39
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHyper:
+    """Static loss/optimizer hyperparameters (baked into the jitted step)."""
+
+    weight_decay: float = 1e-4
+    log_sigma_l2: float = 0.1
+    feature_jitter_std: float = 0.1
+    min_logvar_floor: float = MIN_LOGVAR_FLOOR
+    grad_clip: float = 5.0
+
+
+class StepMetrics(NamedTuple):
+    loss_sum: jnp.ndarray       # Σ per-sample weighted NLL (real graphs)
+    n_graphs: jnp.ndarray
+    abs_err_sum: jnp.ndarray    # Σ |pred − y| linear space, real elements
+    sq_err_sum: jnp.ndarray
+    n_elements: jnp.ndarray
+    logvar_sum: jnp.ndarray
+    max_var: jnp.ndarray
+
+
+def cosine_lr(total_epochs: int, warmup_epochs: int, max_lr: float,
+              min_lr: float):
+    """Per-epoch LR: linear warmup then cosine to min_lr (train.py:1215-1232)."""
+    warmup = max(int(warmup_epochs), 0)
+    total = max(int(total_epochs), 1)
+    if warmup >= total:
+        warmup = max(total - 1, 0)
+    if max_lr <= 0:
+        raise ValueError("max_lr must be positive for cosine scheduling")
+    min_factor = min(max(min_lr / max_lr, 0.0), 1.0)
+
+    def lr_at(epoch_idx: int) -> float:
+        if warmup > 0 and epoch_idx < warmup:
+            factor = float(epoch_idx + 1) / warmup
+        else:
+            progress = float(epoch_idx - warmup) / float(max(total - warmup, 1))
+            factor = min_factor + (1.0 - min_factor) * 0.5 * (1.0 + math.cos(math.pi * progress))
+        return max_lr * factor
+
+    return lr_at
+
+
+def sigma_mask(params) -> Any:
+    """Pytree of bools marking the sigma (logvar head) parameter group."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for path, _ in flat:
+        keys = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        leaves.append("logvar_head" in keys)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
+               y_z: jnp.ndarray, rng: Optional[jax.Array], train: bool):
+    """Loss + raw stats. `y_z` are log-standardized targets [G, T]."""
+    if train and hyper.feature_jitter_std > 0.0 and rng is not None:
+        rng, kx, kg, kd = jax.random.split(rng, 4)
+        batch = batch._replace(
+            nodes=batch.nodes + hyper.feature_jitter_std
+            * jax.random.normal(kx, batch.nodes.shape),
+            globals_=batch.globals_ + hyper.feature_jitter_std
+            * jax.random.normal(kg, batch.globals_.shape))
+    else:
+        kd = rng
+    mean, logvar = alignn_apply(params, cfg, batch, train=train, rng=kd)
+    logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+    var = jnp.exp(logvar)
+    diff = mean - y_z
+    nll = 0.5 * (logvar + diff ** 2 / var)                     # [G, T]
+    nll = nll * batch.weight[:, None]
+    sample_loss = nll.mean(axis=1) * batch.graph_mask
+    n_real = jnp.maximum(batch.graph_mask.sum(), 1.0)
+    loss = sample_loss.sum() / n_real
+    if hyper.log_sigma_l2 > 0.0:
+        log_sigma_sq = (0.5 * logvar) ** 2 * batch.graph_mask[:, None]
+        loss = loss + hyper.log_sigma_l2 * log_sigma_sq.sum() / (n_real * y_z.shape[1])
+    return loss, (mean, logvar, sample_loss)
+
+
+def make_train_step(cfg: AlignnConfig, hyper: TrainHyper,
+                    log_means: np.ndarray, log_stds: np.ndarray):
+    """Build a jitted (params, adam_state, batch, rng, lr_mean, lr_sigma) step."""
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    mu = jnp.asarray(log_means, dtype=jnp.float32)
+    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, smask, batch, rng, lr_mean, lr_sigma):
+        y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
+
+        def loss_fn(p):
+            loss, (mean, logvar, sample_loss) = hetero_nll(
+                p, cfg, hyper, batch, y_z, rng, train=True)
+            return loss, (mean, logvar, sample_loss)
+
+        (_, (mean, logvar, sample_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = adam.update(grads, opt_state, params)
+        wd = hyper.weight_decay
+
+        def apply_leaf(u, p, is_sigma):
+            lr = jnp.where(is_sigma, lr_sigma, lr_mean)
+            return p - lr * (u + wd * p)
+
+        params = jax.tree.map(apply_leaf, updates, params,
+                              jax.tree.map(jnp.asarray, smask))
+
+        pred = jnp.exp(mean * sd + mu)
+        err = (pred - batch.y) * batch.graph_mask[:, None]
+        var = jnp.exp(logvar)
+        metrics = StepMetrics(
+            loss_sum=sample_loss.sum(),
+            n_graphs=batch.graph_mask.sum(),
+            abs_err_sum=jnp.abs(err).sum(),
+            sq_err_sum=(err ** 2).sum(),
+            n_elements=batch.graph_mask.sum() * batch.y.shape[1],
+            logvar_sum=(logvar * batch.graph_mask[:, None]).sum(),
+            max_var=jnp.max(var * batch.graph_mask[:, None]),
+        )
+        return params, opt_state, metrics
+
+    def init_opt(params):
+        return adam.init(params)
+
+    return step, init_opt
+
+
+def make_forward(cfg: AlignnConfig, floor: float = MIN_LOGVAR_FLOOR):
+    """Jitted eval forward → (mean_z, logvar) with the floor applied."""
+
+    @jax.jit
+    def forward(params, batch):
+        mean, logvar = alignn_apply(params, cfg, batch, train=False)
+        return mean, jnp.maximum(logvar, floor)
+
+    return forward
+
+
+def collect_predictions(forward, params, batches) -> Tuple[np.ndarray, np.ndarray,
+                                                           np.ndarray, np.ndarray]:
+    """Run forward over batches, returning per-real-graph arrays on host:
+    (mean_z [N,T], sigma_z [N,T], y_linear [N,T], sample_index [N])."""
+    means, sigmas, ys, idxs = [], [], [], []
+    for b in batches:
+        mean, logvar = forward(params, b)
+        mask = np.asarray(b.graph_mask) > 0
+        means.append(np.asarray(mean)[mask])
+        sigmas.append(np.sqrt(np.exp(np.asarray(logvar)))[mask])
+        ys.append(np.asarray(b.y)[mask])
+        idxs.append(np.asarray(b.sample_index)[mask])
+    return (np.concatenate(means), np.concatenate(sigmas),
+            np.concatenate(ys), np.concatenate(idxs))

@@ -1,0 +1,251 @@
+"""Single ensemble-member training: epoch loop, best-state selection with the
+reference's tie-break cascade, early stopping, optional KNN density weighting.
+
+Selection semantics track `/root/reference/scripts/train.py:1712-1804`
+exactly: candidates are epochs whose val MAE is within `delta_mae` of the
+global best; ties break by coverage-gap → ECE → Spearman → earlier epoch;
+patience counts epochs without a *significant* (> delta_mae_reset) MAE
+improvement after a 5-epoch grace period.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.batching import BatchBudget, epoch_batches
+from ..data.store import GraphStore
+from ..data.transforms import LogTransformer
+from ..models.alignn import AlignnConfig, init_alignn
+from .config import TrainConfig
+from .knn_weights import compute_knn_weights
+from .loop import (TrainHyper, collect_predictions, cosine_lr, make_forward,
+                   make_train_step, sigma_mask)
+from .metrics import eval_metrics
+
+_GRACE_EPOCHS = 5  # reference warmup_epochs for early stopping (train.py:1561)
+
+
+def _fmt(v: float) -> str:
+    if not isinstance(v, (int, float)) or not math.isfinite(float(v)):
+        return "n/a"
+    return f"{float(v):.4f}"
+
+
+class BestSelector:
+    """Best-epoch bookkeeping with the reference's tie-break cascade."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.mae_tie = max(cfg.delta_mae, 0.0)
+        self.mae_reset = max(cfg.delta_mae_reset, 0.0)
+        self.ece_tie = max(cfg.delta_ece, 0.0)
+        self.cov_tie = max(cfg.delta_coverage, 0.0)
+        self.coverage_target = 1.0 - cfg.conformal_alpha
+        self.best_mae_global = float("inf")
+        self.best_mae_reference = float("inf")
+        self.best: Optional[Dict[str, float]] = None
+        self.best_epoch: Optional[int] = None
+        self.significant_improve = False
+
+    def consider(self, epoch: int, m: Dict[str, float]) -> bool:
+        mae = m["mae"] if math.isfinite(m["mae"]) else float("inf")
+        ece = m["ece"] if math.isfinite(m["ece"]) else float("inf")
+        cov = m["coverage"]
+        cov_gap = abs(cov - self.coverage_target) if math.isfinite(cov) else float("inf")
+        spear = m["spearman"] if math.isfinite(m["spearman"]) else float("-inf")
+
+        if math.isfinite(mae):
+            self.best_mae_global = min(self.best_mae_global, mae)
+        self.significant_improve = math.isfinite(mae) and (
+            not math.isfinite(self.best_mae_reference)
+            or (self.best_mae_reference - mae) > self.mae_reset)
+        if math.isfinite(mae):
+            if self.significant_improve or not math.isfinite(self.best_mae_reference):
+                self.best_mae_reference = mae
+            else:
+                self.best_mae_reference = min(self.best_mae_reference, mae)
+
+        if not (math.isfinite(mae) and mae <= self.best_mae_global + self.mae_tie):
+            return False
+        update = False
+        if self.best is None:
+            update = True
+        else:
+            d = mae - self.best["mae"]
+            if d < -self.mae_tie:
+                update = True
+            elif d > self.mae_tie:
+                update = False
+            elif cov_gap + self.cov_tie < self.best["cov_gap"]:
+                update = True
+            elif self.best["cov_gap"] + self.cov_tie < cov_gap:
+                update = False
+            elif ece + self.ece_tie < self.best["ece"]:
+                update = True
+            elif self.best["ece"] + self.ece_tie < ece:
+                update = False
+            elif spear > self.best["spearman"]:
+                update = True
+            elif spear < self.best["spearman"]:
+                update = False
+            else:
+                update = epoch < (self.best_epoch or epoch)
+        if update:
+            self.best = {"mae": mae, "ece": ece, "cov_gap": cov_gap,
+                         "spearman": spear, **m}
+            self.best_epoch = epoch
+        return update
+
+
+def train_member(
+    store: GraphStore,
+    cfg: TrainConfig,
+    model_cfg: AlignnConfig,
+    transformer: LogTransformer,
+    budget: BatchBudget,
+    member_seed: int,
+    train_indices: List[int],
+    val_indices: List[int],
+) -> Tuple[Dict, Dict[str, float]]:
+    """Train one member; returns (best_params_on_host, best_val_metrics)."""
+    hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
+                       feature_jitter_std=cfg.feature_jitter_std,
+                       min_logvar_floor=cfg.min_logvar_floor)
+    step, init_opt = make_train_step(model_cfg, hyper,
+                                     transformer.means, transformer.stds)
+    forward = make_forward(model_cfg, cfg.min_logvar_floor)
+
+    key = jax.random.PRNGKey(member_seed)
+    key, init_key = jax.random.split(key)
+    params = init_alignn(init_key, model_cfg)
+    opt_state = init_opt(params)
+    smask = sigma_mask(params)
+
+    # bootstrap resample with replacement (train.py:1586-1624)
+    effective = list(train_indices)
+    if cfg.bootstrap and effective:
+        ratio = cfg.bootstrap_ratio if cfg.bootstrap_ratio > 0 else 1.0
+        count = max(1, int(round(len(effective) * ratio)))
+        rng_boot = np.random.default_rng(member_seed)
+        effective = rng_boot.choice(np.asarray(effective, dtype=np.int64),
+                                    size=count, replace=True).tolist()
+        if cfg.verbose:
+            print(f"[Bootstrap] Member {member_seed}: sampled {count} / "
+                  f"{len(train_indices)} training graphs "
+                  f"(ratio={count / max(len(train_indices), 1):.2f})")
+
+    base_lr = cfg.lr
+    sigma_base = cfg.sigma_lr_max if cfg.sigma_lr_max > 0 else base_lr
+    mean_sched = cosine_lr(cfg.epochs, cfg.warmup_epochs, base_lr, cfg.lr_min)
+    sigma_sched = cosine_lr(cfg.epochs, cfg.sigma_warmup_epochs, sigma_base, cfg.lr_min)
+
+    val_batches = epoch_batches(store, val_indices, budget, shuffle=False) \
+        if val_indices else []
+    selector = BestSelector(cfg)
+    best_params = None
+    patience = max(cfg.early_stop, 0)
+    stale = 0
+    shuffle_rng = np.random.default_rng(member_seed + 17)
+
+    # KNN density-weighting state (opt-in; reference train.py:1822-1916)
+    weights_by_index: Optional[Dict[int, float]] = None
+    weights_active_epoch: Optional[int] = None
+    last_snapshot_epoch: Optional[int] = None
+
+    t0 = time.time()
+    for epoch in range(1, cfg.epochs + 1):
+        lr_mean = mean_sched(epoch - 1)
+        lr_sigma = sigma_sched(epoch - 1)
+        use_weights = (cfg.enable_density_weighting and weights_by_index is not None
+                       and weights_active_epoch is not None
+                       and epoch >= weights_active_epoch)
+        weight_arr = None
+        if use_weights:
+            weight_arr = np.ones(store.n_graphs, dtype=np.float32)
+            for gi, w in weights_by_index.items():
+                weight_arr[gi] = w
+
+        batches = epoch_batches(store, effective, budget, shuffle=True,
+                                rng=shuffle_rng, weights=weight_arr)
+        sums = np.zeros(4)  # loss, graphs, abs_err, sq_err
+        logvar_sum = 0.0
+        n_el = 0.0
+        for b in batches:
+            key, step_key = jax.random.split(key)
+            params, opt_state, m = step(params, opt_state, smask, b, step_key,
+                                        lr_mean, lr_sigma)
+            sums += np.array([float(m.loss_sum), float(m.n_graphs),
+                              float(m.abs_err_sum), float(m.sq_err_sum)])
+            logvar_sum += float(m.logvar_sum)
+            n_el += float(m.n_elements)
+        train_loss = sums[0] / max(sums[1], 1.0)
+        train_mae = sums[2] / max(sums[1], 1.0)
+        train_rmse = math.sqrt(sums[3] / max(n_el, 1.0))
+        train_logvar = logvar_sum / max(n_el, 1.0)
+
+        if val_batches:
+            mean_z, sigma_z, y_val, _ = collect_predictions(forward, params, val_batches)
+            vm = eval_metrics(mean_z, sigma_z, y_val, transformer)
+        else:
+            vm = {"nll": train_loss, "mae": train_mae, "rmse": train_rmse,
+                  "mae_log": float("nan"), "coverage": float("nan"),
+                  "ece": float("nan"), "spearman": float("nan"),
+                  "logvar_mean": train_logvar, "sigma_max": float("nan")}
+
+        if selector.consider(epoch, vm):
+            best_params = jax.device_get(params)
+
+        if cfg.verbose:
+            print(f"[Member {member_seed}] Epoch {epoch:03d} | "
+                  f"train_loss={_fmt(train_loss)} train_mae={_fmt(train_mae)} "
+                  f"train_rmse={_fmt(train_rmse)} train_logvar={_fmt(train_logvar)} | "
+                  f"val_loss={_fmt(vm['nll'])} val_mae={_fmt(vm['mae'])} "
+                  f"val_rmse={_fmt(vm['rmse'])} val_cov={_fmt(vm['coverage'])} "
+                  f"val_ece={_fmt(vm['ece'])} val_spear={_fmt(vm['spearman'])}")
+
+        if epoch > _GRACE_EPOCHS:
+            if selector.significant_improve:
+                stale = 0
+            else:
+                stale += 1
+                if stale >= patience:
+                    if cfg.verbose:
+                        print(f"Early stopping at epoch {epoch:03d} (mae plateau)")
+                    break
+        else:
+            stale = 0
+
+        # KNN weight refresh after warmup (activated next epoch)
+        if cfg.enable_density_weighting and epoch >= cfg.weight_warmup_epochs:
+            should = (weights_by_index is None
+                      or (cfg.knn_refresh > 0
+                          and (last_snapshot_epoch is None
+                               or epoch - last_snapshot_epoch >= cfg.knn_refresh)))
+            if should:
+                snap = epoch_batches(store, effective, budget, shuffle=False)
+                weights_by_index = compute_knn_weights(
+                    model_cfg, params, snap, store,
+                    k=cfg.knn_k, eps=cfg.knn_eps, alpha=cfg.knn_alpha,
+                    beta=cfg.knn_beta,
+                    clip_min=cfg.knn_weight_min if cfg.knn_weight_min > 0 else None,
+                    clip_max=cfg.knn_weight_max if cfg.knn_weight_max > 0 else None)
+                last_snapshot_epoch = epoch
+                weights_active_epoch = epoch + 1
+                if cfg.verbose:
+                    vals = list(weights_by_index.values())
+                    print(f"[Weights] Epoch {epoch}: KNN weights for {len(vals)} "
+                          f"samples | mean={np.mean(vals):.3f}, "
+                          f"min={np.min(vals):.3f}, max={np.max(vals):.3f}")
+
+    if best_params is None:
+        best_params = jax.device_get(params)
+    best_metrics = dict(selector.best or {})
+    if cfg.verbose and selector.best is not None:
+        print(f"[Member {member_seed}] Best epoch {selector.best_epoch:03d} | "
+              f"val_mae={_fmt(best_metrics['mae'])} "
+              f"val_cov={_fmt(best_metrics.get('coverage', float('nan')))} "
+              f"val_ece={_fmt(best_metrics['ece'])} | time={time.time() - t0:.1f}s")
+    return best_params, best_metrics
