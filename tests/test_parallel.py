@@ -1,0 +1,180 @@
+"""Multi-chip correctness tests on a virtual 8-device CPU mesh: the
+edge-sharded forward/step must reproduce single-device numerics exactly
+(same math, different reduction layout)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gnnep_tpu.data.batching import BatchBudget, BatchPacker, epoch_batches
+from gnnep_tpu.models.alignn import AlignnConfig, alignn_apply, init_alignn
+from gnnep_tpu.parallel.mesh import make_mesh
+from gnnep_tpu.parallel.train_step import (make_sharded_forward,
+                                           make_sharded_train_step,
+                                           stack_for_mesh)
+from gnnep_tpu.train.config import TrainConfig
+from gnnep_tpu.train.ensemble import model_config, prepare, run_training
+from gnnep_tpu.train.loop import TrainHyper, make_train_step, sigma_mask
+
+from synthetic import make_store
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _setup(n=12, batch_size=6):
+    store = make_store(n, seed=7)
+    cfg = TrainConfig(batch_size=batch_size, hidden=16, layers=2, heads=2,
+                      ensemble_size=2, verbose=False, feature_jitter_std=0.0)
+    setup = prepare(cfg, store)
+    mc = model_config(cfg, setup.store)
+    return store, cfg, setup, mc
+
+
+class TestShardedForward:
+    def test_matches_single_device_1x4(self):
+        store, cfg, setup, mc = _setup()
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        b = batches[0]
+        want_mean, want_logvar = alignn_apply(params, mc, b)
+
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        fwd = make_sharded_forward(mesh, mc, floor=-2.9)
+        stacked = stack_for_mesh([b], 1)
+        got_mean, got_logvar = fwd(params, stacked)
+        np.testing.assert_allclose(np.asarray(got_mean)[0], np.asarray(want_mean),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_logvar)[0],
+                                   np.maximum(np.asarray(want_logvar), -2.9),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_matches_single_device_2x4(self):
+        store, cfg, setup, mc = _setup(n=16, batch_size=4)
+        params = init_alignn(jax.random.PRNGKey(1), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:2]
+        assert len(batches) == 2
+        mesh = make_mesh(2, 4)
+        fwd = make_sharded_forward(mesh, mc, floor=-2.9)
+        got_mean, _ = fwd(params, stack_for_mesh(batches, 2))
+        for d, b in enumerate(batches):
+            want_mean, _ = alignn_apply(params, mc, b)
+            np.testing.assert_allclose(np.asarray(got_mean)[d],
+                                       np.asarray(want_mean),
+                                       rtol=2e-4, atol=2e-5)
+
+
+class TestShardedTrainStep:
+    def test_matches_global_gradient_step(self):
+        store, cfg, setup, mc = _setup(n=16, batch_size=4)
+        hyper = TrainHyper(feature_jitter_std=0.0, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(2), mc)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:2]
+        mu = jnp.asarray(setup.transformer.means, dtype=jnp.float32)
+        sd = jnp.asarray(setup.transformer.stds, dtype=jnp.float32)
+
+        # reference: single-device global-mean gradient over both batches
+        def total_loss(p):
+            loss_sum = 0.0
+            count = 0.0
+            for b in batches:
+                mean, logvar = alignn_apply(p, mc, b)
+                logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+                y_z = (jnp.log(jnp.maximum(b.y, 1e-12)) - mu) / sd
+                nll = 0.5 * (logvar + (mean - y_z) ** 2 / jnp.exp(logvar))
+                nll = nll * b.weight[:, None]
+                loss_sum += (nll.mean(axis=1) * b.graph_mask).sum()
+                loss_sum += hyper.log_sigma_l2 * ((0.5 * logvar) ** 2
+                                                  * b.graph_mask[:, None]).sum() / 2.0
+                count += b.graph_mask.sum()
+            return loss_sum / count
+
+        want_grads = jax.grad(total_loss)(params)
+
+        # sharded gradients through the edge-partitioned forward
+        from gnnep_tpu.parallel.edge_shard import sharded_apply
+        from gnnep_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+        from gnnep_tpu.parallel.train_step import batch_pspecs
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(2, 4)
+
+        def device_grads(p, batch):
+            batch = jax.tree.map(lambda x: x[0], batch)
+
+            def local_loss(pp):
+                mean, logvar = sharded_apply(pp, mc, batch, axis_name=EDGE_AXIS,
+                                             train=False)
+                logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+                y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
+                nll = 0.5 * (logvar + (mean - y_z) ** 2 / jnp.exp(logvar))
+                loss = (nll.mean(axis=1) * batch.graph_mask).sum()
+                loss += hyper.log_sigma_l2 * ((0.5 * logvar) ** 2
+                                              * batch.graph_mask[:, None]).sum() / 2.0
+                return loss
+
+            g = jax.grad(local_loss)(p)
+            g = jax.lax.pmean(g, EDGE_AXIS)  # see train_step.py note
+            g = jax.lax.psum(g, DATA_AXIS)
+            n = jax.lax.psum(batch.graph_mask.sum(), DATA_AXIS)
+            return jax.tree.map(lambda x: x / n, g)
+
+        got_grads = jax.jit(shard_map(
+            device_grads, mesh=mesh, in_specs=(P(), batch_pspecs()),
+            out_specs=P(), check_rep=False))(params, stack_for_mesh(batches, 2))
+        for w, g in zip(jax.tree.leaves(want_grads), jax.tree.leaves(got_grads)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-3, atol=1e-6)
+
+        # and the full jitted train step runs and counts graphs correctly
+        step, init_opt = make_sharded_train_step(mesh, mc, hyper,
+                                                 setup.transformer.means,
+                                                 setup.transformer.stds)
+        got, _, loss, n = step(params, init_opt(params),
+                               stack_for_mesh(batches, 2),
+                               jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        assert float(n) == sum(float(np.asarray(b.graph_mask).sum()) for b in batches)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(got))
+
+    def test_pad_rank_contributes_nothing(self):
+        """Stacking fewer batches than data ranks: padded rank is inert."""
+        store, cfg, setup, mc = _setup(n=16, batch_size=4)
+        hyper = TrainHyper(feature_jitter_std=0.0)
+        params = init_alignn(jax.random.PRNGKey(3), mc)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:1]
+        mesh = make_mesh(2, 4)
+        step, init_opt = make_sharded_train_step(mesh, mc, hyper,
+                                                 setup.transformer.means,
+                                                 setup.transformer.stds)
+        got, _, loss, n = step(params, init_opt(params),
+                               stack_for_mesh(batches, 2),
+                               jax.random.PRNGKey(0), 3e-4, 3e-4, smask)
+        assert float(n) == float(np.asarray(batches[0].graph_mask).sum())
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(got))
+
+
+@pytest.mark.slow
+class TestVmapEnsemble:
+    def test_run_training_vmap_mode(self, tmp_path):
+        store = make_store(24, seed=5)
+        cfg = TrainConfig(
+            save_dir=str(tmp_path), batch_size=24, epochs=2, hidden=16,
+            layers=1, heads=2, ensemble_size=2, seed=42,
+            val_frac=0.15, calib_frac=0.15, test_frac=0.15,
+            bootstrap=False, feature_jitter_std=0.0, verbose=False,
+            member_parallel="vmap")
+        summary = run_training(cfg, store)
+        assert (tmp_path / "model_1.npz").exists()
+        assert "test_stats" in summary
