@@ -211,68 +211,60 @@ def build_graph(
     node_feats = (np.stack(node_rows) if node_rows
                   else np.zeros((0, 6 + m2v_dim)))
 
-    # ---- bonds -----------------------------------------------------------
+    # ---- bonds (vectorized edge geometry) --------------------------------
     edges, used_method = find_edges(structure, nn_method, cutoff, fallback_cutoff)
-    neigh_map: Dict[int, List[Tuple[int, Tuple[int, int, int]]]] = {i: [] for i in range(n)}
-    for i, j, im in edges:
-        neigh_map[i].append((j, im))
+    n_e = len(edges)
+    src_arr = np.fromiter((e[0] for e in edges), np.int32, n_e)
+    dst_arr = np.fromiter((e[1] for e in edges), np.int32, n_e)
+    im_arr = (np.array([e[2] for e in edges], dtype=np.int32).reshape(n_e, 3)
+              if n_e else np.zeros((0, 3), np.int32))
+    fr = structure.frac_coords
+    vec = ((fr[dst_arr] + im_arr - fr[src_arr]) @ structure.lattice.matrix
+           if n_e else np.zeros((0, 3)))
+    dist = np.linalg.norm(vec, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dirs = np.where(dist[:, None] > 0, vec / np.where(dist[:, None] > 0,
+                                                          dist[:, None], 1.0), 0.0)
 
     rbf_centers = basis.rbf_centers
     rbf_gamma = basis.rbf_gamma_value
-    e_src: List[int] = []
-    e_dst: List[int] = []
-    e_attr: List[np.ndarray] = []
-    bond_node_of: Dict[Tuple[int, int, Tuple[int, int, int]], int] = {}
-    bond_lengths: List[float] = []
+    en_arr = np.asarray(en_list, dtype=np.float64) if n else np.zeros(0)
+    e_attr_mat = np.concatenate([
+        np.exp(-rbf_gamma * (dist[:, None] - rbf_centers[None, :]) ** 2),
+        np.abs(en_arr[src_arr] - en_arr[dst_arr])[:, None] if n_e else
+        np.zeros((0, 1)),
+        dirs,
+    ], axis=1) if n_e else np.zeros((0, basis.edge_dim))
+
     per_atom_lengths: List[List[float]] = [[] for _ in range(n)]
-    dir_abs: List[np.ndarray] = []
     coord_sets: List[set] = [set() for _ in range(n)]
     unique_bonds: set = set()
-
-    for idx, (i, j, im) in enumerate(edges):
-        dist, dirv = _edge_geometry(structure, i, j, im)
-        rbf = np.exp(-rbf_gamma * (dist - rbf_centers) ** 2)
-        feat = np.concatenate([rbf, [abs(en_list[i] - en_list[j])], dirv])
-        e_src.append(i)
-        e_dst.append(j)
-        e_attr.append(feat)
-        bond_node_of[(i, j, im)] = idx  # duplicates overwrite: last wins, as in the reference dict
-        bond_lengths.append(dist)
-        per_atom_lengths[i].append(dist)
-        per_atom_lengths[j].append(dist)
+    for idx in range(n_e):
+        i, j = int(src_arr[idx]), int(dst_arr[idx])
+        d = float(dist[idx])
+        per_atom_lengths[i].append(d)
+        per_atom_lengths[j].append(d)
         coord_sets[i].add(j)
         coord_sets[j].add(i)
         unique_bonds.add((min(i, j), max(i, j)))
-        dir_abs.append(np.abs(dirv))
+    dir_abs = [np.abs(dirs[idx]) for idx in range(n_e)]
+    bond_lengths = dist.tolist()
 
     # ---- line graph (angles at the shared atom) --------------------------
     angle_centers = basis.angle_centers
     angle_gamma = basis.angle_gamma_value
-    l_src: List[int] = []
-    l_dst: List[int] = []
-    l_attr: List[np.ndarray] = []
-    bond_angles: List[float] = []
-    for i, j, im in edges:
-        rev = (-im[0], -im[1], -im[2])
-        for k, km in neigh_map.get(j, []):
-            if k == i and km == rev:  # exact backtrack i→j→i
-                continue
-            _, d_ji = _edge_geometry(structure, j, i, rev)
-            _, d_jk = _edge_geometry(structure, j, k, km)
-            nu, nv = np.linalg.norm(d_ji), np.linalg.norm(d_jk)
-            if nu == 0 or nv == 0:
-                theta = 0.0
-            else:
-                theta = float(math.acos(float(np.clip(np.dot(d_ji, d_jk) / (nu * nv), -1.0, 1.0))))
-            e1 = bond_node_of.get((i, j, im))
-            e2 = bond_node_of.get((j, k, km))
-            if e1 is None or e2 is None:
-                continue
-            basis_vals = np.exp(-angle_gamma * (theta - angle_centers) ** 2)
-            l_src.append(e1)
-            l_dst.append(e2)
-            l_attr.append(np.concatenate([basis_vals, [theta, math.cos(theta), math.sin(theta)]]))
-            bond_angles.append(theta)
+    native_lg = None
+    if n_e:
+        from .. import native as _native
+
+        native_lg = _native.build_line_graph_native(
+            src_arr, dst_arr, im_arr, dirs, n, angle_centers, angle_gamma)
+    if native_lg is not None:
+        lg_src_arr, lg_dst_arr, lg_attr_mat, angles_arr = native_lg
+        bond_angles = angles_arr.tolist()
+    else:
+        lg_src_arr, lg_dst_arr, lg_attr_mat, bond_angles = _line_graph_python(
+            edges, src_arr, dst_arr, im_arr, dirs, angle_centers, angle_gamma)
 
     # ---- global scalars (reference order, fetch.py:132-156 + 448-569) ----
     g = _global_scalars(structure, coord_sets, bond_lengths, per_atom_lengths,
@@ -283,25 +275,70 @@ def build_graph(
     reduced = reduced_formula if reduced_formula is not None else structure.reduced_formula() if n else ""
     proto = prototype if prototype is not None else (structure.anonymized_formula() if n else "")
 
-    f_edge = basis.edge_dim
-    f_angle = basis.angle_dim
     return GraphSample(
         material_id=str(material_id),
         formula=str(formula or reduced),
         reduced_formula=str(reduced),
         prototype=str(proto),
         node_feats=node_feats.astype(np.float32),
-        edge_src=np.asarray(e_src, dtype=np.int32),
-        edge_dst=np.asarray(e_dst, dtype=np.int32),
-        edge_attr=(np.stack(e_attr) if e_attr else np.zeros((0, f_edge))).astype(np.float32),
-        lg_src=np.asarray(l_src, dtype=np.int32),
-        lg_dst=np.asarray(l_dst, dtype=np.int32),
-        lg_attr=(np.stack(l_attr) if l_attr else np.zeros((0, f_angle))).astype(np.float32),
+        edge_src=src_arr,
+        edge_dst=dst_arr,
+        edge_attr=e_attr_mat.astype(np.float32),
+        lg_src=np.asarray(lg_src_arr, dtype=np.int32),
+        lg_dst=np.asarray(lg_dst_arr, dtype=np.int32),
+        lg_attr=np.asarray(lg_attr_mat, dtype=np.float32).reshape(-1, basis.angle_dim),
         global_scalars=g.astype(np.float32),
         sg_num=sg,
         y=None if y is None else np.asarray(y, dtype=np.float32).reshape(-1),
         neighbor_method=used_method,
     )
+
+
+def _line_graph_python(edges, src_arr, dst_arr, im_arr, dirs,
+                       angle_centers: np.ndarray, angle_gamma: float):
+    """Pure-Python line-graph fallback (used when the native library is
+    unavailable); numerics identical to fetch.py:417-447."""
+    n_e = len(edges)
+    neigh_of: Dict[int, List[int]] = {}
+    for idx in range(n_e):
+        neigh_of.setdefault(int(src_arr[idx]), []).append(idx)
+    bond_of: Dict[Tuple[int, int, Tuple[int, int, int]], int] = {}
+    for idx, (i, j, im) in enumerate(edges):
+        bond_of[(i, j, im)] = idx
+    l_src: List[int] = []
+    l_dst: List[int] = []
+    l_attr: List[np.ndarray] = []
+    angles: List[float] = []
+    for e1, (i, j, im) in enumerate(edges):
+        rev = (-im[0], -im[1], -im[2])
+        u = -dirs[e1]          # d(j→i) through the exact reverse image
+        nu = float(np.linalg.norm(u))
+        b1 = bond_of.get((i, j, im))
+        for e2 in neigh_of.get(j, []):
+            k = int(dst_arr[e2])
+            km = (int(im_arr[e2, 0]), int(im_arr[e2, 1]), int(im_arr[e2, 2]))
+            if k == i and km == rev:  # exact backtrack i→j→i
+                continue
+            b2 = bond_of.get((j, k, km))
+            if b1 is None or b2 is None:
+                continue
+            v = dirs[e2]
+            nv = float(np.linalg.norm(v))
+            if nu == 0 or nv == 0:
+                theta = 0.0
+            else:
+                theta = float(math.acos(float(np.clip(np.dot(u, v) / (nu * nv),
+                                                      -1.0, 1.0))))
+            l_src.append(b1)
+            l_dst.append(b2)
+            l_attr.append(np.concatenate([
+                np.exp(-angle_gamma * (theta - angle_centers) ** 2),
+                [theta, math.cos(theta), math.sin(theta)]]))
+            angles.append(theta)
+    attr = (np.stack(l_attr) if l_attr
+            else np.zeros((0, angle_centers.shape[0] + 3)))
+    return (np.asarray(l_src, np.int32), np.asarray(l_dst, np.int32),
+            attr.astype(np.float32), angles)
 
 
 def _global_scalars(structure: Structure, coord_sets, bond_lengths,

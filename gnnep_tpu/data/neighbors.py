@@ -49,6 +49,16 @@ def cutoff_neighbors(structure: Structure, cutoff: float) -> List[Edge]:
     mat = structure.lattice.matrix
     fracs = structure.frac_coords
     reps = _image_ranges(mat, cutoff)
+
+    from .. import native as _native
+
+    nat = _native.cutoff_neighbors_native(fracs, mat, cutoff, reps)
+    if nat is not None:
+        src, dst, img, _, _ = nat
+        return [(int(src[t]), int(dst[t]),
+                 (int(img[t, 0]), int(img[t, 1]), int(img[t, 2])))
+                for t in range(src.shape[0])]
+
     images = np.array(list(itertools.product(
         range(-reps[0], reps[0] + 1),
         range(-reps[1], reps[1] + 1),

@@ -31,7 +31,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .segment import segment_softmax, segment_sum
+from .segment import gather_rows, segment_softmax, segment_sum
 
 
 class TransformerConvParams(NamedTuple):
@@ -92,9 +92,9 @@ def transformer_conv(
     v = (x @ params.w_value + params.b_value).reshape(n, heads, ch)
     e = (edge_attr @ params.w_edge).reshape(-1, heads, ch)
 
-    k_j = k[src] + e
-    v_j = v[src] + e
-    logits = jnp.sum(q[dst] * k_j, axis=-1) / math.sqrt(ch)     # [E, heads]
+    k_j = gather_rows(k, src) + e
+    v_j = gather_rows(v, src) + e
+    logits = jnp.sum(gather_rows(q, dst) * k_j, axis=-1) / math.sqrt(ch)  # [E, heads]
     alpha = segment_softmax(logits, dst, n, mask=edge_mask)      # [E, heads]
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, alpha.shape)

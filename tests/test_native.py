@@ -1,0 +1,96 @@
+"""Native (C++) vs pure-Python parity for the graph-pipeline kernels."""
+import numpy as np
+import pytest
+
+from gnnep_tpu import native
+from gnnep_tpu.data.featurize import BasisConfig, build_graph, _line_graph_python
+from gnnep_tpu.data.neighbors import _image_ranges
+from gnnep_tpu.data.structure import Lattice, Structure
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="no C++ toolchain")
+
+
+def _random_structure(seed, n=6, a=4.5):
+    rng = np.random.default_rng(seed)
+    mat = np.eye(3) * a + rng.normal(0, 0.4, (3, 3))
+    species = list(rng.choice(["Si", "O", "Fe", "Mg"], n))
+    return Structure(Lattice(mat), [str(s) for s in species], rng.random((n, 3)))
+
+
+@needs_native
+class TestNativeParity:
+    def test_cutoff_neighbors_match_python(self):
+        for seed in range(4):
+            s = _random_structure(seed)
+            mat = s.lattice.matrix
+            reps = _image_ranges(mat, 4.0)
+            nat = native.cutoff_neighbors_native(s.frac_coords, mat, 4.0, reps)
+            assert nat is not None
+            src, dst, img, dist, dirs = nat
+            # independent python recomputation (the pre-native implementation)
+            import itertools
+            images = np.array(list(itertools.product(
+                range(-reps[0], reps[0] + 1), range(-reps[1], reps[1] + 1),
+                range(-reps[2], reps[2] + 1))))
+            want = []
+            cart = s.cart_coords
+            cand = (s.frac_coords[None, :, :] + images[:, None, :]) \
+                .reshape(-1, 3) @ mat
+            n = len(s)
+            for i in range(n):
+                d = np.linalg.norm(cand - cart[i], axis=1)
+                hit = np.nonzero((d > 1e-8) & (d <= 4.0))[0]
+                entries = sorted((int(f) % n, tuple(int(x) for x in images[int(f) // n]))
+                                 for f in hit)
+                want.extend((i, j, im) for j, im in entries)
+            got = [(int(src[t]), int(dst[t]), tuple(int(x) for x in img[t]))
+                   for t in range(len(src))]
+            assert got == want
+            # distances & unit dirs consistent
+            for t in range(len(src)):
+                v = (s.frac_coords[dst[t]] + img[t] - s.frac_coords[src[t]]) @ mat
+                assert abs(np.linalg.norm(v) - dist[t]) < 1e-9
+                np.testing.assert_allclose(dirs[t] * dist[t], v, atol=1e-9)
+
+    def test_line_graph_matches_python(self):
+        basis = BasisConfig(rbf_n=6, rbf_cutoff=5.0, angle_n=5)
+        for seed in range(4):
+            s = _random_structure(seed)
+            mat = s.lattice.matrix
+            reps = _image_ranges(mat, 4.0)
+            nat = native.cutoff_neighbors_native(s.frac_coords, mat, 4.0, reps)
+            src, dst, img, dist, dirs = nat
+            edges = [(int(src[t]), int(dst[t]), tuple(int(x) for x in img[t]))
+                     for t in range(len(src))]
+            got = native.build_line_graph_native(
+                src, dst, img, dirs, len(s), basis.angle_centers,
+                basis.angle_gamma_value)
+            want = _line_graph_python(edges, src, dst, img, dirs,
+                                      basis.angle_centers, basis.angle_gamma_value)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+            np.testing.assert_allclose(got[2], want[2], rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(got[3], want[3], rtol=1e-9, atol=1e-12)
+
+    def test_build_graph_uses_native_consistently(self):
+        # end-to-end: the sample built with native kernels equals the one
+        # built with the python fallback
+        s = _random_structure(7)
+        basis = BasisConfig(rbf_n=6, rbf_cutoff=5.0, angle_n=5)
+        g_native = build_graph(s, nn_method="cutoff", cutoff=4.0, basis=basis)
+        try:
+            native._lib_failed = True   # force fallback
+            lib = native._lib
+            native._lib = None
+            g_py = build_graph(s, nn_method="cutoff", cutoff=4.0, basis=basis)
+        finally:
+            native._lib_failed = False
+            native._lib = lib
+        np.testing.assert_array_equal(g_native.edge_src, g_py.edge_src)
+        np.testing.assert_array_equal(g_native.lg_src, g_py.lg_src)
+        np.testing.assert_array_equal(g_native.lg_dst, g_py.lg_dst)
+        np.testing.assert_allclose(g_native.lg_attr, g_py.lg_attr, rtol=1e-6,
+                                   atol=1e-7)
+        np.testing.assert_allclose(g_native.global_scalars, g_py.global_scalars,
+                                   rtol=1e-5, atol=1e-6)
