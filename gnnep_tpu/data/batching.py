@@ -26,7 +26,16 @@ from .store import GraphStore
 
 
 class GraphBatch(NamedTuple):
-    """One padded batch; a pytree of arrays with static shapes."""
+    """One padded batch; a pytree of arrays with static shapes.
+
+    Besides the COO arenas, batches carry *dense incoming-edge tables* — the
+    TPU-native aggregation layout: `node_in_edges[n, d]` lists the edge slots
+    targeting node n (padded with the dummy edge), so attention softmax and
+    message aggregation become plain masked reductions over the degree axis
+    with no XLA scatter anywhere. `edge_table_pos` is the inverse map (each
+    edge's flat position in that table) that turns the backward pass into a
+    pure gather. Same structure one level up for the line graph.
+    """
 
     nodes: np.ndarray        # [Np, F_node] f32
     node_graph: np.ndarray   # [Np] i32 — graph slot, padding → G
@@ -44,6 +53,12 @@ class GraphBatch(NamedTuple):
     graph_mask: np.ndarray   # [G] f32
     weight: np.ndarray       # [G] f32 per-sample loss weights
     sample_index: np.ndarray  # [G] i32 global dataset index (−1 padding)
+    node_in_edges: np.ndarray  # [Np, Da] i32 edge slots with dst == n (pad: Ep-1)
+    node_in_mask: np.ndarray   # [Np, Da] f32
+    edge_table_pos: np.ndarray  # [Ep] i32 flat position in node_in_edges
+    lg_in_edges: np.ndarray    # [Ep, Dl] i32 LG slots with dst == bond (pad: Lp-1)
+    lg_in_mask: np.ndarray     # [Ep, Dl] f32
+    lg_table_pos: np.ndarray   # [Lp] i32 flat position in lg_in_edges
 
     @property
     def capacity(self):
@@ -63,13 +78,16 @@ class BatchBudget:
     n_nodes: int    # includes the dummy slot
     n_edges: int    # includes the dummy slot
     n_lg_edges: int
+    max_in_degree: int = 32      # dense-table width: atom in-degree cap
+    max_lg_in_degree: int = 32   # dense-table width: bond LG in-degree cap
 
     @classmethod
     def plan(cls, store: GraphStore, indices: Sequence[int], batch_size: int,
              slack: float = 1.15, quantile: float = 0.95) -> "BatchBudget":
         """Size arenas so `batch_size` typical graphs fit: capacity =
         max(largest single graph, batch_size × q-quantile × slack), rounded
-        up to a multiple of 8 (TPU sublane) with +1 dummy slot."""
+        up to a multiple of 8 (TPU sublane) with +1 dummy slot. Dense-table
+        widths are the dataset maxima of atom in-degree / bond LG in-degree."""
         idx = np.asarray(list(indices), dtype=np.int64)
         if idx.size == 0:
             raise ValueError("Cannot plan a batch budget over an empty index set.")
@@ -83,8 +101,51 @@ class BatchBudget:
                        int(np.ceil(batch_size * per * slack)))
             return _round_up(need + 1, 8)
 
+        deg_a = deg_l = 1
+        for g in idx:
+            n_g = int(store.node_off[g + 1] - store.node_off[g])
+            e_g = store.edge_dst[store.edge_off[g]:store.edge_off[g + 1]]
+            l_g = store.lg_dst[store.lg_off[g]:store.lg_off[g + 1]]
+            if e_g.size:
+                deg_a = max(deg_a, int(np.bincount(e_g, minlength=n_g).max()))
+            if l_g.size:
+                deg_l = max(deg_l, int(np.bincount(l_g).max()))
         return cls(n_graphs=int(batch_size), n_nodes=cap(n), n_edges=cap(e),
-                   n_lg_edges=cap(l))
+                   n_lg_edges=cap(l),
+                   max_in_degree=_round_up(deg_a, 4),
+                   max_lg_in_degree=_round_up(deg_l, 4))
+
+
+def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
+                         cap: int, pad_slot: int):
+    """Dense incoming table for one arena.
+
+    Returns (table [n_rows, cap] i32, table_mask [n_rows, cap] f32,
+    pos [len(dst)] i32) where `pos[e]` is edge e's flat slot in the table
+    (padded entries point at row n_rows-1's last column, which is always a
+    masked slot by the dummy-row convention).
+    """
+    e_total = dst.shape[0]
+    table = np.full((n_rows, cap), pad_slot, dtype=np.int32)
+    table_mask = np.zeros((n_rows, cap), dtype=np.float32)
+    safe_pos = (n_rows - 1) * cap + (cap - 1)
+    pos = np.full(e_total, safe_pos, dtype=np.int32)
+    real = np.nonzero(mask > 0)[0]
+    if real.size:
+        d = dst[real]
+        order = np.argsort(d, kind="stable")
+        ds, es = d[order], real[order]
+        first = np.searchsorted(ds, ds)
+        cum = np.arange(ds.size) - first
+        overflow = int(cum.max(initial=0))
+        if overflow >= cap:
+            raise ValueError(
+                f"in-degree {overflow + 1} exceeds dense-table capacity {cap}; "
+                "re-plan the batch budget over these indices.")
+        table[ds, cum] = es
+        table_mask[ds, cum] = 1.0
+        pos[es] = ds.astype(np.int64) * cap + cum
+    return table, table_mask, pos
 
 
 def _round_up(x: int, m: int) -> int:
@@ -174,9 +235,15 @@ class BatchPacker:
             e_cursor += e
             l_cursor += l
 
+        node_tab, node_tab_mask, edge_pos = build_incoming_table(
+            edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)
+        lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
+            lg_dst, lg_mask, Ep, b.max_lg_in_degree, Lp - 1)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
-                          globals_, sg_num, y, graph_mask, weight, sample_index)
+                          globals_, sg_num, y, graph_mask, weight, sample_index,
+                          node_tab, node_tab_mask, edge_pos,
+                          lg_tab, lg_tab_mask, lg_pos)
 
 
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,

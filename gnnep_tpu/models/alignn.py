@@ -46,6 +46,9 @@ class AlignnConfig:
     layers: int = 4
     heads: int = 4
     dropout: float = 0.15
+    # 'table' = dense padded-adjacency aggregation (TPU fast path, no XLA
+    # scatter); 'coo' = segment-op reference path (same math)
+    conv_impl: str = "table"
 
     def __post_init__(self):
         if self.heads <= 0:
@@ -130,22 +133,46 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
     has_lg = jnp.sum(batch.lg_mask) > 0
     has_edges = jnp.sum(batch.edge_mask) > 0
 
+    use_table = cfg.conv_impl == "table"
+    if use_table:
+        from ..ops.dense_attention import transformer_conv_table
+
+        def lg_conv(p, state, feats, rng):
+            return transformer_conv_table(
+                p, state, batch.lg_src, batch.lg_dst, feats,
+                batch.lg_in_edges, batch.lg_in_mask, batch.lg_table_pos,
+                heads=cfg.heads, edge_mask=batch.lg_mask,
+                dropout_rate=drop, dropout_rng=rng)
+
+        def atom_conv(p, state, feats, rng):
+            return transformer_conv_table(
+                p, state, batch.edge_src, batch.edge_dst, feats,
+                batch.node_in_edges, batch.node_in_mask, batch.edge_table_pos,
+                heads=cfg.heads, edge_mask=batch.edge_mask,
+                dropout_rate=drop, dropout_rng=rng)
+    else:
+        def lg_conv(p, state, feats, rng):
+            return transformer_conv(
+                p, state, batch.lg_src, batch.lg_dst, feats,
+                heads=cfg.heads, edge_mask=batch.lg_mask,
+                dropout_rate=drop, dropout_rng=rng)
+
+        def atom_conv(p, state, feats, rng):
+            return transformer_conv(
+                p, state, batch.edge_src, batch.edge_dst, feats,
+                heads=cfg.heads, edge_mask=batch.edge_mask,
+                dropout_rate=drop, dropout_rng=rng)
+
     for eb, nb in zip(params["edge_blocks"], params["node_blocks"]):
         # EdgeUpdate: line-graph conv with angle features (train.py:303-317)
-        out = transformer_conv(
-            eb["conv"], edge_state, batch.lg_src, batch.lg_dst, angle_emb,
-            heads=cfg.heads, edge_mask=batch.lg_mask,
-            dropout_rate=drop, dropout_rng=next_key())
+        out = lg_conv(eb["conv"], edge_state, angle_emb, next_key())
         out = _layer_norm(out, eb["ln_scale"], eb["ln_bias"])
         updated = edge_state + _dropout(jax.nn.relu(out), drop, next_key())
         edge_state = jnp.where(has_lg, updated, edge_state)
 
         # NodeUpdate: atom conv fed by projected bond states (train.py:320-336)
         edge_feat = edge_state @ nb["edge_proj_w"] + nb["edge_proj_b"]
-        out = transformer_conv(
-            nb["conv"], node_state, batch.edge_src, batch.edge_dst, edge_feat,
-            heads=cfg.heads, edge_mask=batch.edge_mask,
-            dropout_rate=drop, dropout_rng=next_key())
+        out = atom_conv(nb["conv"], node_state, edge_feat, next_key())
         out = _layer_norm(out, nb["ln_scale"], nb["ln_bias"])
         updated = node_state + _dropout(jax.nn.relu(out), drop, next_key())
         node_state = jnp.where(has_edges, updated, node_state)

@@ -1,0 +1,105 @@
+"""Dense padded-adjacency graph attention — the TPU fast path.
+
+Same math as `ops.graph_attention.transformer_conv` (β-gated UniMP conv),
+but aggregation uses the batch's *dense incoming-edge tables*: every node's
+incoming edge slots live in a fixed-width row `table[n, :D]`, so the
+attention softmax is a plain masked softmax over the degree axis and the
+message aggregate a plain einsum — **no XLA scatter appears in forward or
+backward**. Scatter-adds with duplicate indices execute row-serially on TPU
+(the single biggest perf cliff for message passing); here every index map is
+either a streaming gather or its precomputed inverse (`pos`), so both passes
+stay on the vector units.
+
+Cost model per conv: one [E,H] gather of q/k/v each, one [N,D,H] table
+materialization for values (HBM-bandwidth bound, fully pipelined), dense
+reductions for softmax/messages. The Pallas kernel in `ops/pallas` fuses the
+table gather with the weighted reduction to avoid the [N,D,H] round-trip.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .graph_attention import TransformerConvParams
+from .segment import gather_rows
+
+_NEG = -1e30
+
+
+@jax.custom_vjp
+def table_gather(edge_vals: jnp.ndarray, in_edges: jnp.ndarray,
+                 pos: jnp.ndarray) -> jnp.ndarray:
+    """`edge_vals[in_edges]` with a pure-gather backward.
+
+    `in_edges` is [N, D] (each real edge appears in exactly one slot) and
+    `pos` its inverse map ([E] flat slot per edge, padded edges pointing at
+    an always-masked slot). The VJP therefore gathers the cotangent at `pos`
+    instead of letting XLA transpose the gather into a scatter.
+    """
+    return edge_vals[in_edges]
+
+
+def _table_gather_fwd(edge_vals, in_edges, pos):
+    return edge_vals[in_edges], (in_edges.shape, pos)
+
+
+def _table_gather_bwd(res, g):
+    (n, d), pos = res
+    flat = g.reshape((n * d,) + g.shape[2:])
+    return flat[pos], None, None
+
+
+table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
+
+
+def transformer_conv_table(
+    params: TransformerConvParams,
+    x: jnp.ndarray,             # [N, H_in] states of the aggregation arena
+    src: jnp.ndarray,           # [E] message sources
+    dst: jnp.ndarray,           # [E] aggregation targets
+    edge_attr: jnp.ndarray,     # [E, F_e]
+    in_edges: jnp.ndarray,      # [N, D] dense incoming table
+    in_mask: jnp.ndarray,       # [N, D]
+    pos: jnp.ndarray,           # [E] inverse table map
+    *,
+    heads: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    n = x.shape[0]
+    hidden = params.w_query.shape[1]
+    ch = hidden // heads
+
+    q = (x @ params.w_query + params.b_query).reshape(n, heads, ch)
+    k = (x @ params.w_key + params.b_key).reshape(n, heads, ch)
+    v = (x @ params.w_value + params.b_value).reshape(n, heads, ch)
+    e = (edge_attr @ params.w_edge).reshape(-1, heads, ch)
+
+    k_j = gather_rows(k, src) + e                      # [E, h, c]
+    v_j = gather_rows(v, src) + e
+    logits_e = jnp.sum(gather_rows(q, dst) * k_j, axis=-1) / math.sqrt(ch)
+    if edge_mask is not None:
+        logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
+
+    logits_t = table_gather(logits_e, in_edges, pos)   # [N, D, h]
+    logits_t = jnp.where(in_mask[..., None] > 0, logits_t, _NEG)
+    logits_t = logits_t - jax.lax.stop_gradient(
+        jnp.max(logits_t, axis=1, keepdims=True))
+    expd = jnp.exp(logits_t) * in_mask[..., None]
+    alpha = expd / jnp.maximum(expd.sum(axis=1, keepdims=True), 1e-16)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
+
+    v_t = table_gather(v_j, in_edges, pos)             # [N, D, h, c]
+    msg = jnp.einsum("ndh,ndhc->nhc", alpha, v_t).reshape(n, hidden)
+
+    r = x @ params.w_skip + params.b_skip
+    beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
+                          @ params.w_beta)
+    return beta * r + (1.0 - beta) * msg

@@ -36,7 +36,8 @@ from .mesh import DATA_AXIS, EDGE_AXIS
 # (arrays are stacked with a leading data-rank axis; edge/LG arenas shard
 # their second axis across the edge axis)
 _EDGE_FIELDS = {"edge_src", "edge_dst", "edge_attr", "edge_mask",
-                "lg_src", "lg_dst", "lg_attr", "lg_mask"}
+                "lg_src", "lg_dst", "lg_attr", "lg_mask",
+                "edge_table_pos", "lg_in_edges", "lg_in_mask", "lg_table_pos"}
 
 
 def batch_pspecs() -> GraphBatch:
@@ -63,19 +64,26 @@ def stack_for_mesh(batches: List[GraphBatch], n_data: int) -> GraphBatch:
     if len(batches) < n_data:
         proto = batches[0]
         empty = GraphBatch(*[np.zeros_like(np.asarray(f)) for f in proto])
+        dummy_node = proto.nodes.shape[0] - 1
+        dummy_edge = proto.edge_src.shape[0] - 1
+        dummy_lg = proto.lg_src.shape[0] - 1
+        n_tab = np.asarray(proto.node_in_edges)
+        l_tab = np.asarray(proto.lg_in_edges)
         empty = empty._replace(
-            edge_src=np.full_like(np.asarray(proto.edge_src),
-                                  proto.nodes.shape[0] - 1),
-            edge_dst=np.full_like(np.asarray(proto.edge_dst),
-                                  proto.nodes.shape[0] - 1),
-            lg_src=np.full_like(np.asarray(proto.lg_src),
-                                proto.edge_src.shape[0] - 1),
-            lg_dst=np.full_like(np.asarray(proto.lg_dst),
-                                proto.edge_src.shape[0] - 1),
+            edge_src=np.full_like(np.asarray(proto.edge_src), dummy_node),
+            edge_dst=np.full_like(np.asarray(proto.edge_dst), dummy_node),
+            lg_src=np.full_like(np.asarray(proto.lg_src), dummy_edge),
+            lg_dst=np.full_like(np.asarray(proto.lg_dst), dummy_edge),
             node_graph=np.full_like(np.asarray(proto.node_graph),
                                     proto.y.shape[0]),
             y=np.ones_like(np.asarray(proto.y)),
-            sample_index=np.full_like(np.asarray(proto.sample_index), -1))
+            sample_index=np.full_like(np.asarray(proto.sample_index), -1),
+            node_in_edges=np.full_like(n_tab, dummy_edge),
+            edge_table_pos=np.full_like(np.asarray(proto.edge_table_pos),
+                                        n_tab.shape[0] * n_tab.shape[1] - 1),
+            lg_in_edges=np.full_like(l_tab, dummy_lg),
+            lg_table_pos=np.full_like(np.asarray(proto.lg_table_pos),
+                                      l_tab.shape[0] * l_tab.shape[1] - 1))
         pads = [empty] * (n_data - len(batches))
     stacked = [np.stack([np.asarray(getattr(b, f)) for b in [*batches, *pads]])
                for f in GraphBatch._fields]

@@ -16,7 +16,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
                     mean_atoms: int = 10, degree: int = 10,
                     node_dim: int = 206, edge_dim: int = 36,
                     angle_dim: int = 11, global_dim: int = 59,
-                    target_dim: int = 2, slack: float = 1.1) -> GraphBatch:
+                    target_dim: int = 2, slack: float = 1.1,
+                    table_cap: int = 0, lg_table_cap: int = 0) -> GraphBatch:
     """One padded batch of random crystals with realistic arena shapes."""
     sizes = np.clip(rng.poisson(mean_atoms, n_graphs), 2, None)
     n_edges = sizes * degree
@@ -59,6 +60,21 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         lc += l
 
     y = np.exp(rng.normal(4.0, 0.9, size=(G, target_dim))).astype(np.float32)
+
+    from ..data.batching import build_incoming_table
+
+    def rounded_cap(d, m, explicit):
+        if explicit:
+            return explicit
+        real = d[m > 0]
+        deg = int(np.bincount(real).max()) if real.size else 1
+        return ((deg + 3) // 4) * 4
+
+    node_tab, node_tab_mask, edge_pos = build_incoming_table(
+        edge_dst, edge_mask, Np, rounded_cap(edge_dst, edge_mask, table_cap),
+        dummy_edge)
+    lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
+        lg_dst, lg_mask, Ep, rounded_cap(lg_dst, lg_mask, lg_table_cap), Lp - 1)
     return GraphBatch(
         nodes=nodes, node_graph=node_graph,
         edge_src=edge_src, edge_dst=edge_dst, edge_attr=edge_attr,
@@ -67,7 +83,10 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         globals_=rng.normal(size=(G, global_dim)).astype(np.float32),
         sg_num=rng.integers(1, 231, G).astype(np.int32),
         y=y, graph_mask=np.ones(G, np.float32), weight=np.ones(G, np.float32),
-        sample_index=np.arange(G, dtype=np.int32))
+        sample_index=np.arange(G, dtype=np.int32),
+        node_in_edges=node_tab, node_in_mask=node_tab_mask,
+        edge_table_pos=edge_pos,
+        lg_in_edges=lg_tab, lg_in_mask=lg_tab_mask, lg_table_pos=lg_pos)
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,
