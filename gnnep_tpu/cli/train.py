@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-embeddings", action="store_true")
     p.add_argument("--member-parallel", choices=["sequential", "vmap"],
                    default="sequential")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="Save mid-training resume state every N epochs (0=off)")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume member training from saved resume state")
     p.add_argument("--batch-quantile", type=float, default=0.95)
     p.add_argument("--batch-slack", type=float, default=1.15)
     p.add_argument("--quiet", action="store_true")
@@ -121,6 +127,8 @@ def config_from_args(args) -> TrainConfig:
         knn_eps=args.knn_eps, knn_alpha=args.knn_alpha, knn_beta=args.knn_beta,
         knn_weight_min=args.knn_weight_min, knn_weight_max=args.knn_weight_max,
         knn_refresh=args.knn_refresh, save_embeddings=args.save_embeddings,
+        compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
         member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,
         batch_slack=args.batch_slack, verbose=not args.quiet)
 

@@ -105,6 +105,34 @@ def load_conformal(path: str | Path) -> Dict:
     }
 
 
+def save_pytree(path: str | Path, tree, meta: Optional[Dict] = None) -> None:
+    """Persist an arbitrary pytree of arrays (leaves in flatten order) plus a
+    JSON metadata blob — used for mid-training resume state."""
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+    payload = {f"leaf_{i:05d}": leaf for i, leaf in enumerate(leaves)}
+    payload["meta_json"] = np.array(json.dumps(meta or {}))
+    tmp = Path(str(path) + ".tmp.npz")  # np.savez appends .npz otherwise
+    np.savez(tmp, **payload)
+    tmp.replace(path)
+
+
+def load_pytree(path: str | Path, template) -> Tuple[object, Dict]:
+    """Rebuild a pytree saved by `save_pytree` onto `template`'s structure."""
+    import jax.numpy as jnp
+
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["meta_json"]))
+        leaves = [data[k] for k in sorted(k for k in data.files
+                                          if k.startswith("leaf_"))]
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(t_leaves) != len(leaves):
+        raise ValueError(f"{path}: {len(leaves)} leaves != template "
+                         f"{len(t_leaves)}")
+    cast = [jnp.asarray(l, dtype=np.asarray(t).dtype)
+            for l, t in zip(leaves, t_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, cast), meta
+
+
 def member_paths(save_dir: str | Path) -> List[Path]:
     """Sorted model_{i}.npz checkpoints under an ensemble directory."""
     d = Path(save_dir)

@@ -76,6 +76,9 @@ class TrainConfig:
     knn_refresh: int = 5
 
     # framework extensions (no reference analogue)
+    compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
+    checkpoint_every: int = 0            # save mid-training state every N epochs
+    resume: bool = False                 # resume member training from checkpoints
     member_parallel: str = "sequential"  # 'sequential' | 'vmap'
     save_embeddings: bool = False
     batch_quantile: float = 0.95

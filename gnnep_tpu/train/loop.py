@@ -42,6 +42,24 @@ class TrainHyper:
     feature_jitter_std: float = 0.1
     min_logvar_floor: float = MIN_LOGVAR_FLOOR
     grad_clip: float = 5.0
+    # 'float32' or 'bfloat16': compute dtype for the forward/backward pass
+    # (parameters and optimizer state stay fp32 — the TPU analogue of the
+    # reference's AMP autocast, train.py:632-636; no loss scaling needed)
+    compute_dtype: str = "float32"
+
+
+def _cast_for_compute(params, batch, dtype):
+    """Cast params + feature arrays to the compute dtype (bf16 fast path)."""
+    if dtype == jnp.float32:
+        return params, batch
+    params = jax.tree.map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params)
+    batch = batch._replace(
+        nodes=batch.nodes.astype(dtype),
+        edge_attr=batch.edge_attr.astype(dtype),
+        lg_attr=batch.lg_attr.astype(dtype),
+        globals_=batch.globals_.astype(dtype))
+    return params, batch
 
 
 class StepMetrics(NamedTuple):
@@ -99,7 +117,11 @@ def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
             * jax.random.normal(kg, batch.globals_.shape))
     else:
         kd = rng
-    mean, logvar = alignn_apply(params, cfg, batch, train=train, rng=kd)
+    dtype = jnp.bfloat16 if hyper.compute_dtype == "bfloat16" else jnp.float32
+    c_params, c_batch = _cast_for_compute(params, batch, dtype)
+    mean, logvar = alignn_apply(c_params, cfg, c_batch, train=train, rng=kd)
+    mean = mean.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
     logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
     var = jnp.exp(logvar)
     diff = mean - y_z

@@ -113,7 +113,8 @@ def train_member(
     """Train one member; returns (best_params_on_host, best_val_metrics)."""
     hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
                        feature_jitter_std=cfg.feature_jitter_std,
-                       min_logvar_floor=cfg.min_logvar_floor)
+                       min_logvar_floor=cfg.min_logvar_floor,
+                       compute_dtype=cfg.compute_dtype)
     step, init_opt = make_train_step(model_cfg, hyper,
                                      transformer.means, transformer.stds)
     forward = make_forward(model_cfg, cfg.min_logvar_floor)
@@ -148,15 +149,46 @@ def train_member(
     best_params = None
     patience = max(cfg.early_stop, 0)
     stale = 0
+    start_epoch = 1
     shuffle_rng = np.random.default_rng(member_seed + 17)
+
+    # mid-training resume (framework extension; the reference restarts a
+    # crashed member from scratch, SURVEY.md §5)
+    from pathlib import Path
+
+    from .artifacts import load_pytree, save_pytree
+
+    resume_path = Path(cfg.save_dir) / f"resume_member_{member_seed}.npz"
+    if cfg.resume and resume_path.exists():
+        try:
+            (params, opt_state, best_tree), meta = load_pytree(
+                resume_path, (params, opt_state, params))
+            start_epoch = int(meta["epoch"]) + 1
+            stale = int(meta["stale"])
+            selector.best_mae_global = meta["best_mae_global"]
+            selector.best_mae_reference = meta["best_mae_reference"]
+            selector.best = meta.get("best") or None
+            selector.best_epoch = meta.get("best_epoch")
+            if meta.get("has_best"):
+                best_params = jax.device_get(best_tree)
+            key = jax.random.PRNGKey(member_seed + 7919 * start_epoch)
+            for _ in range(start_epoch - 1):  # keep the shuffle stream aligned
+                shuffle_rng.permutation(max(len(effective), 1))
+            if cfg.verbose:
+                print(f"[Member {member_seed}] resumed at epoch {start_epoch}")
+        except Exception as exc:
+            print(f"[Member {member_seed}] resume failed ({exc}); starting fresh")
 
     # KNN density-weighting state (opt-in; reference train.py:1822-1916)
     weights_by_index: Optional[Dict[int, float]] = None
     weights_active_epoch: Optional[int] = None
     last_snapshot_epoch: Optional[int] = None
 
+    from ..utils.profiling import ThroughputMeter
+
     t0 = time.time()
-    for epoch in range(1, cfg.epochs + 1):
+    meter = ThroughputMeter()
+    for epoch in range(start_epoch, cfg.epochs + 1):
         lr_mean = mean_sched(epoch - 1)
         lr_sigma = sigma_sched(epoch - 1)
         use_weights = (cfg.enable_density_weighting and weights_by_index is not None
@@ -177,6 +209,7 @@ def train_member(
             key, step_key = jax.random.split(key)
             params, opt_state, m = step(params, opt_state, smask, b, step_key,
                                         lr_mean, lr_sigma)
+            meter.count_batch(b)
             sums += np.array([float(m.loss_sum), float(m.n_graphs),
                               float(m.abs_err_sum), float(m.sq_err_sum)])
             logvar_sum += float(m.logvar_sum)
@@ -218,6 +251,16 @@ def train_member(
         else:
             stale = 0
 
+        if cfg.checkpoint_every > 0 and epoch % cfg.checkpoint_every == 0:
+            save_pytree(
+                resume_path,
+                (params, opt_state, best_params if best_params is not None else params),
+                meta={"epoch": epoch, "stale": stale,
+                      "best_mae_global": selector.best_mae_global,
+                      "best_mae_reference": selector.best_mae_reference,
+                      "best": selector.best, "best_epoch": selector.best_epoch,
+                      "has_best": best_params is not None})
+
         # KNN weight refresh after warmup (activated next epoch)
         if cfg.enable_density_weighting and epoch >= cfg.weight_warmup_epochs:
             should = (weights_by_index is None
@@ -242,10 +285,16 @@ def train_member(
 
     if best_params is None:
         best_params = jax.device_get(params)
+    if resume_path.exists():  # member finished: resume state no longer needed
+        try:
+            resume_path.unlink()
+        except OSError:
+            pass
     best_metrics = dict(selector.best or {})
     if cfg.verbose and selector.best is not None:
         print(f"[Member {member_seed}] Best epoch {selector.best_epoch:03d} | "
               f"val_mae={_fmt(best_metrics['mae'])} "
               f"val_cov={_fmt(best_metrics.get('coverage', float('nan')))} "
-              f"val_ece={_fmt(best_metrics['ece'])} | time={time.time() - t0:.1f}s")
+              f"val_ece={_fmt(best_metrics['ece'])} | "
+              f"throughput: {meter.summary()} | time={time.time() - t0:.1f}s")
     return best_params, best_metrics
