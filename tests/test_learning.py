@@ -1,0 +1,64 @@
+"""Learning-capability test: the full pipeline must fit a deterministic
+structure→property relationship far below the target's natural spread."""
+import numpy as np
+import pytest
+
+from gnnep_tpu.data.featurize import BasisConfig, build_graph
+from gnnep_tpu.data.store import GraphStore
+from gnnep_tpu.data.structure import Lattice, Structure
+from gnnep_tpu.train.config import TrainConfig
+from gnnep_tpu.train.ensemble import run_training
+
+
+def _learnable_store(n=48, seed=0):
+    """Targets are smooth functions of lattice parameter + species mix —
+    fully recoverable from the graph features."""
+    rng = np.random.default_rng(seed)
+    basis = BasisConfig(rbf_n=8, rbf_cutoff=5.0, angle_n=4)
+    samples = []
+    for i in range(n):
+        a = 3.0 + 1.5 * rng.random()
+        heavy = i % 2
+        species = ["Ge", "Ge"] if heavy else ["Si", "Si"]
+        s = Structure(Lattice(np.eye(3) * a), species,
+                      [[0, 0, 0], [0.5, 0.5, 0.5]])
+        k = 300.0 / a ** 2 + 20.0 * heavy          # ~[33, 120] GPa
+        g = 150.0 / a ** 2 + 10.0 * heavy
+        samples.append(build_graph(
+            s, material_id=f"syn-{i:03d}", y=[k, g], basis=basis,
+            nn_method="cutoff", cutoff=a * 0.95, prototype=f"p{i}",
+            sg_num=221))
+    return GraphStore.from_samples(samples)
+
+
+@pytest.mark.slow
+def test_pipeline_learns_structure_property_map(tmp_path):
+    store = _learnable_store()
+    y = store.y
+    spread = float(np.abs(y - y.mean(axis=0)).mean())  # mean-predictor MAE
+
+    cfg = TrainConfig(
+        save_dir=str(tmp_path), batch_size=16, epochs=40, hidden=32,
+        layers=2, heads=2, ensemble_size=2, seed=3,
+        val_frac=0.15, calib_frac=0.1, test_frac=0.2,
+        lr=3e-3, sigma_lr_max=3e-3, warmup_epochs=2, sigma_warmup_epochs=4,
+        early_stop=40, bootstrap=False, feature_jitter_std=0.0,
+        verbose=False)
+    summary = run_training(cfg, store)
+    test_mae = summary["test_stats"]["overall"]["mae"]
+    # the ensemble must beat the mean predictor by a wide margin
+    assert test_mae < 0.5 * spread, (test_mae, spread)
+
+
+@pytest.mark.slow
+def test_save_embeddings(tmp_path):
+    store = _learnable_store(n=24)
+    cfg = TrainConfig(
+        save_dir=str(tmp_path), batch_size=8, epochs=1, hidden=16, layers=1,
+        heads=2, ensemble_size=2, seed=3, val_frac=0.2, calib_frac=0.1,
+        test_frac=0.1, bootstrap=False, feature_jitter_std=0.0,
+        verbose=False, save_embeddings=True)
+    run_training(cfg, store)
+    z = np.load(tmp_path / "embeddings_train.npz")["z"]
+    assert z.shape[1] == 16 and z.shape[0] > 0
+    assert (tmp_path / "embeddings_test.npz").exists()
