@@ -95,11 +95,11 @@ class BatchBudget:
         e = np.diff(store.edge_off)[idx]
         l = np.diff(store.lg_off)[idx]
 
-        def cap(counts: np.ndarray) -> int:
+        def cap(counts: np.ndarray, mult: int = 8) -> int:
             per = float(np.quantile(counts, quantile)) if counts.size else 1.0
             need = max(int(counts.max(initial=1)),
                        int(np.ceil(batch_size * per * slack)))
-            return _round_up(need + 1, 8)
+            return _round_up(need + 1, mult)
 
         deg_a = deg_l = 1
         for g in idx:
@@ -110,8 +110,10 @@ class BatchBudget:
                 deg_a = max(deg_a, int(np.bincount(e_g, minlength=n_g).max()))
             if l_g.size:
                 deg_l = max(deg_l, int(np.bincount(l_g).max()))
-        return cls(n_graphs=int(batch_size), n_nodes=cap(n), n_edges=cap(e),
-                   n_lg_edges=cap(l),
+        # node/edge arenas are the fused kernel's aggregation rows → pad to
+        # its 128-row block size; the LG arena is only ever a window source
+        return cls(n_graphs=int(batch_size), n_nodes=cap(n, 128),
+                   n_edges=cap(e, 128), n_lg_edges=cap(l),
                    max_in_degree=_round_up(deg_a, 4),
                    max_lg_in_degree=_round_up(deg_l, 4))
 
@@ -150,6 +152,13 @@ def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _csr_sort(dst: np.ndarray, cap: int) -> np.ndarray:
+    """Stable permutation sorting an arena by aggregation target. Padded
+    entries (dst = dummy, the maximum index) sort last, and stability keeps
+    the reserved dummy row at index cap-1."""
+    return np.argsort(dst, kind="stable").astype(np.int64)
 
 
 class BatchPacker:
@@ -234,6 +243,25 @@ class BatchPacker:
             n_cursor += n
             e_cursor += e
             l_cursor += l
+
+        # CSR-sort both arenas by aggregation target: segments become
+        # contiguous (dense-table gathers coalesce; Pallas kernels window
+        # them with a single DMA). Padded slots (dst = dummy) sort last,
+        # except the reserved dummy row itself which must stay at Ep-1/Lp-1.
+        edge_perm = _csr_sort(edge_dst, Ep)
+        inv_edge = np.empty(Ep, np.int32)
+        inv_edge[edge_perm] = np.arange(Ep, dtype=np.int32)
+        edge_src = edge_src[edge_perm]
+        edge_dst = edge_dst[edge_perm]
+        edge_attr = edge_attr[edge_perm]
+        edge_mask = edge_mask[edge_perm]
+        lg_src = inv_edge[lg_src]
+        lg_dst = inv_edge[lg_dst]
+        lg_perm = _csr_sort(lg_dst, Lp)
+        lg_src = lg_src[lg_perm]
+        lg_dst = lg_dst[lg_perm]
+        lg_attr = lg_attr[lg_perm]
+        lg_mask = lg_mask[lg_perm]
 
         node_tab, node_tab_mask, edge_pos = build_incoming_table(
             edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)

@@ -133,23 +133,25 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
     has_lg = jnp.sum(batch.lg_mask) > 0
     has_edges = jnp.sum(batch.edge_mask) > 0
 
-    use_table = cfg.conv_impl == "table"
+    use_table = cfg.conv_impl in ("table", "fused")
     if use_table:
         from ..ops.dense_attention import transformer_conv_table
+
+        fused = cfg.conv_impl == "fused"
 
         def lg_conv(p, state, feats, rng):
             return transformer_conv_table(
                 p, state, batch.lg_src, batch.lg_dst, feats,
                 batch.lg_in_edges, batch.lg_in_mask, batch.lg_table_pos,
                 heads=cfg.heads, edge_mask=batch.lg_mask,
-                dropout_rate=drop, dropout_rng=rng)
+                dropout_rate=drop, dropout_rng=rng, fused=fused)
 
         def atom_conv(p, state, feats, rng):
             return transformer_conv_table(
                 p, state, batch.edge_src, batch.edge_dst, feats,
                 batch.node_in_edges, batch.node_in_mask, batch.edge_table_pos,
                 heads=cfg.heads, edge_mask=batch.edge_mask,
-                dropout_rate=drop, dropout_rng=rng)
+                dropout_rate=drop, dropout_rng=rng, fused=fused)
     else:
         def lg_conv(p, state, feats, rng):
             return transformer_conv(

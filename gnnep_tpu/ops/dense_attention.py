@@ -70,6 +70,7 @@ def transformer_conv_table(
     edge_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     n = x.shape[0]
     hidden = params.w_query.shape[1]
@@ -86,18 +87,37 @@ def transformer_conv_table(
     if edge_mask is not None:
         logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
 
-    logits_t = table_gather(logits_e, in_edges, pos)   # [N, D, h]
-    logits_t = jnp.where(in_mask[..., None] > 0, logits_t, _NEG)
-    logits_t = logits_t - jax.lax.stop_gradient(
-        jnp.max(logits_t, axis=1, keepdims=True))
-    expd = jnp.exp(logits_t) * in_mask[..., None]
-    alpha = expd / jnp.maximum(expd.sum(axis=1, keepdims=True), 1e-16)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, alpha.shape)
-        alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    from .pallas.csr_attention import fusable, fused_aggregate
 
-    v_t = table_gather(v_j, in_edges, pos)             # [N, D, h, c]
-    msg = jnp.einsum("ndh,ndhc->nhc", alpha, v_t).reshape(n, hidden)
+    if fused and fusable(n, logits_e.shape[0], in_edges.shape[1]):
+        # Pallas fused path (requires CSR-sorted edges); attention dropout
+        # becomes a per-edge post-softmax scale shared by forward and VJP
+        scale_e = None
+        if use_dropout:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                        logits_e.shape)
+            scale_e = keep.astype(logits_e.dtype) / (1.0 - dropout_rate)
+        row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
+                                   ).astype(jnp.int32)
+        msg = fused_aggregate(
+            logits_e, v_j.reshape(-1, hidden), row_ptr, in_edges, in_mask,
+            pos, heads=heads, max_in_degree=in_edges.shape[1],
+            scale_e=scale_e)
+    else:
+        logits_t = table_gather(logits_e, in_edges, pos)   # [N, D, h]
+        logits_t = jnp.where(in_mask[..., None] > 0, logits_t, _NEG)
+        logits_t = logits_t - jax.lax.stop_gradient(
+            jnp.max(logits_t, axis=1, keepdims=True))
+        expd = jnp.exp(logits_t) * in_mask[..., None]
+        alpha = expd / jnp.maximum(expd.sum(axis=1, keepdims=True), 1e-16)
+        if use_dropout:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                        alpha.shape)
+            alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
+
+        v_t = table_gather(v_j, in_edges, pos)             # [N, D, h, c]
+        msg = jnp.einsum("ndh,ndhc->nhc", alpha, v_t).reshape(n, hidden)
 
     r = x @ params.w_skip + params.b_skip
     beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)

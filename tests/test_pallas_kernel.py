@@ -1,0 +1,128 @@
+"""Pallas fused CSR attention vs the dense-table reference (interpret mode on
+CPU — the same kernel code path the TPU compiles)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnep_tpu.data.batching import build_incoming_table
+from gnnep_tpu.ops.pallas.csr_attention import fusable, fused_aggregate
+
+
+def _csr_case(rng, n=32, heads=2, hidden=16, avg_deg=5, cap_d=8):
+    """Random CSR-sorted aggregation problem with a masked tail."""
+    degs = rng.integers(1, cap_d - 1, n)
+    degs[-1] = 0  # dummy row
+    dst = np.repeat(np.arange(n, dtype=np.int32), degs)
+    e_real = dst.shape[0]
+    e_total = ((e_real + 16) // 8 + 1) * 8
+    pad = e_total - e_real
+    dst = np.concatenate([dst, np.full(pad, n - 1, np.int32)])
+    mask = np.concatenate([np.ones(e_real, np.float32), np.zeros(pad, np.float32)])
+    logits = rng.normal(size=(e_total, heads)).astype(np.float32)
+    logits[mask == 0] = -1e30
+    v = rng.normal(size=(e_total, hidden)).astype(np.float32)
+    row_ptr = np.searchsorted(dst, np.arange(n + 1)).astype(np.int32)
+    table, table_mask, pos = build_incoming_table(dst, mask, n, cap_d, e_total - 1)
+    return logits, v, row_ptr, table, table_mask, pos, dst
+
+
+def _reference(logits, v, table, table_mask, heads, scale=None):
+    n, d = table.shape
+    hidden = v.shape[1]
+    lt = logits[table]
+    lt = np.where(table_mask[..., None] > 0, lt, -1e30)
+    lt = lt - lt.max(axis=1, keepdims=True)
+    e = np.exp(lt) * table_mask[..., None]
+    alpha = e / np.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+    if scale is not None:
+        alpha = alpha * scale[table]
+    vt = v[table].reshape(n, d, heads, hidden // heads)
+    return np.einsum("ndh,ndhc->nhc", alpha, vt).reshape(n, hidden)
+
+
+class TestFusedAggregate:
+    def test_forward_matches_reference(self, rng):
+        logits, v, rp, tab, tmask, pos, dst = _csr_case(rng)
+        got = fused_aggregate(jnp.asarray(logits), jnp.asarray(v),
+                              jnp.asarray(rp), jnp.asarray(tab),
+                              jnp.asarray(tmask), jnp.asarray(pos),
+                              heads=2, max_in_degree=tab.shape[1],
+                              block_n=8, interpret=True)
+        want = _reference(logits, v, tab, tmask, heads=2)
+        # dummy row (owns padded edges under CSR) is unspecified — skip it
+        np.testing.assert_allclose(np.asarray(got)[:-1], want[:-1],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_with_dropout_scale(self, rng):
+        logits, v, rp, tab, tmask, pos, dst = _csr_case(rng)
+        scale = (rng.random((logits.shape[0], 2)) > 0.3).astype(np.float32) / 0.7
+        got = fused_aggregate(jnp.asarray(logits), jnp.asarray(v),
+                              jnp.asarray(rp), jnp.asarray(tab),
+                              jnp.asarray(tmask), jnp.asarray(pos),
+                              heads=2, max_in_degree=tab.shape[1],
+                              scale_e=jnp.asarray(scale),
+                              block_n=8, interpret=True)
+        want = _reference(logits, v, tab, tmask, heads=2, scale=scale)
+        np.testing.assert_allclose(np.asarray(got)[:-1], want[:-1],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_table_path(self, rng):
+        logits, v, rp, tab, tmask, pos, dst = _csr_case(rng)
+
+        def loss_fused(l, vv):
+            out = fused_aggregate(l, vv, jnp.asarray(rp), jnp.asarray(tab),
+                                  jnp.asarray(tmask), jnp.asarray(pos),
+                                  heads=2, max_in_degree=tab.shape[1],
+                                  block_n=8, interpret=True)
+            return (out ** 2).sum()
+
+        def loss_ref(l, vv):
+            lt = l[jnp.asarray(tab)]
+            lt = jnp.where(jnp.asarray(tmask)[..., None] > 0, lt, -1e30)
+            lt = lt - jax.lax.stop_gradient(lt.max(axis=1, keepdims=True))
+            e = jnp.exp(lt) * jnp.asarray(tmask)[..., None]
+            alpha = e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+            vt = vv[jnp.asarray(tab)].reshape(tab.shape[0], tab.shape[1], 2, 8)
+            out = jnp.einsum("ndh,ndhc->nhc", alpha, vt).reshape(tab.shape[0], 16)
+            return (out ** 2).sum()
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(jnp.asarray(logits), jnp.asarray(v))
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(logits), jnp.asarray(v))
+        # gradients only meaningful for real edges (padded logits are -1e30)
+        real = dst < tab.shape[0] - 1
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a)[real], np.asarray(b)[real],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_fusable_predicate(self):
+        assert fusable(256, 10000, 16, block_n=128)
+        assert not fusable(250, 10000, 16, block_n=128)   # n not divisible
+        assert not fusable(256, 100, 16, block_n=128)     # window > E
+
+    def test_model_fused_vs_table(self):
+        """End-to-end model parity: conv_impl='fused' vs 'table'."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synthetic import make_store
+        from gnnep_tpu.data.batching import BatchBudget, BatchPacker
+        from gnnep_tpu.models.alignn import AlignnConfig, alignn_apply, init_alignn
+
+        store = make_store(10, seed=12)
+        budget = BatchBudget.plan(store, range(10), batch_size=10)
+        # force 128-divisible arenas so the fused path activates
+        import dataclasses as dc
+        budget = dc.replace(budget,
+                            n_nodes=128, n_edges=256, n_lg_edges=1024)
+        batch = next(iter(BatchPacker(store, budget).pack(range(10))))
+        base = dict(node_dim=store.node_dim, edge_dim=store.edge_dim,
+                    angle_dim=store.angle_dim,
+                    global_dim=store.global_scalar_dim + 230,
+                    target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0)
+        cfg_f = AlignnConfig(**base, conv_impl="fused")
+        cfg_t = AlignnConfig(**base, conv_impl="table")
+        params = init_alignn(jax.random.PRNGKey(0), cfg_f)
+        mf, lf = alignn_apply(params, cfg_f, batch)
+        mt, lt = alignn_apply(params, cfg_t, batch)
+        np.testing.assert_allclose(np.asarray(mf), np.asarray(mt),
+                                   rtol=1e-3, atol=1e-4)
