@@ -100,10 +100,13 @@ def transformer_conv_table(
             scale_e = keep.astype(logits_e.dtype) / (1.0 - dropout_rate)
         row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                    ).astype(jnp.int32)
+        # kernel scratch is f32; cast at the boundary under bf16 compute
         msg = fused_aggregate(
-            logits_e, v_j.reshape(-1, hidden), row_ptr, in_edges, in_mask,
-            pos, heads=heads, max_in_degree=in_edges.shape[1],
-            scale_e=scale_e)
+            logits_e.astype(jnp.float32),
+            v_j.reshape(-1, hidden).astype(jnp.float32), row_ptr, in_edges,
+            in_mask, pos, heads=heads, max_in_degree=in_edges.shape[1],
+            scale_e=None if scale_e is None else scale_e.astype(jnp.float32)
+        ).astype(x.dtype)
     else:
         logits_t = table_gather(logits_e, in_edges, pos)   # [N, D, h]
         logits_t = jnp.where(in_mask[..., None] > 0, logits_t, _NEG)
