@@ -33,3 +33,43 @@ def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
                          f"!= device count ({len(devs)})")
     grid = np.asarray(devs).reshape(n_data, n_edge)
     return Mesh(grid, (DATA_AXIS, EDGE_AXIS))
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host JAX runtime (DCN-connected hosts).
+
+    On managed TPU pods the arguments auto-detect; on bare hosts pass the
+    coordinator address explicitly. Safe to call when already initialized.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as exc:  # already initialized
+        if "already" not in str(exc).lower():
+            raise
+
+
+def make_multihost_mesh(n_edge: int = 1) -> Mesh:
+    """Pod-slice mesh: hosts (DCN) map onto the outer data axis, the
+    edge-partition axis stays within a host's ICI domain.
+
+    Layout rationale: gradient psums on the data axis tolerate DCN latency
+    (once per step), while the per-conv pmax/psum pairs of edge partitioning
+    (several per layer) must ride ICI — so the edge axis is always the inner,
+    intra-host axis.
+    """
+    import jax
+
+    devs = jax.devices()
+    local = jax.local_device_count()
+    if n_edge > local or local % n_edge:
+        raise ValueError(f"n_edge ({n_edge}) must divide the local device "
+                         f"count ({local}) so edge collectives stay on ICI")
+    n_data = len(devs) // n_edge
+    grid = np.asarray(devs).reshape(n_data, n_edge)
+    return Mesh(grid, (DATA_AXIS, EDGE_AXIS))
