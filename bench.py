@@ -16,6 +16,73 @@ import time
 import numpy as np
 
 
+def scaling_mode(n_devices: int):
+    """Multi-chip scaling harness: edges/s on a (data × edge) mesh vs one
+    device, reporting scaling efficiency (north-star target ≥ 85 %).
+
+    On a pod slice run under `jax.distributed`; on a dev box use
+    JAX_PLATFORMS=cpu with --xla_force_host_platform_device_count for a
+    functional (not performance) check.
+    """
+    import time
+
+    import jax
+    import jax.random as jrandom
+
+    from gnnep_tpu.models.alignn import init_alignn
+    from gnnep_tpu.parallel.mesh import make_mesh
+    from gnnep_tpu.parallel.train_step import (make_sharded_train_step,
+                                               stack_for_mesh)
+    from gnnep_tpu.train.loop import TrainHyper, sigma_mask
+    from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
+
+    cfg = flagship_config()
+    hyper = TrainHyper()
+    rng = np.random.default_rng(0)
+
+    def run(n_dev: int) -> float:
+        n_edge = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+        n_data = n_dev // n_edge
+        mesh = make_mesh(n_data, n_edge, devices=jax.devices()[:n_dev])
+        proto = synthetic_batch(np.random.default_rng(42), n_graphs=64,
+                                mean_atoms=10, degree=10,
+                                table_cap=32, lg_table_cap=40)
+        batches = [proto._replace(
+            nodes=rng.normal(size=proto.nodes.shape).astype(np.float32),
+            edge_attr=rng.normal(size=proto.edge_attr.shape).astype(np.float32))
+            for _ in range(n_data)]
+        edges = sum(float(np.asarray(b.edge_mask).sum()
+                          + np.asarray(b.lg_mask).sum()) for b in batches)
+        step, init_opt = make_sharded_train_step(
+            mesh, cfg, hyper, np.array([4.32, 3.56]), np.array([0.91, 0.94]))
+        params = init_alignn(jrandom.PRNGKey(0), cfg)
+        opt = init_opt(params)
+        smask = sigma_mask(params)
+        stacked = stack_for_mesh(batches, n_data)
+        params, opt, loss, _ = step(params, opt, stacked, jrandom.PRNGKey(1),
+                                    3e-4, 3e-4, smask)
+        float(loss)
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            params, opt, loss, _ = step(params, opt, stacked,
+                                        jrandom.PRNGKey(1), 3e-4, 3e-4, smask)
+        float(loss)
+        return edges * iters / (time.perf_counter() - t0)
+
+    base = run(1)
+    scaled = run(n_devices)
+    eff = scaled / (base * n_devices)
+    print(json.dumps({
+        "metric": "edges_per_sec_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": f"fraction (1->{n_devices} devices)",
+        "vs_baseline": round(eff / 0.85, 4),
+        "detail": {"edges_per_sec_1dev": round(base, 1),
+                   "edges_per_sec_ndev": round(scaled, 1)},
+    }))
+
+
 def main():
     import jax
 
@@ -75,4 +142,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--scaling" in sys.argv:
+        idx = sys.argv.index("--scaling")
+        n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 8
+        scaling_mode(n)
+    else:
+        main()

@@ -53,10 +53,11 @@ def _coerce_float(val) -> Optional[float]:
 
 def _structure_from_doc(doc) -> Structure:
     """Convert an MP document's pymatgen structure to the native container."""
+    from ..data.structure import Lattice
+
     pmg = doc.structure
     return Structure(
-        lattice=__import__("gnnep_tpu.data.structure", fromlist=["Lattice"])
-        .Lattice(np.asarray(pmg.lattice.matrix, dtype=np.float64)),
+        lattice=Lattice(np.asarray(pmg.lattice.matrix, dtype=np.float64)),
         species=[str(site.specie.symbol if hasattr(site.specie, "symbol")
                      else site.specie) for site in pmg.sites],
         frac_coords=np.asarray(pmg.frac_coords, dtype=np.float64))

@@ -110,10 +110,10 @@ class BatchBudget:
                 deg_a = max(deg_a, int(np.bincount(e_g, minlength=n_g).max()))
             if l_g.size:
                 deg_l = max(deg_l, int(np.bincount(l_g).max()))
-        # node/edge arenas are the fused kernel's aggregation rows → pad to
-        # its 128-row block size; the LG arena is only ever a window source
+        # all arenas pad to the fused kernel's 128 tile (node/edge rows are
+        # aggregation blocks; the LG arena is a 128-lane-aligned window source)
         return cls(n_graphs=int(batch_size), n_nodes=cap(n, 128),
-                   n_edges=cap(e, 128), n_lg_edges=cap(l),
+                   n_edges=cap(e, 128), n_lg_edges=cap(l, 128),
                    max_in_degree=_round_up(deg_a, 4),
                    max_lg_in_degree=_round_up(deg_l, 4))
 
@@ -159,6 +159,26 @@ def _csr_sort(dst: np.ndarray, cap: int) -> np.ndarray:
     entries (dst = dummy, the maximum index) sort last, and stability keeps
     the reserved dummy row at index cap-1."""
     return np.argsort(dst, kind="stable").astype(np.int64)
+
+
+def apply_csr_sort(edge_src, edge_dst, edge_attr, edge_mask,
+                   lg_src, lg_dst, lg_attr, lg_mask):
+    """CSR-sort both arenas by aggregation target, remapping the line
+    graph's bond references through the edge permutation."""
+    Ep, Lp = edge_src.shape[0], lg_src.shape[0]
+    edge_perm = _csr_sort(edge_dst, Ep)
+    inv_edge = np.empty(Ep, np.int32)
+    inv_edge[edge_perm] = np.arange(Ep, dtype=np.int32)
+    edge_src = edge_src[edge_perm]
+    edge_dst = edge_dst[edge_perm]
+    edge_attr = edge_attr[edge_perm]
+    edge_mask = edge_mask[edge_perm]
+    lg_src = inv_edge[lg_src]
+    lg_dst = inv_edge[lg_dst]
+    lg_perm = _csr_sort(lg_dst, Lp)
+    return (edge_src, edge_dst, edge_attr, edge_mask,
+            lg_src[lg_perm], lg_dst[lg_perm], lg_attr[lg_perm],
+            lg_mask[lg_perm])
 
 
 class BatchPacker:
@@ -248,20 +268,10 @@ class BatchPacker:
         # contiguous (dense-table gathers coalesce; Pallas kernels window
         # them with a single DMA). Padded slots (dst = dummy) sort last,
         # except the reserved dummy row itself which must stay at Ep-1/Lp-1.
-        edge_perm = _csr_sort(edge_dst, Ep)
-        inv_edge = np.empty(Ep, np.int32)
-        inv_edge[edge_perm] = np.arange(Ep, dtype=np.int32)
-        edge_src = edge_src[edge_perm]
-        edge_dst = edge_dst[edge_perm]
-        edge_attr = edge_attr[edge_perm]
-        edge_mask = edge_mask[edge_perm]
-        lg_src = inv_edge[lg_src]
-        lg_dst = inv_edge[lg_dst]
-        lg_perm = _csr_sort(lg_dst, Lp)
-        lg_src = lg_src[lg_perm]
-        lg_dst = lg_dst[lg_perm]
-        lg_attr = lg_attr[lg_perm]
-        lg_mask = lg_mask[lg_perm]
+        (edge_src, edge_dst, edge_attr, edge_mask,
+         lg_src, lg_dst, lg_attr, lg_mask) = apply_csr_sort(
+            edge_src, edge_dst, edge_attr, edge_mask,
+            lg_src, lg_dst, lg_attr, lg_mask)
 
         node_tab, node_tab_mask, edge_pos = build_incoming_table(
             edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)

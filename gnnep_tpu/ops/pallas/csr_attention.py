@@ -81,9 +81,12 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
     n = row_ptr.shape[0] - 1
     ch = hidden // heads
     n_blocks = n // block_n
-    # aligned, clamped window starts per block (multiple of 8 for DMA tiling)
+    # window starts aligned down to the 128-lane tile (Mosaic requires
+    # lane-dim slices to be 128-aligned); cap carries the +128 margin so an
+    # aligned-down start still covers the block's full edge range, and
+    # e_total % 128 == 0 keeps the clamped tail start aligned too
     block_starts = row_ptr[:-1:block_n]
-    starts = jnp.minimum((block_starts // 8) * 8,
+    starts = jnp.minimum((block_starts // 128) * 128,
                          jnp.maximum(e_total - cap, 0)).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -182,7 +185,7 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
     """
     n = in_edges.shape[0]
     e_total = v_j.shape[0]
-    cap = _round_up(block_n * max_in_degree + 8, 8)
+    cap = _round_up(block_n * max_in_degree + 128, 128)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not fusable(n, e_total, max_in_degree, block_n):
@@ -194,8 +197,8 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
 
 
 def fusable(n: int, e_total: int, max_in_degree: int, block_n: int = 128) -> bool:
-    cap = _round_up(block_n * max_in_degree + 8, 8)
-    return n % block_n == 0 and cap <= e_total
+    cap = _round_up(block_n * max_in_degree + 128, 128)
+    return n % block_n == 0 and e_total % 128 == 0 and cap <= e_total
 
 
 def _round_up(x: int, m: int) -> int:

@@ -27,7 +27,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         need = int(np.ceil(x * slack)) + 1
         return ((need + m - 1) // m) * m
 
-    Np, Ep, Lp = cap(sizes.sum()), cap(n_edges.sum()), cap(n_lg.sum())
+    # node/edge arenas are fused-kernel aggregation rows → 128-row blocks
+    Np, Ep, Lp = cap(sizes.sum(), 128), cap(n_edges.sum(), 128), cap(n_lg.sum(), 128)
     G = n_graphs
     dummy_node, dummy_edge = Np - 1, Ep - 1
 
@@ -61,7 +62,12 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
 
     y = np.exp(rng.normal(4.0, 0.9, size=(G, target_dim))).astype(np.float32)
 
-    from ..data.batching import build_incoming_table
+    from ..data.batching import apply_csr_sort, build_incoming_table
+
+    (edge_src, edge_dst, edge_attr, edge_mask,
+     lg_src, lg_dst, lg_attr, lg_mask) = apply_csr_sort(
+        edge_src, edge_dst, edge_attr, edge_mask,
+        lg_src, lg_dst, lg_attr, lg_mask)
 
     def rounded_cap(d, m, explicit):
         if explicit:

@@ -15,7 +15,10 @@ def _csr_case(rng, n=32, heads=2, hidden=16, avg_deg=5, cap_d=8):
     degs[-1] = 0  # dummy row
     dst = np.repeat(np.arange(n, dtype=np.int32), degs)
     e_real = dst.shape[0]
-    e_total = ((e_real + 16) // 8 + 1) * 8
+    # arena must satisfy the kernel's window preconditions:
+    # e_total % 128 == 0 and e_total >= cap = round_up(block·D + 128, 128)
+    cap_needed = ((8 * cap_d + 128 + 127) // 128) * 128
+    e_total = max((-(-(e_real + 16) // 128)) * 128, cap_needed)
     pad = e_total - e_real
     dst = np.concatenate([dst, np.full(pad, n - 1, np.int32)])
     mask = np.concatenate([np.ones(e_real, np.float32), np.zeros(pad, np.float32)])
@@ -96,9 +99,10 @@ class TestFusedAggregate:
                                        rtol=1e-4, atol=1e-5)
 
     def test_fusable_predicate(self):
-        assert fusable(256, 10000, 16, block_n=128)
-        assert not fusable(250, 10000, 16, block_n=128)   # n not divisible
-        assert not fusable(256, 100, 16, block_n=128)     # window > E
+        assert fusable(256, 10240, 16, block_n=128)
+        assert not fusable(250, 10240, 16, block_n=128)   # n not divisible
+        assert not fusable(256, 128, 16, block_n=128)     # window > E
+        assert not fusable(256, 10000, 16, block_n=128)   # E not 128-aligned
 
     def test_model_fused_vs_table(self):
         """End-to-end model parity: conv_impl='fused' vs 'table'."""
