@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="sequential")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32")
+    p.add_argument("--conv-impl", choices=["table", "fused", "coo"],
+                   default="table",
+                   help="Graph-conv aggregation path: dense table (XLA), "
+                        "fused Pallas kernel, or COO segment ops")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="Save mid-training resume state every N epochs (0=off)")
     p.add_argument("--resume", action="store_true",
@@ -127,6 +131,7 @@ def config_from_args(args) -> TrainConfig:
         knn_eps=args.knn_eps, knn_alpha=args.knn_alpha, knn_beta=args.knn_beta,
         knn_weight_min=args.knn_weight_min, knn_weight_max=args.knn_weight_max,
         knn_refresh=args.knn_refresh, save_embeddings=args.save_embeddings,
+        conv_impl=args.conv_impl,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,

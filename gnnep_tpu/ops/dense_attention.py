@@ -76,13 +76,22 @@ def transformer_conv_table(
     hidden = params.w_query.shape[1]
     ch = hidden // heads
 
-    q = (x @ params.w_query + params.b_query).reshape(n, heads, ch)
-    k = (x @ params.w_key + params.b_key).reshape(n, heads, ch)
-    v = (x @ params.w_value + params.b_value).reshape(n, heads, ch)
+    # one fused [H_in, 4H] projection for q/k/v/skip (4 GEMMs → 1)
+    w_all = jnp.concatenate([params.w_query, params.w_key, params.w_value,
+                             params.w_skip], axis=1)
+    b_all = jnp.concatenate([params.b_query, params.b_key, params.b_value,
+                             params.b_skip])
+    proj = x @ w_all + b_all
+    q = proj[:, :hidden].reshape(n, heads, ch)
+    k = proj[:, hidden:2 * hidden].reshape(n, heads, ch)
+    v = proj[:, 2 * hidden:3 * hidden].reshape(n, heads, ch)
+    r = proj[:, 3 * hidden:]
     e = (edge_attr @ params.w_edge).reshape(-1, heads, ch)
 
-    k_j = gather_rows(k, src) + e                      # [E, h, c]
-    v_j = gather_rows(v, src) + e
+    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings
+    kv = gather_rows(proj[:, hidden:3 * hidden], src).reshape(-1, 2, heads, ch)
+    k_j = kv[:, 0] + e                                 # [E, h, c]
+    v_j = kv[:, 1] + e
     logits_e = jnp.sum(gather_rows(q, dst) * k_j, axis=-1) / math.sqrt(ch)
     if edge_mask is not None:
         logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
@@ -122,7 +131,6 @@ def transformer_conv_table(
         v_t = table_gather(v_j, in_edges, pos)             # [N, D, h, c]
         msg = jnp.einsum("ndh,ndhc->nhc", alpha, v_t).reshape(n, hidden)
 
-    r = x @ params.w_skip + params.b_skip
     beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
                           @ params.w_beta)
     return beta * r + (1.0 - beta) * msg

@@ -44,7 +44,8 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
             l_win, s_win, v_win, sems,
             *, bn: int, cap: int, heads: int, ch: int):
     i = pl.program_id(0)
-    start = starts_ref[i]
+    # host guarantees 128-aligned window starts; Mosaic needs the proof hint
+    start = pl.multiple_of(starts_ref[i], 128)
     cp_l = pltpu.make_async_copy(logits_hbm.at[:, pl.ds(start, cap)], l_win,
                                  sems.at[0])
     cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,

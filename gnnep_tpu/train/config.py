@@ -76,6 +76,7 @@ class TrainConfig:
     knn_refresh: int = 5
 
     # framework extensions (no reference analogue)
+    conv_impl: str = "table"             # 'table' | 'fused' (Pallas) | 'coo'
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints

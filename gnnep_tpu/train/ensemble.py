@@ -87,7 +87,8 @@ def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] =
         node_dim=store.node_dim, edge_dim=store.edge_dim, angle_dim=store.angle_dim,
         global_dim=store.global_scalar_dim + N_SG_ONE_HOT,
         target_dim=store.target_dim, hidden=h, layers=cfg.layers, heads=cfg.heads,
-        dropout=float(dropout if dropout is not None else cfg.dropout))
+        dropout=float(dropout if dropout is not None else cfg.dropout),
+        conv_impl=cfg.conv_impl)
 
 
 def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
