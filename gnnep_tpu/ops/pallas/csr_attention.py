@@ -55,8 +55,8 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
     cp_s.start()
     cp_v.start()
 
-    lo = rp_lo_ref[:] - start                      # [BN] window-local begin
-    hi = rp_hi_ref[:] - start
+    lo = rp_lo_ref[0, :] - start                   # [BN] window-local begin
+    hi = rp_hi_ref[0, :] - start
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     member = (pos >= lo[:, None]) & (pos < hi[:, None])   # [BN, cap]
 
@@ -93,8 +93,10 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_n,), lambda i, s: (i,)),
-            pl.BlockSpec((block_n,), lambda i, s: (i,)),
+            # row pointers as [n_blocks, BN] — 1-D s32 operands get a
+            # T(1024) XLA layout Mosaic rejects; 2-D rows are tile-friendly
+            pl.BlockSpec((1, block_n), lambda i, s: (i, 0)),
+            pl.BlockSpec((1, block_n), lambda i, s: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -113,7 +115,8 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, hidden), jnp.float32),
         interpret=interpret,
-    )(starts, row_ptr[:-1], row_ptr[1:], logits_e.T, scale_e.T, v_j)
+    )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), logits_e.T, scale_e.T, v_j)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))

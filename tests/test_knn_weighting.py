@@ -1,0 +1,49 @@
+"""KNN density-weighting path (opt-in, reference train.py:930-1010)."""
+import numpy as np
+import pytest
+
+from gnnep_tpu.models.alignn import init_alignn
+from gnnep_tpu.train.config import TrainConfig
+from gnnep_tpu.train.ensemble import model_config, prepare
+from gnnep_tpu.train.knn_weights import compute_knn_weights
+from gnnep_tpu.train.member import train_member
+from gnnep_tpu.data.batching import epoch_batches
+
+from synthetic import make_store
+
+import jax
+
+
+class TestKnnWeights:
+    def test_weight_properties(self):
+        store = make_store(20, seed=10)
+        cfg = TrainConfig(batch_size=10, hidden=16, layers=1, heads=2,
+                          ensemble_size=2, verbose=False)
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        weights = compute_knn_weights(mc, params, batches, setup.store,
+                                      k=5, eps=1e-6, alpha=0.75, beta=1.0,
+                                      clip_min=0.2, clip_max=1.0)
+        assert set(weights) == set(setup.train_idx)
+        vals = np.array(list(weights.values()))
+        assert abs(vals.mean() - 1.0) < 1e-6          # mean-normalized
+        assert (vals > 0).all()
+        # clip ratio bound survives normalization: max/min <= clip_max/clip_min
+        assert vals.max() / vals.min() <= 1.0 / 0.2 + 1e-6
+
+    def test_training_with_density_weighting(self):
+        store = make_store(20, seed=10)
+        cfg = TrainConfig(batch_size=10, hidden=16, layers=1, heads=2,
+                          ensemble_size=2, epochs=4, verbose=False,
+                          bootstrap=False, feature_jitter_std=0.0,
+                          enable_density_weighting=True,
+                          weight_warmup_epochs=2, knn_refresh=1, knn_k=3)
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        params, metrics = train_member(
+            setup.store, cfg, mc, setup.transformer, setup.budget, 7,
+            setup.train_idx, setup.val_idx)
+        assert np.isfinite(metrics.get("mae", np.nan))
