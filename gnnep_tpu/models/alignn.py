@@ -137,7 +137,13 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
     if use_table:
         from ..ops.dense_attention import transformer_conv_table
 
-        fused = cfg.conv_impl == "fused"
+        # fused checkpoints remain loadable off-TPU: interpret-mode Pallas is
+        # far slower than the XLA table path, so downgrade transparently
+        # (GNNEP_FORCE_FUSED=1 keeps the kernel active for off-TPU testing)
+        import os
+
+        fused = cfg.conv_impl == "fused" and (
+            jax.default_backend() == "tpu" or os.environ.get("GNNEP_FORCE_FUSED"))
 
         def lg_conv(p, state, feats, rng):
             return transformer_conv_table(

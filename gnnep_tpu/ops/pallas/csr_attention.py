@@ -55,8 +55,8 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
     cp_s.start()
     cp_v.start()
 
-    lo = rp_lo_ref[0, :] - start                   # [BN] window-local begin
-    hi = rp_hi_ref[0, :] - start
+    lo = rp_lo_ref[i, :] - start                   # [BN] window-local begin
+    hi = rp_hi_ref[i, :] - start
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     member = (pos >= lo[:, None]) & (pos < hi[:, None])   # [BN, cap]
 
@@ -93,10 +93,12 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            # row pointers as [n_blocks, BN] — 1-D s32 operands get a
-            # T(1024) XLA layout Mosaic rejects; 2-D rows are tile-friendly
-            pl.BlockSpec((1, block_n), lambda i, s: (i, 0)),
-            pl.BlockSpec((1, block_n), lambda i, s: (i, 0)),
+            # row pointers as [n_blocks, BN] (1-D s32 operands get a T(1024)
+            # XLA layout Mosaic rejects); the whole 30 KB table rides along
+            # each step and the kernel row-indexes it by program id, which
+            # satisfies the block-shape divisibility rule
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),

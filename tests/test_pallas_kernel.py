@@ -104,8 +104,9 @@ class TestFusedAggregate:
         assert not fusable(256, 128, 16, block_n=128)     # window > E
         assert not fusable(256, 10000, 16, block_n=128)   # E not 128-aligned
 
-    def test_model_fused_vs_table(self):
+    def test_model_fused_vs_table(self, monkeypatch):
         """End-to-end model parity: conv_impl='fused' vs 'table'."""
+        monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")  # CPU downgrades otherwise
         import sys
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from synthetic import make_store
