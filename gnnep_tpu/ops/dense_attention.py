@@ -113,7 +113,8 @@ def transformer_conv_table(
         msg = fused_aggregate(
             logits_e.astype(jnp.float32),
             v_j.reshape(-1, hidden).astype(jnp.float32), row_ptr, in_edges,
-            in_mask, pos, heads=heads, max_in_degree=in_edges.shape[1],
+            in_mask, pos, dst=dst, heads=heads,
+            max_in_degree=in_edges.shape[1],
             scale_e=None if scale_e is None else scale_e.astype(jnp.float32)
         ).astype(x.dtype)
     else:

@@ -121,9 +121,9 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
       row_ptr[1:].reshape(n_blocks, block_n), logits_e.T, scale_e.T, v_j)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, in_edges, in_mask,
-                          pos, heads, block_n, cap, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst, in_edges,
+                          in_mask, pos, heads, block_n, cap, interpret):
     return _pallas_forward(logits_e, scale_e, v_j, row_ptr, heads=heads,
                            block_n=block_n, cap=cap, interpret=interpret)
 
@@ -136,37 +136,42 @@ def _table_alpha(logits_e, in_edges, in_mask):
     return e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
 
 
-def _fwd(logits_e, scale_e, v_j, row_ptr, in_edges, in_mask, pos, heads,
+def _fwd(logits_e, scale_e, v_j, row_ptr, dst, in_edges, in_mask, pos, heads,
          block_n, cap, interpret):
     out = _pallas_forward(logits_e, scale_e, v_j, row_ptr, heads=heads,
                           block_n=block_n, cap=cap, interpret=interpret)
-    return out, (logits_e, scale_e, v_j, in_edges, in_mask, pos)
+    return out, (logits_e, scale_e, v_j, dst, in_edges, in_mask)
 
 
 def _bwd(heads, block_n, cap, interpret, res, g):
-    """Scatter-free backward via the dense-table formulation.
+    """Scatter-free, edge-space backward.
 
-    With post-softmax scale m: out = Σ_d (s_d m_d) v_d for s = softmax(l),
-    so dl_k = s_k (m_k u_k − Σ_d s_d m_d u_d) with u_d = <g, v_d>, and
-    dv_d = s_d m_d g.
+    With post-softmax scale m: out_n = Σ_{e→n} s_e m_e v_e for s = softmax(l)
+    within each segment, so dl_e = s_e (m_e u_e − inner_n) with u_e = <g_n,
+    v_e> and inner_n = Σ s m u, and dv_e = s_e m_e g_n. Per-segment softmax
+    stats (max, denom) and `inner` reduce over the SMALL [N, D, heads] logits
+    table; everything wide stays [E, ·] — no [N, D, hidden] materialization.
     """
-    logits_e, scale_e, v_j, in_edges, in_mask, pos = res
-    n, d = in_edges.shape
+    logits_e, scale_e, v_j, dst, in_edges, in_mask = res
     e_total, hidden = v_j.shape
     ch = hidden // heads
-    alpha = _table_alpha(logits_e, in_edges, in_mask)        # [N, D, h]
-    m_t = scale_e[in_edges]                                  # [N, D, h]
-    v_t = v_j[in_edges].reshape(n, d, heads, ch)             # [N, D, h, c]
-    gh = g.reshape(n, heads, ch)
 
-    dv_t = (alpha * m_t)[..., None] * gh[:, None]
-    dv = dv_t.reshape(n * d, hidden)[pos]                    # inverse-map gather
-    u = jnp.einsum("nhc,ndhc->ndh", gh, v_t)
-    w = m_t * u
-    inner = jnp.sum(alpha * w, axis=1, keepdims=True)
-    dlogits_t = alpha * (w - inner)
-    dlogits = dlogits_t.reshape(n * d, heads)[pos]
-    return (dlogits, None, dv, None, None, None, None)
+    lt = logits_e[in_edges]                              # [N, D, h] (small)
+    lt = jnp.where(in_mask[..., None] > 0, lt, _NEG)
+    mx = jax.lax.stop_gradient(jnp.maximum(lt.max(axis=1), _NEG))   # [N, h]
+    e_t = jnp.exp(lt - mx[:, None]) * in_mask[..., None]
+    denom = jnp.maximum(e_t.sum(axis=1), 1e-16)          # [N, h]
+
+    s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]       # [E, h] pre-dropout α
+    g_e = g[dst]                                         # [E, H]
+    sm = s_e * scale_e
+    dv = jnp.repeat(sm, ch, axis=1) * g_e                # [E, H]
+    u_e = jnp.sum(g_e.reshape(-1, heads, ch)
+                  * v_j.reshape(-1, heads, ch), axis=-1)  # [E, h]
+    w_e = scale_e * u_e
+    inner = ((s_e * w_e)[in_edges] * in_mask[..., None]).sum(axis=1)  # [N, h]
+    dlogits = s_e * (w_e - inner[dst])
+    return (dlogits, None, dv, None, None, None, None, None)
 
 
 csr_softmax_aggregate.defvjp(_fwd, _bwd)
@@ -174,7 +179,8 @@ csr_softmax_aggregate.defvjp(_fwd, _bwd)
 
 def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
                     row_ptr: jnp.ndarray, in_edges: jnp.ndarray,
-                    in_mask: jnp.ndarray, pos: jnp.ndarray, *, heads: int,
+                    in_mask: jnp.ndarray, pos: jnp.ndarray, *,
+                    dst: jnp.ndarray, heads: int,
                     max_in_degree: int,
                     scale_e: Optional[jnp.ndarray] = None,
                     block_n: int = 128,
@@ -198,8 +204,9 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
         raise ValueError("fused_aggregate preconditions not met")
     if scale_e is None:
         scale_e = jnp.ones_like(logits_e)
-    return csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, in_edges,
-                                 in_mask, pos, heads, block_n, cap, interpret)
+    return csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst,
+                                 in_edges, in_mask, pos, heads, block_n, cap,
+                                 interpret)
 
 
 def fusable(n: int, e_total: int, max_in_degree: int, block_n: int = 128) -> bool:

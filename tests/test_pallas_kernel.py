@@ -50,6 +50,7 @@ class TestFusedAggregate:
         got = fused_aggregate(jnp.asarray(logits), jnp.asarray(v),
                               jnp.asarray(rp), jnp.asarray(tab),
                               jnp.asarray(tmask), jnp.asarray(pos),
+                              dst=jnp.asarray(dst),
                               heads=2, max_in_degree=tab.shape[1],
                               block_n=8, interpret=True)
         want = _reference(logits, v, tab, tmask, heads=2)
@@ -63,6 +64,7 @@ class TestFusedAggregate:
         got = fused_aggregate(jnp.asarray(logits), jnp.asarray(v),
                               jnp.asarray(rp), jnp.asarray(tab),
                               jnp.asarray(tmask), jnp.asarray(pos),
+                              dst=jnp.asarray(dst),
                               heads=2, max_in_degree=tab.shape[1],
                               scale_e=jnp.asarray(scale),
                               block_n=8, interpret=True)
@@ -76,6 +78,7 @@ class TestFusedAggregate:
         def loss_fused(l, vv):
             out = fused_aggregate(l, vv, jnp.asarray(rp), jnp.asarray(tab),
                                   jnp.asarray(tmask), jnp.asarray(pos),
+                                  dst=jnp.asarray(dst),
                                   heads=2, max_in_degree=tab.shape[1],
                                   block_n=8, interpret=True)
             return (out ** 2).sum()
