@@ -91,8 +91,13 @@ def main():
     from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
 
     dev = jax.devices()[0]
-    cfg = flagship_config()
-    hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1)
+    import dataclasses
+
+    conv_impl = os.environ.get("BENCH_IMPL", "fused")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg = dataclasses.replace(flagship_config(), conv_impl=conv_impl)
+    hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
+                       compute_dtype=dtype)
     rng = np.random.default_rng(0)
     n_graphs = int(os.environ.get("BENCH_GRAPHS", 64))
     batch = synthetic_batch(rng, n_graphs=n_graphs, mean_atoms=10, degree=10)
@@ -137,6 +142,7 @@ def main():
             "edges_per_step": int(edges_per_step),
             "graphs_per_batch": n_graphs,
             "hidden": cfg.hidden, "layers": cfg.layers, "heads": cfg.heads,
+            "conv_impl": conv_impl, "compute_dtype": dtype,
         },
     }))
 
