@@ -76,23 +76,28 @@ def transformer_conv_table(
     hidden = params.w_query.shape[1]
     ch = hidden // heads
 
-    # one fused [H_in, 4H] projection for q/k/v/skip (4 GEMMs → 1)
+    # one fused [H_in, 4H] projection for q/k/v/skip (4 GEMMs → 1); all wide
+    # tensors stay 2-D [·, H] — [E, heads, ch] layouts pad heads→8 and
+    # ch→128 on TPU tiles, quadrupling their memory footprint
     w_all = jnp.concatenate([params.w_query, params.w_key, params.w_value,
                              params.w_skip], axis=1)
     b_all = jnp.concatenate([params.b_query, params.b_key, params.b_value,
                              params.b_skip])
     proj = x @ w_all + b_all
-    q = proj[:, :hidden].reshape(n, heads, ch)
-    k = proj[:, hidden:2 * hidden].reshape(n, heads, ch)
-    v = proj[:, 2 * hidden:3 * hidden].reshape(n, heads, ch)
+    q = proj[:, :hidden]
     r = proj[:, 3 * hidden:]
-    e = (edge_attr @ params.w_edge).reshape(-1, heads, ch)
+    e = edge_attr @ params.w_edge                      # [E, H]
 
-    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings
-    kv = gather_rows(proj[:, hidden:3 * hidden], src).reshape(-1, 2, heads, ch)
-    k_j = kv[:, 0] + e                                 # [E, h, c]
-    v_j = kv[:, 1] + e
-    logits_e = jnp.sum(gather_rows(q, dst) * k_j, axis=-1) / math.sqrt(ch)
+    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings in 2-D
+    kv = gather_rows(proj[:, hidden:3 * hidden], src)
+    k_j = kv[:, :hidden] + e                           # [E, H]
+    v_j = kv[:, hidden:] + e
+    # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
+    import numpy as _np
+
+    blocksum = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32),
+                                      ch, axis=0), dtype=q.dtype)  # [H, heads]
+    logits_e = ((gather_rows(q, dst) * k_j) @ blocksum) / math.sqrt(ch)
     if edge_mask is not None:
         logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
 
@@ -111,9 +116,8 @@ def transformer_conv_table(
                                    ).astype(jnp.int32)
         # kernel scratch is f32; cast at the boundary under bf16 compute
         msg = fused_aggregate(
-            logits_e.astype(jnp.float32),
-            v_j.reshape(-1, hidden).astype(jnp.float32), row_ptr, in_edges,
-            in_mask, pos, dst=dst, heads=heads,
+            logits_e.astype(jnp.float32), v_j.astype(jnp.float32), row_ptr,
+            in_edges, in_mask, pos, dst=dst, heads=heads,
             max_in_degree=in_edges.shape[1],
             scale_e=None if scale_e is None else scale_e.astype(jnp.float32)
         ).astype(x.dtype)
@@ -129,7 +133,8 @@ def transformer_conv_table(
                                         alpha.shape)
             alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
 
-        v_t = table_gather(v_j, in_edges, pos)             # [N, D, h, c]
+        v_t = table_gather(v_j, in_edges, pos)             # [N, D, H]
+        v_t = v_t.reshape(n, in_edges.shape[1], heads, ch)
         msg = jnp.einsum("ndh,ndhc->nhc", alpha, v_t).reshape(n, hidden)
 
     beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
