@@ -166,8 +166,10 @@ def _bwd(heads, block_n, cap, interpret, res, g):
     g_e = g[dst]                                         # [E, H]
     sm = s_e * scale_e
     dv = jnp.repeat(sm, ch, axis=1) * g_e                # [E, H]
-    u_e = jnp.sum(g_e.reshape(-1, heads, ch)
-                  * v_j.reshape(-1, heads, ch), axis=-1)  # [E, h]
+    # per-head <g, v> as a 2-D block-sum GEMM (no [E, h, c] tiling waste)
+    blocksum = jnp.asarray(np.repeat(np.eye(heads, dtype=np.float32), ch,
+                                     axis=0))            # [H, heads]
+    u_e = (g_e * v_j) @ blocksum                         # [E, h]
     w_e = scale_e * u_e
     inner = ((s_e * w_e)[in_edges] * in_mask[..., None]).sum(axis=1)  # [N, h]
     dlogits = s_e * (w_e - inner[dst])
