@@ -59,6 +59,10 @@ class GraphBatch(NamedTuple):
     lg_in_edges: np.ndarray    # [Ep, Dl] i32 LG slots with dst == bond (pad: Lp-1)
     lg_in_mask: np.ndarray     # [Ep, Dl] f32
     lg_table_pos: np.ndarray   # [Lp] i32 flat position in lg_in_edges
+    node_out_edges: np.ndarray  # [Np, Doa] i32 edge slots with src == n
+    node_out_mask: np.ndarray   # [Np, Doa] f32
+    lg_out_edges: np.ndarray    # [Ep, Dol] i32 LG slots with src == bond
+    lg_out_mask: np.ndarray     # [Ep, Dol] f32
 
     @property
     def capacity(self):
@@ -80,6 +84,8 @@ class BatchBudget:
     n_lg_edges: int
     max_in_degree: int = 32      # dense-table width: atom in-degree cap
     max_lg_in_degree: int = 32   # dense-table width: bond LG in-degree cap
+    max_out_degree: int = 32     # atom out-degree cap (gather-VJP tables)
+    max_lg_out_degree: int = 32  # bond LG out-degree cap
 
     @classmethod
     def plan(cls, store: GraphStore, indices: Sequence[int], batch_size: int,
@@ -101,21 +107,27 @@ class BatchBudget:
                        int(np.ceil(batch_size * per * slack)))
             return _round_up(need + 1, mult)
 
-        deg_a = deg_l = 1
+        deg_a = deg_l = deg_ao = deg_lo = 1
         for g in idx:
             n_g = int(store.node_off[g + 1] - store.node_off[g])
             e_g = store.edge_dst[store.edge_off[g]:store.edge_off[g + 1]]
+            es_g = store.edge_src[store.edge_off[g]:store.edge_off[g + 1]]
             l_g = store.lg_dst[store.lg_off[g]:store.lg_off[g + 1]]
+            ls_g = store.lg_src[store.lg_off[g]:store.lg_off[g + 1]]
             if e_g.size:
                 deg_a = max(deg_a, int(np.bincount(e_g, minlength=n_g).max()))
+                deg_ao = max(deg_ao, int(np.bincount(es_g, minlength=n_g).max()))
             if l_g.size:
                 deg_l = max(deg_l, int(np.bincount(l_g).max()))
+                deg_lo = max(deg_lo, int(np.bincount(ls_g).max()))
         # all arenas pad to the fused kernel's 128 tile (node/edge rows are
         # aggregation blocks; the LG arena is a 128-lane-aligned window source)
         return cls(n_graphs=int(batch_size), n_nodes=cap(n, 128),
                    n_edges=cap(e, 128), n_lg_edges=cap(l, 128),
                    max_in_degree=_round_up(deg_a, 4),
-                   max_lg_in_degree=_round_up(deg_l, 4))
+                   max_lg_in_degree=_round_up(deg_l, 4),
+                   max_out_degree=_round_up(deg_ao, 4),
+                   max_lg_out_degree=_round_up(deg_lo, 4))
 
 
 def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
@@ -277,11 +289,16 @@ class BatchPacker:
             edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)
         lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
             lg_dst, lg_mask, Ep, b.max_lg_in_degree, Lp - 1)
+        node_ot, node_ot_mask, _ = build_incoming_table(
+            edge_src, edge_mask, Np, b.max_out_degree, dummy_edge)
+        lg_ot, lg_ot_mask, _ = build_incoming_table(
+            lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
                           globals_, sg_num, y, graph_mask, weight, sample_index,
                           node_tab, node_tab_mask, edge_pos,
-                          lg_tab, lg_tab_mask, lg_pos)
+                          lg_tab, lg_tab_mask, lg_pos,
+                          node_ot, node_ot_mask, lg_ot, lg_ot_mask)
 
 
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,

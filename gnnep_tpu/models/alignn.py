@@ -149,6 +149,7 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
             return transformer_conv_table(
                 p, state, batch.lg_src, batch.lg_dst, feats,
                 batch.lg_in_edges, batch.lg_in_mask, batch.lg_table_pos,
+                batch.lg_out_edges, batch.lg_out_mask,
                 heads=cfg.heads, edge_mask=batch.lg_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused)
 
@@ -156,6 +157,7 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
             return transformer_conv_table(
                 p, state, batch.edge_src, batch.edge_dst, feats,
                 batch.node_in_edges, batch.node_in_mask, batch.edge_table_pos,
+                batch.node_out_edges, batch.node_out_mask,
                 heads=cfg.heads, edge_mask=batch.edge_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused)
     else:

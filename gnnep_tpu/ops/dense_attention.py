@@ -56,6 +56,32 @@ def _table_gather_bwd(res, g):
 table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
 
 
+@jax.custom_vjp
+def indexed_gather(x: jnp.ndarray, idx: jnp.ndarray, table: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """`x[idx]` whose VJP reduces over a dense inverse table.
+
+    `table[n, d]` lists the positions in `idx` that reference row n (the
+    in/out tables built at pack time), so the backward pass is
+    `(g[table] * mask).sum(axis=1)` — a streaming gather+reduce instead of
+    the row-serial TPU scatter-add XLA would emit for the transpose.
+    """
+    return x[idx]
+
+
+def _indexed_gather_fwd(x, idx, table, mask):
+    return x[idx], (table, mask)
+
+
+def _indexed_gather_bwd(res, g):
+    table, mask = res
+    gt = g[table] * mask.reshape(mask.shape + (1,) * (g.ndim - 1))
+    return gt.sum(axis=1), None, None, None
+
+
+indexed_gather.defvjp(_indexed_gather_fwd, _indexed_gather_bwd)
+
+
 def transformer_conv_table(
     params: TransformerConvParams,
     x: jnp.ndarray,             # [N, H_in] states of the aggregation arena
@@ -65,6 +91,8 @@ def transformer_conv_table(
     in_edges: jnp.ndarray,      # [N, D] dense incoming table
     in_mask: jnp.ndarray,       # [N, D]
     pos: jnp.ndarray,           # [E] inverse table map
+    out_edges: Optional[jnp.ndarray] = None,  # [N, Do] outgoing table
+    out_mask: Optional[jnp.ndarray] = None,
     *,
     heads: int,
     edge_mask: Optional[jnp.ndarray] = None,
@@ -88,8 +116,14 @@ def transformer_conv_table(
     r = proj[:, 3 * hidden:]
     e = edge_attr @ params.w_edge                      # [E, H]
 
-    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings in 2-D
-    kv = gather_rows(proj[:, hidden:3 * hidden], src)
+    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings in 2-D;
+    # both gathers use table-backed VJPs when the inverse tables exist
+    if out_edges is not None and out_mask is not None:
+        kv = indexed_gather(proj[:, hidden:3 * hidden], src, out_edges, out_mask)
+        q_dst = indexed_gather(q, dst, in_edges, in_mask)
+    else:
+        kv = gather_rows(proj[:, hidden:3 * hidden], src)
+        q_dst = gather_rows(q, dst)
     k_j = kv[:, :hidden] + e                           # [E, H]
     v_j = kv[:, hidden:] + e
     # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
@@ -97,7 +131,7 @@ def transformer_conv_table(
 
     blocksum = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32),
                                       ch, axis=0), dtype=q.dtype)  # [H, heads]
-    logits_e = ((gather_rows(q, dst) * k_j) @ blocksum) / math.sqrt(ch)
+    logits_e = ((q_dst * k_j) @ blocksum) / math.sqrt(ch)
     if edge_mask is not None:
         logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
 

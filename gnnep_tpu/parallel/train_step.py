@@ -37,7 +37,8 @@ from .mesh import DATA_AXIS, EDGE_AXIS
 # their second axis across the edge axis)
 _EDGE_FIELDS = {"edge_src", "edge_dst", "edge_attr", "edge_mask",
                 "lg_src", "lg_dst", "lg_attr", "lg_mask",
-                "edge_table_pos", "lg_in_edges", "lg_in_mask", "lg_table_pos"}
+                "edge_table_pos", "lg_in_edges", "lg_in_mask", "lg_table_pos",
+                "lg_out_edges", "lg_out_mask"}
 
 
 def batch_pspecs() -> GraphBatch:
@@ -83,7 +84,10 @@ def stack_for_mesh(batches: List[GraphBatch], n_data: int) -> GraphBatch:
                                         n_tab.shape[0] * n_tab.shape[1] - 1),
             lg_in_edges=np.full_like(l_tab, dummy_lg),
             lg_table_pos=np.full_like(np.asarray(proto.lg_table_pos),
-                                      l_tab.shape[0] * l_tab.shape[1] - 1))
+                                      l_tab.shape[0] * l_tab.shape[1] - 1),
+            node_out_edges=np.full_like(np.asarray(proto.node_out_edges),
+                                        dummy_edge),
+            lg_out_edges=np.full_like(np.asarray(proto.lg_out_edges), dummy_lg))
         pads = [empty] * (n_data - len(batches))
     stacked = [np.stack([np.asarray(getattr(b, f)) for b in [*batches, *pads]])
                for f in GraphBatch._fields]

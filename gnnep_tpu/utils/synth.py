@@ -81,6 +81,11 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         dummy_edge)
     lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
         lg_dst, lg_mask, Ep, rounded_cap(lg_dst, lg_mask, lg_table_cap), Lp - 1)
+    node_ot, node_ot_mask, _ = build_incoming_table(
+        edge_src, edge_mask, Np, rounded_cap(edge_src, edge_mask, table_cap),
+        dummy_edge)
+    lg_ot, lg_ot_mask, _ = build_incoming_table(
+        lg_src, lg_mask, Ep, rounded_cap(lg_src, lg_mask, lg_table_cap), Lp - 1)
     return GraphBatch(
         nodes=nodes, node_graph=node_graph,
         edge_src=edge_src, edge_dst=edge_dst, edge_attr=edge_attr,
@@ -92,7 +97,9 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         sample_index=np.arange(G, dtype=np.int32),
         node_in_edges=node_tab, node_in_mask=node_tab_mask,
         edge_table_pos=edge_pos,
-        lg_in_edges=lg_tab, lg_in_mask=lg_tab_mask, lg_table_pos=lg_pos)
+        lg_in_edges=lg_tab, lg_in_mask=lg_tab_mask, lg_table_pos=lg_pos,
+        node_out_edges=node_ot, node_out_mask=node_ot_mask,
+        lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask)
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,
