@@ -116,14 +116,13 @@ def transformer_conv_table(
     r = proj[:, 3 * hidden:]
     e = edge_attr @ params.w_edge                      # [E, H]
 
-    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings in 2-D;
-    # both gathers use table-backed VJPs when the inverse tables exist
-    if out_edges is not None and out_mask is not None:
-        kv = indexed_gather(proj[:, hidden:3 * hidden], src, out_edges, out_mask)
-        q_dst = indexed_gather(q, dst, in_edges, in_mask)
-    else:
-        kv = gather_rows(proj[:, hidden:3 * hidden], src)
-        q_dst = gather_rows(q, dst)
+    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings in 2-D.
+    # NOTE: measured on v5e — `indexed_gather` (dense-table VJP) regresses
+    # here: its [N, D, 2H] backward materialization costs more than the
+    # sort-based segment-sum transpose of gather_rows. Tables stay available
+    # for kernels that can reduce them in VMEM.
+    kv = gather_rows(proj[:, hidden:3 * hidden], src)
+    q_dst = gather_rows(q, dst)
     k_j = kv[:, :hidden] + e                           # [E, H]
     v_j = kv[:, hidden:] + e
     # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
