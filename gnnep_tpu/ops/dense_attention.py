@@ -10,10 +10,12 @@ backward**. Scatter-adds with duplicate indices execute row-serially on TPU
 either a streaming gather or its precomputed inverse (`pos`), so both passes
 stay on the vector units.
 
-Cost model per conv: one [E,H] gather of q/k/v each, one [N,D,H] table
-materialization for values (HBM-bandwidth bound, fully pipelined), dense
-reductions for softmax/messages. The Pallas kernel in `ops/pallas` fuses the
-table gather with the weighted reduction to avoid the [N,D,H] round-trip.
+Layout rules that matter on TPU (see PERF.md): every wide intermediate stays
+2-D [·, H] (3-D [E, heads, ch] shapes tile-pad 4×), q/k/v/skip run as one
+[H_in, 4H] GEMM, and per-head reductions are 0/1 block-sum GEMMs. The
+production path hands the softmax-aggregate mid-section to the fused Pallas
+kernel (`ops/pallas/csr_attention.py`); the table formulation here is both
+the off-TPU fallback and the kernel's scatter-free VJP reference.
 """
 from __future__ import annotations
 
