@@ -139,7 +139,8 @@ def transformer_conv_table(
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     from .pallas.csr_attention import fusable, fused_aggregate
 
-    if fused and fusable(n, logits_e.shape[0], in_edges.shape[1]):
+    if fused and fusable(n, logits_e.shape[0], in_edges.shape[1],
+                         hidden=hidden):
         # Pallas fused path (requires CSR-sorted edges); attention dropout
         # becomes a per-edge post-softmax scale shared by forward and VJP
         scale_e = None

@@ -199,11 +199,13 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
     """
     n = in_edges.shape[0]
     e_total = v_j.shape[0]
+    hidden = v_j.shape[1]
+    block_n = pick_block_n(n, e_total, max_in_degree, hidden, block_n)
+    if block_n is None:
+        raise ValueError("fused_aggregate preconditions not met")
     cap = _round_up(block_n * max_in_degree + 128, 128)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not fusable(n, e_total, max_in_degree, block_n):
-        raise ValueError("fused_aggregate preconditions not met")
     if scale_e is None:
         scale_e = jnp.ones_like(logits_e)
     return csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst,
@@ -211,9 +213,32 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
                                  interpret)
 
 
-def fusable(n: int, e_total: int, max_in_degree: int, block_n: int = 128) -> bool:
-    cap = _round_up(block_n * max_in_degree + 128, 128)
-    return n % block_n == 0 and e_total % 128 == 0 and cap <= e_total
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB VMEM limit
+
+
+def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
+                 preferred: int = 128):
+    """Largest power-of-two block size whose window fits the VMEM budget.
+
+    Heavy-tailed in-degrees can push `cap = block·D` past VMEM (the window
+    holds [cap, H] values f32 plus two [heads, cap] strips); shrinking the
+    node block keeps the kernel viable down to block 8.
+    """
+    if e_total % 128:
+        return None
+    for bn in (128, 64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = _round_up(bn * max_in_degree + 128, 128)
+        win_bytes = cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
+        if cap <= e_total and win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def fusable(n: int, e_total: int, max_in_degree: int, block_n: int = 128,
+            hidden: int = 256) -> bool:
+    return pick_block_n(n, e_total, max_in_degree, hidden, block_n) is not None
 
 
 def _round_up(x: int, m: int) -> int:

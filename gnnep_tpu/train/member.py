@@ -205,9 +205,16 @@ def train_member(
         sums = np.zeros(4)  # loss, graphs, abs_err, sq_err
         logvar_sum = 0.0
         n_el = 0.0
-        for b in batches:
+        # double-buffered host→device prefetch: device_put is async, so batch
+        # i+1 streams in while batch i computes (host↔device bandwidth is a
+        # first-class cost on tunneled runtimes — see PERF.md)
+        pending = jax.device_put(batches[0]) if batches else None
+        for i, b in enumerate(batches):
+            cur = pending
+            if i + 1 < len(batches):
+                pending = jax.device_put(batches[i + 1])
             key, step_key = jax.random.split(key)
-            params, opt_state, m = step(params, opt_state, smask, b, step_key,
+            params, opt_state, m = step(params, opt_state, smask, cur, step_key,
                                         lr_mean, lr_sigma)
             meter.count_batch(b)
             sums += np.array([float(m.loss_sum), float(m.n_graphs),
