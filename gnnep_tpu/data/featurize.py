@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..elements import element_props
-from .neighbors import find_edges, shortest_image
+from .neighbors import find_edges
 from .structure import Structure
 
 N_SG = 230  # space groups

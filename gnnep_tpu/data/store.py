@@ -17,11 +17,11 @@ import dataclasses
 import hashlib
 import json
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
-from .featurize import GraphSample, N_GLOBAL_SCALARS
+from .featurize import GraphSample
 
 _SAMPLE_KEYS = ("node_feats", "edge_src", "edge_dst", "edge_attr",
                 "lg_src", "lg_dst", "lg_attr", "global_scalars")

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..data.featurize import N_SG
-from ..ops.graph_attention import (TransformerConvParams, _torch_linear_init,
-                                   init_transformer_conv, transformer_conv)
+from ..ops.graph_attention import (_torch_linear_init, init_transformer_conv,
+                                   transformer_conv)
 from ..ops.segment import segment_mean
 
 Params = Dict[str, Any]

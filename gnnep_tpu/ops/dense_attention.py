@@ -20,7 +20,6 @@ the off-TPU fallback and the kernel's scatter-free VJP reference.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import jax

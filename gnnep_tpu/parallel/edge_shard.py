@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.featurize import N_SG
-from ..models.alignn import LN_EPS, Params, _dropout, _layer_norm, _mlp
+from ..models.alignn import Params, _dropout, _layer_norm, _mlp
 from ..ops.graph_attention import TransformerConvParams
 from ..ops.segment import gather_rows, segment_mean, segment_sum
 

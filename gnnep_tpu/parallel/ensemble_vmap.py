@@ -15,8 +15,6 @@ slowest member, not the sum.
 """
 from __future__ import annotations
 
-import dataclasses
-import math
 from typing import Dict, List, Tuple
 
 import jax

@@ -7,7 +7,7 @@ and the per-target RMSE/MAE/percentile table.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
