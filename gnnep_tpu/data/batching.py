@@ -102,7 +102,11 @@ class BatchBudget:
         l = np.diff(store.lg_off)[idx]
 
         def cap(counts: np.ndarray, mult: int = 8) -> int:
-            per = float(np.quantile(counts, quantile)) if counts.size else 1.0
+            # mean-based capacity: on heavy-tailed distributions a
+            # quantile-based budget overshoots the typical batch several-fold
+            # (mostly padding); the packer emits a batch early when a tail
+            # graph would overflow, and max() guarantees every graph fits
+            per = float(counts.mean()) if counts.size else 1.0
             need = max(int(counts.max(initial=1)),
                        int(np.ceil(batch_size * per * slack)))
             return _round_up(need + 1, mult)
