@@ -153,9 +153,16 @@ def train_members_vmapped(setup, cfg: TrainConfig
         n_steps = min(len(st) for st in streams)
         loss_sums = np.zeros(m)
         graph_sums = np.zeros(m)
+
+        def stack_at(t):
+            return jax.device_put(jax.tree.map(
+                lambda *xs: np.stack(xs), *[streams[i][t] for i in range(m)]))
+
+        pending = stack_at(0) if n_steps else None
         for t in range(n_steps):
-            batch_stack = jax.tree.map(lambda *xs: np.stack(xs),
-                                       *[streams[i][t] for i in range(m)])
+            batch_stack = pending
+            if t + 1 < n_steps:
+                pending = stack_at(t + 1)  # async host→device prefetch
             step_keys = []
             for i in range(m):
                 keys[i], k = jax.random.split(keys[i])

@@ -193,3 +193,36 @@ class TestBatching:
         budget = BatchBudget(n_graphs=2, n_nodes=2, n_edges=8, n_lg_edges=8)
         with pytest.raises(ValueError, match="exceeds batch budget"):
             list(BatchPacker(store, budget).pack(range(4)))
+
+
+class TestHeavyTailPacking:
+    def test_mean_budget_utilization_and_coverage(self):
+        """Heavy-tailed graph sizes: every graph still packs (tail graphs
+        force early emission) and typical batches aren't mostly padding."""
+        import synthetic as syn
+        from gnnep_tpu.data.featurize import BasisConfig, build_graph
+        from gnnep_tpu.data.structure import Lattice, Structure
+        from gnnep_tpu.data.store import GraphStore
+
+        rng = np.random.default_rng(3)
+        basis = BasisConfig(rbf_n=4, rbf_cutoff=4.0, angle_n=4)
+        samples = []
+        for i in range(24):
+            # 2-atom cells except a few dense 8-atom tail graphs
+            n = 8 if i % 8 == 0 else 2
+            a = 3.2 + 0.1 * (i % 4)
+            fr = rng.random((n, 3))
+            s = Structure(Lattice(np.eye(3) * a), ["Si"] * n, fr)
+            samples.append(build_graph(s, material_id=f"h{i}", y=[50.0, 30.0],
+                                       basis=basis, nn_method="cutoff",
+                                       cutoff=a * 0.95, prototype=f"p{i}"))
+        store = GraphStore.from_samples(samples)
+        budget = BatchBudget.plan(store, range(24), batch_size=8)
+        batches = list(BatchPacker(store, budget).pack(range(24)))
+        packed = np.concatenate([b.sample_index[np.asarray(b.graph_mask) > 0]
+                                 for b in batches])
+        assert sorted(packed.tolist()) == list(range(24))  # nothing dropped
+        # median batch should use a decent share of its LG capacity
+        utils = [float(np.asarray(b.lg_mask).sum()) / b.lg_src.shape[0]
+                 for b in batches]
+        assert np.median(utils) > 0.3, utils
