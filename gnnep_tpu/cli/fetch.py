@@ -160,7 +160,8 @@ def fetch_and_build(args) -> None:
             structure, material_id=mid,
             formula=str(getattr(doc, "formula_pretty", "") or ""),
             y=y, basis=basis, nn_method=args.nn_method, cutoff=args.cutoff,
-            fallback_cutoff=7.5, mat2vec=mat2vec or None)
+            fallback_cutoff=7.5, mat2vec=mat2vec or None,
+            guess_oxidation=args.guess_oxidation)
         if sample.neighbor_method != args.nn_method:
             print(f"{mid}: CrystalNN unavailable/failed; fell back to cutoff "
                   f"neighbors (r=7.5 Å).")
@@ -192,6 +193,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-all", dest="fetch_all", action="store_false")
     p.add_argument("--page-size", type=int, default=1000)
     p.add_argument("--skip-existing", action="store_true", default=False)
+    p.add_argument("--guess-oxidation-states", dest="guess_oxidation",
+                   action="store_true", default=True)
+    p.add_argument("--no-guess-oxidation-states", dest="guess_oxidation",
+                   action="store_false")
     p.add_argument("--no-skip-existing", dest="skip_existing",
                    action="store_false")
     p.add_argument("--mat2vec-path", default=_default_mat2vec())

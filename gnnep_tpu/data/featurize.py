@@ -182,6 +182,7 @@ def build_graph(
     cutoff: float = 5.0,
     fallback_cutoff: float = 7.5,
     mat2vec: Optional[Dict[str, np.ndarray]] = None,
+    guess_oxidation: bool = True,
     sg_num: Optional[int] = None,
     reduced_formula: Optional[str] = None,
     prototype: Optional[str] = None,
@@ -212,7 +213,8 @@ def build_graph(
                   else np.zeros((0, 6 + m2v_dim)))
 
     # ---- bonds (vectorized edge geometry) --------------------------------
-    edges, used_method = find_edges(structure, nn_method, cutoff, fallback_cutoff)
+    edges, used_method = find_edges(structure, nn_method, cutoff,
+                                    fallback_cutoff, guess_oxidation)
     n_e = len(edges)
     src_arr = np.fromiter((e[0] for e in edges), np.int32, n_e)
     dst_arr = np.fromiter((e[1] for e in edges), np.int32, n_e)

@@ -98,14 +98,23 @@ def shortest_image(structure: Structure, i: int, j: int) -> Tuple[int, int, int]
     return best
 
 
-def crystalnn_neighbors(structure: Structure) -> List[Edge]:
-    """CrystalNN bonded-structure edges via pymatgen (optional dependency)."""
+def crystalnn_neighbors(structure: Structure,
+                        guess_oxidation: bool = True) -> List[Edge]:
+    """CrystalNN bonded-structure edges via pymatgen (optional dependency).
+
+    `guess_oxidation` adds guessed oxidation states first, improving
+    CrystalNN bonding quality (reference fetch.py:333-339)."""
     from pymatgen.core import Lattice as PmgLattice, Structure as PmgStructure  # type: ignore
     from pymatgen.analysis.local_env import CrystalNN  # type: ignore
 
     pmg = PmgStructure(
         PmgLattice(structure.lattice.matrix), structure.species,
         structure.frac_coords, coords_are_cartesian=False)
+    if guess_oxidation:
+        try:
+            pmg.add_oxidation_state_by_guess()
+        except Exception:
+            pass
     cnn = CrystalNN()
     sg = cnn.get_bonded_structure(pmg)
     edges: List[Edge] = []
@@ -122,7 +131,8 @@ def crystalnn_neighbors(structure: Structure) -> List[Edge]:
 
 
 def find_edges(structure: Structure, method: str, cutoff: float,
-               fallback_cutoff: float = 7.5) -> Tuple[List[Edge], str]:
+               fallback_cutoff: float = 7.5,
+               guess_oxidation: bool = True) -> Tuple[List[Edge], str]:
     """Dispatch on neighbor method with the reference's fallback semantics.
 
     'crystalnn' attempts pymatgen CrystalNN and falls back to a fixed-radius
@@ -131,7 +141,7 @@ def find_edges(structure: Structure, method: str, cutoff: float,
     """
     if method == "crystalnn":
         try:
-            edges = crystalnn_neighbors(structure)
+            edges = crystalnn_neighbors(structure, guess_oxidation)
         except Exception:
             edges = []
         if edges:

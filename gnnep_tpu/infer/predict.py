@@ -158,7 +158,8 @@ def load_custom_samples(input_file: str | Path, ensemble: Ensemble,
                 cutoff=float(entry.get("cutoff", DEFAULT_CUTOFF)),
                 fallback_cutoff=float(entry.get("fallback_cutoff",
                                                 DEFAULT_FALLBACK_CUTOFF)),
-                mat2vec=lookup if m2v_dim else None)
+                mat2vec=lookup if m2v_dim else None,
+                guess_oxidation=bool(entry.get("guess_oxidation", True)))
             if m2v_dim and not lookup:
                 pad = np.zeros((sample.n_nodes, m2v_dim), dtype=np.float32)
                 sample.node_feats = np.concatenate([sample.node_feats, pad], axis=1)

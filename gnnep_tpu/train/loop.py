@@ -42,6 +42,9 @@ class TrainHyper:
     feature_jitter_std: float = 0.1
     min_logvar_floor: float = MIN_LOGVAR_FLOOR
     grad_clip: float = 5.0
+    # 'adamw' (decoupled weight decay, reference default) or 'adam'
+    # (coupled L2 added to gradients, reference --optimizer adam)
+    optimizer: str = "adamw"
     # 'float32' or 'bfloat16': compute dtype for the forward/backward pass
     # (parameters and optimizer state stay fp32 — the TPU analogue of the
     # reference's AMP autocast, train.py:632-636; no loss scaling needed)
@@ -157,8 +160,13 @@ def make_train_step(cfg: AlignnConfig, hyper: TrainHyper,
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
         grads = jax.tree.map(lambda g: g * scale, grads)
+        if hyper.optimizer == "adam":      # coupled L2: decay enters the moments
+            grads = jax.tree.map(lambda g, p: g + hyper.weight_decay * p,
+                                 grads, params)
+            wd = 0.0
+        else:                              # AdamW: decoupled decay at the update
+            wd = hyper.weight_decay
         updates, opt_state = adam.update(grads, opt_state, params)
-        wd = hyper.weight_decay
 
         def apply_leaf(u, p, is_sigma):
             lr = jnp.where(is_sigma, lr_sigma, lr_mean)

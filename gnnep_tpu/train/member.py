@@ -114,6 +114,7 @@ def train_member(
     hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
                        feature_jitter_std=cfg.feature_jitter_std,
                        min_logvar_floor=cfg.min_logvar_floor,
+                       optimizer=cfg.optimizer,
                        compute_dtype=cfg.compute_dtype)
     step, init_opt = make_train_step(model_cfg, hyper,
                                      transformer.means, transformer.stds)
