@@ -168,3 +168,48 @@ class TestFeaturize:
         g = build_graph(self.s, nn_method="crystalnn", cutoff=5.0, basis=self.basis)
         assert g.neighbor_method in ("cutoff", "crystalnn")
         assert g.n_edges > 0
+
+
+class TestPhysicsInvariance:
+    def test_rotation_invariance_of_scalars(self):
+        """Rigid rotation of the lattice leaves distances, RBF features, and
+        line-graph angles unchanged (only direction components rotate)."""
+        rng = np.random.default_rng(11)
+        basis = BasisConfig(rbf_n=6, rbf_cutoff=5.0, angle_n=5)
+        mat = np.eye(3) * 4.1 + rng.normal(0, 0.3, (3, 3))
+        fracs = rng.random((4, 3))
+        s1 = Structure(Lattice(mat), ["Si", "O", "Fe", "O"], fracs)
+        # random proper rotation via QR
+        q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+        q *= np.sign(np.linalg.det(q))
+        s2 = Structure(Lattice(mat @ q), ["Si", "O", "Fe", "O"], fracs)
+        g1 = build_graph(s1, nn_method="cutoff", cutoff=4.0, basis=basis)
+        g2 = build_graph(s2, nn_method="cutoff", cutoff=4.0, basis=basis)
+        assert g1.n_edges == g2.n_edges and g1.n_lg_edges == g2.n_lg_edges
+        # RBF + ΔEN blocks identical; direction block differs by the rotation
+        np.testing.assert_allclose(g1.edge_attr[:, :7], g2.edge_attr[:, :7],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(g2.edge_attr[:, 7:10],
+                                   g1.edge_attr[:, 7:10] @ np.asarray(q, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+        # angles fully invariant
+        np.testing.assert_allclose(g1.lg_attr, g2.lg_attr, rtol=1e-4, atol=1e-5)
+        # metric tensor & volume-derived globals invariant
+        np.testing.assert_allclose(g1.global_scalars[:8], g2.global_scalars[:8],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_supercell_consistency(self):
+        """A 1x1x2 supercell doubles counts but preserves per-edge geometry."""
+        basis = BasisConfig(rbf_n=6, rbf_cutoff=5.0, angle_n=5)
+        a = 3.2
+        s1 = Structure(Lattice(np.eye(3) * a), ["Po"], [[0, 0, 0]])
+        mat2 = np.diag([a, a, 2 * a])
+        s2 = Structure(Lattice(mat2), ["Po", "Po"], [[0, 0, 0], [0, 0, 0.5]])
+        g1 = build_graph(s1, nn_method="cutoff", cutoff=a * 1.05, basis=basis)
+        g2 = build_graph(s2, nn_method="cutoff", cutoff=a * 1.05, basis=basis)
+        assert g2.n_edges == 2 * g1.n_edges
+        assert g2.n_lg_edges == 2 * g1.n_lg_edges
+        # identical sorted bond-length spectra (RBF col 0 monotone in dist)
+        np.testing.assert_allclose(np.sort(g2.edge_attr[:, 0]),
+                                   np.repeat(np.sort(g1.edge_attr[:, 0]), 2),
+                                   rtol=1e-6)
