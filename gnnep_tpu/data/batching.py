@@ -63,6 +63,10 @@ class GraphBatch(NamedTuple):
     node_out_mask: np.ndarray   # [Np, Doa] f32
     lg_out_edges: np.ndarray    # [Ep, Dol] i32 LG slots with src == bond
     lg_out_mask: np.ndarray     # [Ep, Dol] f32
+    edge_src_order: np.ndarray  # [Ep] i32 permutation sorting edges by src
+    edge_src_starts: np.ndarray  # [Np] i32 per-node start in that order
+    lg_src_order: np.ndarray    # [Lp] i32 permutation sorting LG by src
+    lg_src_starts: np.ndarray   # [Ep] i32 per-bond start in that order
 
     @property
     def capacity(self):
@@ -164,6 +168,14 @@ def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
         table_mask[ds, cum] = 1.0
         pos[es] = ds.astype(np.int64) * cap + cum
     return table, table_mask, pos
+
+
+def src_csr_index(src_vals: np.ndarray, n_rows: int):
+    """Permutation sorting an arena by source plus per-row segment starts —
+    the gather-transpose layout consumed by the windowed segment-sum kernel."""
+    order = np.argsort(src_vals, kind="stable").astype(np.int32)
+    starts = np.searchsorted(src_vals[order], np.arange(n_rows)).astype(np.int32)
+    return order, starts
 
 
 def _round_up(x: int, m: int) -> int:
@@ -297,12 +309,15 @@ class BatchPacker:
             edge_src, edge_mask, Np, b.max_out_degree, dummy_edge)
         lg_ot, lg_ot_mask, _ = build_incoming_table(
             lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1)
+        e_order, e_starts = src_csr_index(edge_src, Np)
+        l_order, l_starts = src_csr_index(lg_src, Ep)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
                           globals_, sg_num, y, graph_mask, weight, sample_index,
                           node_tab, node_tab_mask, edge_pos,
                           lg_tab, lg_tab_mask, lg_pos,
-                          node_ot, node_ot_mask, lg_ot, lg_ot_mask)
+                          node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+                          e_order, e_starts, l_order, l_starts)
 
 
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,

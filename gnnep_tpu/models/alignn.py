@@ -150,6 +150,7 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 p, state, batch.lg_src, batch.lg_dst, feats,
                 batch.lg_in_edges, batch.lg_in_mask, batch.lg_table_pos,
                 batch.lg_out_edges, batch.lg_out_mask,
+                batch.lg_src_order, batch.lg_src_starts,
                 heads=cfg.heads, edge_mask=batch.lg_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused)
 
@@ -158,6 +159,7 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 p, state, batch.edge_src, batch.edge_dst, feats,
                 batch.node_in_edges, batch.node_in_mask, batch.edge_table_pos,
                 batch.node_out_edges, batch.node_out_mask,
+                batch.edge_src_order, batch.edge_src_starts,
                 heads=cfg.heads, edge_mask=batch.edge_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused)
     else:

@@ -94,6 +94,8 @@ def transformer_conv_table(
     pos: jnp.ndarray,           # [E] inverse table map
     out_edges: Optional[jnp.ndarray] = None,  # [N, Do] outgoing table
     out_mask: Optional[jnp.ndarray] = None,
+    src_order: Optional[jnp.ndarray] = None,   # [E] permutation sorting by src
+    src_starts: Optional[jnp.ndarray] = None,  # [N] segment starts in that order
     *,
     heads: int,
     edge_mask: Optional[jnp.ndarray] = None,
@@ -117,13 +119,32 @@ def transformer_conv_table(
     r = proj[:, 3 * hidden:]
     e = edge_attr @ params.w_edge                      # [E, H]
 
-    # single [E, 2H] gather of (k‖v) rows, then add edge embeddings in 2-D.
-    # NOTE: measured on v5e — `indexed_gather` (dense-table VJP) regresses
-    # here: its [N, D, 2H] backward materialization costs more than the
-    # sort-based segment-sum transpose of gather_rows. Tables stay available
-    # for kernels that can reduce them in VMEM.
-    kv = gather_rows(proj[:, hidden:3 * hidden], src)
-    q_dst = gather_rows(q, dst)
+    # gathers of (k‖v) by src and q by dst; both VJPs route through the
+    # windowed Pallas segment-sum when the CSR layouts allow it (the XLA
+    # transpose is a row-serial scatter-add — the dominant backward cost),
+    # falling back to gather_rows' sort-based segment-sum otherwise. (A
+    # dense-table VJP was tried and measured slower — see PERF.md.)
+    from .pallas.csr_attention import fusable as _sum_ok
+    from .pallas.csr_attention import csr_gather, csr_gather_ordered
+
+    row_ptr = None
+    e_total = src.shape[0]
+    _interp = jax.default_backend() != "tpu"
+    fuse_gathers = fused and (
+        not _interp or bool(__import__("os").environ.get("GNNEP_FORCE_FUSED")))
+    if (fuse_gathers and src_order is not None and src_starts is not None
+            and out_edges is not None
+            and _sum_ok(src_starts.shape[0], e_total, out_edges.shape[1],
+                        hidden=2 * hidden)
+            and _sum_ok(n, e_total, in_edges.shape[1], hidden=hidden)):
+        kv = csr_gather_ordered(proj[:, hidden:3 * hidden], src, src_order,
+                                src_starts, out_edges.shape[1], _interp)
+        row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
+                                   ).astype(jnp.int32)
+        q_dst = csr_gather(q, dst, row_ptr[:-1], in_edges.shape[1], _interp)
+    else:
+        kv = gather_rows(proj[:, hidden:3 * hidden], src)
+        q_dst = gather_rows(q, dst)
     k_j = kv[:, :hidden] + e                           # [E, H]
     v_j = kv[:, hidden:] + e
     # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
@@ -138,8 +159,9 @@ def transformer_conv_table(
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     from .pallas.csr_attention import fusable, fused_aggregate
 
-    if fused and fusable(n, logits_e.shape[0], in_edges.shape[1],
-                         hidden=hidden):
+    use_fused = fused and fusable(n, src.shape[0], in_edges.shape[1],
+                                  hidden=hidden)
+    if use_fused:
         # Pallas fused path (requires CSR-sorted edges); attention dropout
         # becomes a per-edge post-softmax scale shared by forward and VJP
         scale_e = None
@@ -147,8 +169,9 @@ def transformer_conv_table(
             keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                         logits_e.shape)
             scale_e = keep.astype(logits_e.dtype) / (1.0 - dropout_rate)
-        row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
-                                   ).astype(jnp.int32)
+        if row_ptr is None:
+            row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
+                                       ).astype(jnp.int32)
         # kernel scratch is f32; cast at the boundary under bf16 compute
         msg = fused_aggregate(
             logits_e.astype(jnp.float32), v_j.astype(jnp.float32), row_ptr,

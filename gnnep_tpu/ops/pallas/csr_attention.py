@@ -203,7 +203,7 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
     block_n = pick_block_n(n, e_total, max_in_degree, hidden, block_n)
     if block_n is None:
         raise ValueError("fused_aggregate preconditions not met")
-    cap = _round_up(block_n * max_in_degree + 128, 128)
+    cap = min(_round_up(block_n * max_in_degree + 128, 128), e_total)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if scale_e is None:
@@ -229,9 +229,10 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
     for bn in (128, 64, 32, 16, 8):
         if bn > preferred or n % bn:
             continue
-        cap = _round_up(bn * max_in_degree + 128, 128)
+        # a window larger than the arena clamps to the whole arena
+        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
         win_bytes = cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
-        if cap <= e_total and win_bytes <= _VMEM_BUDGET:
+        if win_bytes <= _VMEM_BUDGET:
             return bn
     return None
 
@@ -243,3 +244,114 @@ def fusable(n: int, e_total: int, max_in_degree: int, block_n: int = 128,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Windowed plain segment-sum (the gather-transpose kernel)
+# ---------------------------------------------------------------------------
+
+def _sum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, vals_hbm, out_ref,
+                win, sems, *, bn: int, cap: int, hidden: int):
+    i = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[i], 128)
+    cp = pltpu.make_async_copy(vals_hbm.at[pl.ds(start, cap)], win, sems)
+    cp.start()
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = ((pos >= lo[:, None]) & (pos < hi[:, None])).astype(jnp.float32)
+    cp.wait()
+    out_ref[:, :] = jnp.dot(member, win[:, :],
+                            preferred_element_type=jnp.float32)
+
+
+def windowed_segment_sum(values: jnp.ndarray, seg_starts: jnp.ndarray,
+                         e_total_end: int, *, max_deg: int,
+                         block_n: int = 128,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Σ over contiguous CSR segments via windowed DMA + 0/1 matmul.
+
+    `values` [E, H] must be segment-contiguous (sorted by target);
+    `seg_starts` [N] are the per-segment start offsets (row_ptr[:-1]), the
+    final segment ending at `e_total_end`. This is the MXU formulation of
+    the gather transpose — the XLA alternative is a row-serial scatter-add.
+    """
+    e_total, hidden = values.shape
+    n = seg_starts.shape[0]
+    bn = pick_block_n(n, e_total, max_deg, hidden, block_n)
+    if bn is None:
+        raise ValueError("windowed_segment_sum preconditions not met")
+    cap = min(_round_up(bn * max_deg + 128, 128), e_total)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_blocks = n // bn
+    rp_lo = seg_starts.reshape(n_blocks, bn)
+    rp_hi = jnp.concatenate([seg_starts[1:],
+                             jnp.asarray([e_total_end], seg_starts.dtype)]
+                            ).reshape(n_blocks, bn)
+    starts = jnp.minimum((rp_lo[:, 0] // 128) * 128,
+                         jnp.maximum(e_total - cap, 0)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, bn), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, bn), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bn, hidden), lambda i, s: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_sum_kernel, bn=bn, cap=cap, hidden=hidden)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+        interpret=interpret,
+    )(starts, rp_lo, rp_hi, values)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def csr_gather(x, idx, seg_starts, max_deg, interpret):
+    """`x[idx]` for segment-contiguous `idx` (the arena's sort key); the VJP
+    is a windowed segment-sum over the cotangent."""
+    return x[idx]
+
+
+def _csr_gather_fwd(x, idx, seg_starts, max_deg, interpret):
+    return x[idx], (idx.shape[0], seg_starts)
+
+
+def _csr_gather_bwd(max_deg, interpret, res, g):
+    e_total, seg_starts = res
+    dx = windowed_segment_sum(g.astype(jnp.float32), seg_starts, e_total,
+                              max_deg=max_deg, interpret=interpret)
+    return dx.astype(g.dtype), None, None
+
+
+csr_gather.defvjp(_csr_gather_fwd, _csr_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def csr_gather_ordered(x, idx, order, seg_starts, max_deg, interpret):
+    """`x[idx]` for arbitrary `idx`, with `order` a permutation that sorts
+    `idx` into contiguous segments (precomputed at pack time); the VJP
+    permutes the cotangent then runs the windowed segment-sum."""
+    return x[idx]
+
+
+def _csr_gather_ordered_fwd(x, idx, order, seg_starts, max_deg, interpret):
+    return x[idx], (idx.shape[0], order, seg_starts)
+
+
+def _csr_gather_ordered_bwd(max_deg, interpret, res, g):
+    e_total, order, seg_starts = res
+    g_sorted = g[order]
+    dx = windowed_segment_sum(g_sorted.astype(jnp.float32), seg_starts,
+                              e_total, max_deg=max_deg, interpret=interpret)
+    return dx.astype(g.dtype), None, None, None
+
+
+csr_gather_ordered.defvjp(_csr_gather_ordered_fwd, _csr_gather_ordered_bwd)

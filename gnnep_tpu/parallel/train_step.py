@@ -38,7 +38,8 @@ from .mesh import DATA_AXIS, EDGE_AXIS
 _EDGE_FIELDS = {"edge_src", "edge_dst", "edge_attr", "edge_mask",
                 "lg_src", "lg_dst", "lg_attr", "lg_mask",
                 "edge_table_pos", "lg_in_edges", "lg_in_mask", "lg_table_pos",
-                "lg_out_edges", "lg_out_mask"}
+                "lg_out_edges", "lg_out_mask", "edge_src_order",
+                "lg_src_order", "lg_src_starts"}
 
 
 def batch_pspecs() -> GraphBatch:
@@ -87,7 +88,12 @@ def stack_for_mesh(batches: List[GraphBatch], n_data: int) -> GraphBatch:
                                       l_tab.shape[0] * l_tab.shape[1] - 1),
             node_out_edges=np.full_like(np.asarray(proto.node_out_edges),
                                         dummy_edge),
-            lg_out_edges=np.full_like(np.asarray(proto.lg_out_edges), dummy_lg))
+            lg_out_edges=np.full_like(np.asarray(proto.lg_out_edges), dummy_lg),
+            edge_src_order=np.tile(np.arange(dummy_edge + 1, dtype=np.int32),
+                                   1),
+            lg_src_order=np.tile(np.arange(dummy_lg + 1, dtype=np.int32), 1),
+            edge_src_starts=np.zeros_like(np.asarray(proto.edge_src_starts)),
+            lg_src_starts=np.zeros_like(np.asarray(proto.lg_src_starts)))
         pads = [empty] * (n_data - len(batches))
     stacked = [np.stack([np.asarray(getattr(b, f)) for b in [*batches, *pads]])
                for f in GraphBatch._fields]

@@ -62,7 +62,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
 
     y = np.exp(rng.normal(4.0, 0.9, size=(G, target_dim))).astype(np.float32)
 
-    from ..data.batching import apply_csr_sort, build_incoming_table
+    from ..data.batching import (apply_csr_sort, build_incoming_table,
+                                 src_csr_index)
 
     (edge_src, edge_dst, edge_attr, edge_mask,
      lg_src, lg_dst, lg_attr, lg_mask) = apply_csr_sort(
@@ -99,7 +100,11 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         edge_table_pos=edge_pos,
         lg_in_edges=lg_tab, lg_in_mask=lg_tab_mask, lg_table_pos=lg_pos,
         node_out_edges=node_ot, node_out_mask=node_ot_mask,
-        lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask)
+        lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask,
+        edge_src_order=src_csr_index(edge_src, Np)[0],
+        edge_src_starts=src_csr_index(edge_src, Np)[1],
+        lg_src_order=src_csr_index(lg_src, Ep)[0],
+        lg_src_starts=src_csr_index(lg_src, Ep)[1])
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,

@@ -103,9 +103,11 @@ class TestFusedAggregate:
 
     def test_fusable_predicate(self):
         assert fusable(256, 10240, 16, block_n=128)
+        assert fusable(256, 128, 16, block_n=128)         # window clamps to E
         assert not fusable(250, 10240, 16, block_n=128)   # n not divisible
-        assert not fusable(256, 128, 16, block_n=128)     # window > E
         assert not fusable(256, 10000, 16, block_n=128)   # E not 128-aligned
+        # degree so large no block size fits VMEM
+        assert not fusable(256, 1 << 20, 4096, block_n=128)
 
     def test_model_fused_vs_table(self, monkeypatch):
         """End-to-end model parity: conv_impl='fused' vs 'table'."""
@@ -134,3 +136,100 @@ class TestFusedAggregate:
         mt, lt = alignn_apply(params, cfg_t, batch)
         np.testing.assert_allclose(np.asarray(mf), np.asarray(mt),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestWindowedSegmentSum:
+    def test_matches_numpy(self, rng):
+        from gnnep_tpu.ops.pallas.csr_attention import windowed_segment_sum
+        n, h = 32, 16
+        degs = rng.integers(0, 6, n)
+        seg = np.repeat(np.arange(n), degs)
+        e_real = seg.shape[0]
+        e_total = max(-(-(e_real + 8) // 128) * 128, 256)
+        vals = rng.normal(size=(e_total, h)).astype(np.float32)
+        vals[e_real:] = 0.0  # padded cotangents are zero by construction
+        seg_starts = np.searchsorted(seg, np.arange(n)).astype(np.int32)
+        got = windowed_segment_sum(jnp.asarray(vals), jnp.asarray(seg_starts),
+                                   e_total, max_deg=8, block_n=8,
+                                   interpret=True)
+        want = np.zeros((n, h), np.float32)
+        for e in range(e_real):
+            want[seg[e]] += vals[e]
+        # dummy/tail row unspecified; compare the rest
+        np.testing.assert_allclose(np.asarray(got)[:-1], want[:-1],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_csr_gather_grads(self, rng):
+        from gnnep_tpu.ops.pallas.csr_attention import (csr_gather,
+                                                        csr_gather_ordered)
+        n, h = 32, 16
+        degs = rng.integers(0, 6, n - 1)
+        dst = np.sort(np.concatenate([np.repeat(np.arange(n - 1), degs)]))
+        e_real = dst.shape[0]
+        e_total = 256
+        dst = np.concatenate([dst, np.full(e_total - e_real, n - 1)]).astype(np.int32)
+        x = rng.normal(size=(n, h)).astype(np.float32)
+        starts = np.searchsorted(dst, np.arange(n)).astype(np.int32)
+        w = rng.normal(size=(e_total, h)).astype(np.float32)
+        w[e_real:] = 0.0
+
+        def loss_fused(xx):
+            return (csr_gather(xx, jnp.asarray(dst), jnp.asarray(starts),
+                               8, True) * w).sum()
+
+        def loss_ref(xx):
+            return (xx[jnp.asarray(dst)] * w).sum()
+
+        g1 = np.asarray(jax.grad(loss_fused)(jnp.asarray(x)))
+        g2 = np.asarray(jax.grad(loss_ref)(jnp.asarray(x)))
+        np.testing.assert_allclose(g1[:-1], g2[:-1], rtol=1e-4, atol=1e-5)
+
+        # unsorted index set with precomputed order
+        idx = rng.integers(0, n - 1, e_total).astype(np.int32)
+        idx[e_real:] = n - 1
+        order = np.argsort(idx, kind="stable").astype(np.int32)
+        starts2 = np.searchsorted(idx[order], np.arange(n)).astype(np.int32)
+
+        def loss_ord(xx):
+            return (csr_gather_ordered(xx, jnp.asarray(idx), jnp.asarray(order),
+                                       jnp.asarray(starts2), 48, True) * w).sum()
+
+        def loss_ord_ref(xx):
+            return (xx[jnp.asarray(idx)] * w).sum()
+
+        g3 = np.asarray(jax.grad(loss_ord)(jnp.asarray(x)))
+        g4 = np.asarray(jax.grad(loss_ord_ref)(jnp.asarray(x)))
+        np.testing.assert_allclose(g3[:-1], g4[:-1], rtol=1e-4, atol=1e-5)
+
+    def test_model_grad_parity_fused_gathers(self, monkeypatch):
+        """Full-model gradient parity: fused (kernel + CSR-gather VJPs) vs
+        the plain table path."""
+        monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synthetic import make_store
+        from gnnep_tpu.data.batching import BatchBudget, BatchPacker
+        from gnnep_tpu.models.alignn import AlignnConfig, alignn_apply, init_alignn
+        import dataclasses as dc
+
+        store = make_store(10, seed=12)
+        budget = dc.replace(BatchBudget.plan(store, range(10), batch_size=10),
+                            n_nodes=128, n_edges=256, n_lg_edges=1024)
+        batch = next(iter(BatchPacker(store, budget).pack(range(10))))
+        base = dict(node_dim=store.node_dim, edge_dim=store.edge_dim,
+                    angle_dim=store.angle_dim,
+                    global_dim=store.global_scalar_dim + 230,
+                    target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0)
+        cfg_f = AlignnConfig(**base, conv_impl="fused")
+        cfg_t = AlignnConfig(**base, conv_impl="table")
+        params = init_alignn(jax.random.PRNGKey(0), cfg_f)
+
+        def loss(p, cfg):
+            m, l = alignn_apply(p, cfg, batch)
+            return (m ** 2).sum() + (l ** 2).sum()
+
+        gf = jax.grad(lambda p: loss(p, cfg_f))(params)
+        gt = jax.grad(lambda p: loss(p, cfg_t))(params)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gt)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-4)
