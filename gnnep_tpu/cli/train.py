@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Save mid-training resume state every N epochs (0=off)")
     p.add_argument("--resume", action="store_true",
                    help="Resume member training from saved resume state")
+    p.add_argument("--profile-dir", default="",
+                   help="Write a jax.profiler trace of the first epoch here")
     p.add_argument("--batch-quantile", type=float, default=0.95)
     p.add_argument("--batch-slack", type=float, default=1.15)
     p.add_argument("--quiet", action="store_true")
@@ -133,7 +135,7 @@ def config_from_args(args) -> TrainConfig:
         knn_refresh=args.knn_refresh, save_embeddings=args.save_embeddings,
         conv_impl=args.conv_impl,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
+        resume=args.resume, profile_dir=args.profile_dir,
         member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,
         batch_slack=args.batch_slack, verbose=not args.quiet)
 

@@ -81,6 +81,7 @@ class TrainConfig:
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints
     member_parallel: str = "sequential"  # 'sequential' | 'vmap'
+    profile_dir: str = ""                # jax.profiler trace output (first epoch)
     save_embeddings: bool = False
     batch_quantile: float = 0.95
     batch_slack: float = 1.15

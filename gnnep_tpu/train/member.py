@@ -185,11 +185,13 @@ def train_member(
     weights_active_epoch: Optional[int] = None
     last_snapshot_epoch: Optional[int] = None
 
-    from ..utils.profiling import ThroughputMeter
+    from ..utils.profiling import ThroughputMeter, maybe_trace
 
     t0 = time.time()
     meter = ThroughputMeter()
     for epoch in range(start_epoch, cfg.epochs + 1):
+        trace_ctx = maybe_trace(cfg.profile_dir if epoch == start_epoch
+                                and cfg.profile_dir else None)
         lr_mean = mean_sched(epoch - 1)
         lr_sigma = sigma_sched(epoch - 1)
         use_weights = (cfg.enable_density_weighting and weights_by_index is not None
@@ -209,19 +211,20 @@ def train_member(
         # double-buffered host→device prefetch: device_put is async, so batch
         # i+1 streams in while batch i computes (host↔device bandwidth is a
         # first-class cost on tunneled runtimes — see PERF.md)
-        pending = jax.device_put(batches[0]) if batches else None
-        for i, b in enumerate(batches):
-            cur = pending
-            if i + 1 < len(batches):
-                pending = jax.device_put(batches[i + 1])
-            key, step_key = jax.random.split(key)
-            params, opt_state, m = step(params, opt_state, smask, cur, step_key,
-                                        lr_mean, lr_sigma)
-            meter.count_batch(b)
-            sums += np.array([float(m.loss_sum), float(m.n_graphs),
-                              float(m.abs_err_sum), float(m.sq_err_sum)])
-            logvar_sum += float(m.logvar_sum)
-            n_el += float(m.n_elements)
+        with trace_ctx:
+            pending = jax.device_put(batches[0]) if batches else None
+            for i, b in enumerate(batches):
+                cur = pending
+                if i + 1 < len(batches):
+                    pending = jax.device_put(batches[i + 1])
+                key, step_key = jax.random.split(key)
+                params, opt_state, m = step(params, opt_state, smask, cur,
+                                            step_key, lr_mean, lr_sigma)
+                meter.count_batch(b)
+                sums += np.array([float(m.loss_sum), float(m.n_graphs),
+                                  float(m.abs_err_sum), float(m.sq_err_sum)])
+                logvar_sum += float(m.logvar_sum)
+                n_el += float(m.n_elements)
         train_loss = sums[0] / max(sums[1], 1.0)
         train_mae = sums[2] / max(sums[1], 1.0)
         train_rmse = math.sqrt(sums[3] / max(n_el, 1.0))

@@ -115,3 +115,34 @@ class TestBf16:
         # master params remain fp32
         assert all(np.asarray(l).dtype == np.float32
                    for l in jax.tree.leaves(params))
+
+
+class TestAdamVariant:
+    def test_adam_coupled_decay_runs_and_learns(self):
+        from gnnep_tpu.data.batching import epoch_batches
+        from gnnep_tpu.train.ensemble import model_config, prepare
+        from gnnep_tpu.train.loop import make_train_step
+        from synthetic import make_store
+
+        store = make_store(12, seed=9)
+        cfg = TrainConfig(batch_size=12, hidden=16, layers=1, heads=2,
+                          ensemble_size=2, verbose=False, optimizer="adam")
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        hyper = TrainHyper(feature_jitter_std=0.0, optimizer="adam",
+                           weight_decay=1e-2)
+        step, init_opt = make_train_step(mc, hyper, setup.transformer.means,
+                                         setup.transformer.stds)
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        opt = init_opt(params)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for _ in range(20):
+            for b in batches:
+                key, k = jax.random.split(key)
+                params, opt, m = step(params, opt, smask, b, k, 3e-3, 3e-3)
+            losses.append(float(m.loss_sum) / max(float(m.n_graphs), 1))
+        assert losses[-1] < losses[0]
