@@ -57,31 +57,6 @@ def _table_gather_bwd(res, g):
 table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
 
 
-@jax.custom_vjp
-def indexed_gather(x: jnp.ndarray, idx: jnp.ndarray, table: jnp.ndarray,
-                   mask: jnp.ndarray) -> jnp.ndarray:
-    """`x[idx]` whose VJP reduces over a dense inverse table.
-
-    `table[n, d]` lists the positions in `idx` that reference row n (the
-    in/out tables built at pack time), so the backward pass is
-    `(g[table] * mask).sum(axis=1)` — a streaming gather+reduce instead of
-    the row-serial TPU scatter-add XLA would emit for the transpose.
-    """
-    return x[idx]
-
-
-def _indexed_gather_fwd(x, idx, table, mask):
-    return x[idx], (table, mask)
-
-
-def _indexed_gather_bwd(res, g):
-    table, mask = res
-    gt = g[table] * mask.reshape(mask.shape + (1,) * (g.ndim - 1))
-    return gt.sum(axis=1), None, None, None
-
-
-indexed_gather.defvjp(_indexed_gather_fwd, _indexed_gather_bwd)
-
 
 def transformer_conv_table(
     params: TransformerConvParams,

@@ -87,6 +87,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         dummy_edge)
     lg_ot, lg_ot_mask, _ = build_incoming_table(
         lg_src, lg_mask, Ep, rounded_cap(lg_src, lg_mask, lg_table_cap), Lp - 1)
+    e_order, e_starts = src_csr_index(edge_src, Np)
+    l_order, l_starts = src_csr_index(lg_src, Ep)
     return GraphBatch(
         nodes=nodes, node_graph=node_graph,
         edge_src=edge_src, edge_dst=edge_dst, edge_attr=edge_attr,
@@ -101,10 +103,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         lg_in_edges=lg_tab, lg_in_mask=lg_tab_mask, lg_table_pos=lg_pos,
         node_out_edges=node_ot, node_out_mask=node_ot_mask,
         lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask,
-        edge_src_order=src_csr_index(edge_src, Np)[0],
-        edge_src_starts=src_csr_index(edge_src, Np)[1],
-        lg_src_order=src_csr_index(lg_src, Ep)[0],
-        lg_src_starts=src_csr_index(lg_src, Ep)[1])
+        edge_src_order=e_order, edge_src_starts=e_starts,
+        lg_src_order=l_order, lg_src_starts=l_starts)
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,
