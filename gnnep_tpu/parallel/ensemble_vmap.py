@@ -63,6 +63,12 @@ def train_members_vmapped(setup, cfg: TrainConfig
     lrs = [float(cfg.member_override(cfg.member_lrs, i, cfg.lr)) for i in range(m)]
 
     mc = model_config(cfg, s, hidden=hidden, dropout=dropouts[0])
+    if mc.conv_impl == "fused":
+        # vmapping pallas_call across the member axis is not supported;
+        # the XLA table path vmaps cleanly
+        import dataclasses as _dc
+
+        mc = _dc.replace(mc, conv_impl="table")
     hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
                        feature_jitter_std=cfg.feature_jitter_std,
                        min_logvar_floor=cfg.min_logvar_floor)
