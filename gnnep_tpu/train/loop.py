@@ -210,9 +210,15 @@ def collect_predictions(forward, params, batches) -> Tuple[np.ndarray, np.ndarra
                                                            np.ndarray, np.ndarray]:
     """Run forward over batches, returning per-real-graph arrays on host:
     (mean_z [N,T], sigma_z [N,T], y_linear [N,T], sample_index [N])."""
+    import jax
+
     means, sigmas, ys, idxs = [], [], [], []
-    for b in batches:
-        mean, logvar = forward(params, b)
+    pending = jax.device_put(batches[0]) if batches else None
+    for i, b in enumerate(batches):
+        cur = pending
+        if i + 1 < len(batches):
+            pending = jax.device_put(batches[i + 1])  # async prefetch
+        mean, logvar = forward(params, cur)
         mask = np.asarray(b.graph_mask) > 0
         means.append(np.asarray(mean)[mask])
         sigmas.append(np.sqrt(np.exp(np.asarray(logvar)))[mask])

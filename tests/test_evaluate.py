@@ -141,3 +141,26 @@ class TestEvaluateRunner:
             make_plots=False)
         result = run_evaluation(ecfg, store)
         assert result["split"] == "fold1"
+
+
+@pytest.mark.slow
+class TestEvaluateWithoutConformal:
+    def test_runner_handles_missing_conformal(self, tmp_path):
+        """Evaluation must degrade gracefully when conformal.json is absent
+        (identity debias, no conformal coverage metrics)."""
+        store = make_store(24, seed=6)
+        tcfg = TrainConfig(
+            save_dir=str(tmp_path / "ens"), batch_size=8, epochs=1, hidden=16,
+            layers=1, heads=2, ensemble_size=2, seed=42,
+            val_frac=0.15, calib_frac=0.15, test_frac=0.15,
+            bootstrap=False, feature_jitter_std=0.0, verbose=False)
+        run_training(tcfg, store)
+        (tmp_path / "ens" / "conformal.json").unlink()
+        ecfg = EvalConfig(
+            ensemble_dir=str(tmp_path / "ens"), output_dir=str(tmp_path / "eval"),
+            batch_size=8, seed=42, val_frac=0.15, calib_frac=0.15,
+            test_frac=0.15, ensemble_size=2, eval_split="test",
+            make_plots=False)
+        result = run_evaluation(ecfg, store)
+        assert result["overall"]["conformal_coverage"] is None
+        assert math.isfinite(result["overall"]["rmse"])
