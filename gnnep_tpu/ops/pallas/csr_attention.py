@@ -231,7 +231,9 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
             continue
         # a window larger than the arena clamps to the whole arena
         cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
-        win_bytes = cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
+        # scratch windows + ~3 live [bn, cap] softmax/mask temporaries
+        win_bytes = (cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
+                     + 3 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
             return bn
     return None
