@@ -41,6 +41,7 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
             scale_hbm,             # [heads, E] post-softmax scales (dropout)
             v_hbm,                 # [E, H]
             out_ref,               # [BN, H] VMEM output block
+            mx_ref, den_ref,       # [BN, heads] per-row softmax stats (for VJP)
             l_win, s_win, v_win, sems,
             *, bn: int, cap: int, heads: int, ch: int):
     i = pl.program_id(0)
@@ -66,14 +67,16 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
 
     for h in range(heads):
         mat = jnp.where(member, l_win[h, :][None, :], _NEG)  # [BN, cap]
-        mx = jnp.max(mat, axis=1, keepdims=True)
-        e = jnp.exp(mat - jnp.maximum(mx, _NEG))
+        mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
+        e = jnp.exp(mat - mx)
         e = jnp.where(member, e, 0.0)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         alpha = (e / denom) * s_win[h, :][None, :]
         out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
             alpha, v_win[:, h * ch:(h + 1) * ch],
             preferred_element_type=jnp.float32)
+        mx_ref[:, h] = mx[:, 0]
+        den_ref[:, h] = denom[:, 0]
 
 
 def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
@@ -103,7 +106,9 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+                   pl.BlockSpec((block_n, heads), lambda i, s: (i, 0)),
+                   pl.BlockSpec((block_n, heads), lambda i, s: (i, 0))),
         scratch_shapes=[
             pltpu.VMEM((heads, cap), jnp.float32),
             pltpu.VMEM((heads, cap), jnp.float32),
@@ -115,52 +120,43 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((n, heads), jnp.float32),
+                   jax.ShapeDtypeStruct((n, heads), jnp.float32)),
         interpret=interpret,
     )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
       row_ptr[1:].reshape(n_blocks, block_n), logits_e.T, scale_e.T, v_j)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst, in_edges,
-                          in_mask, pos, heads, block_n, cap, interpret):
+                          in_mask, pos, heads, block_n, cap, interpret,
+                          max_in_degree):
     return _pallas_forward(logits_e, scale_e, v_j, row_ptr, heads=heads,
-                           block_n=block_n, cap=cap, interpret=interpret)
-
-
-def _table_alpha(logits_e, in_edges, in_mask):
-    lt = logits_e[in_edges]                            # [N, D, h]
-    lt = jnp.where(in_mask[..., None] > 0, lt, _NEG)
-    lt = lt - jax.lax.stop_gradient(jnp.max(lt, axis=1, keepdims=True))
-    e = jnp.exp(lt) * in_mask[..., None]
-    return e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+                           block_n=block_n, cap=cap, interpret=interpret)[0]
 
 
 def _fwd(logits_e, scale_e, v_j, row_ptr, dst, in_edges, in_mask, pos, heads,
-         block_n, cap, interpret):
-    out = _pallas_forward(logits_e, scale_e, v_j, row_ptr, heads=heads,
-                          block_n=block_n, cap=cap, interpret=interpret)
-    return out, (logits_e, scale_e, v_j, dst, in_edges, in_mask)
+         block_n, cap, interpret, max_in_degree):
+    out, mx, denom = _pallas_forward(logits_e, scale_e, v_j, row_ptr,
+                                     heads=heads, block_n=block_n, cap=cap,
+                                     interpret=interpret)
+    return out, (logits_e, scale_e, v_j, dst, row_ptr, mx, denom)
 
 
-def _bwd(heads, block_n, cap, interpret, res, g):
+def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
     """Scatter-free, edge-space backward.
 
     With post-softmax scale m: out_n = Σ_{e→n} s_e m_e v_e for s = softmax(l)
     within each segment, so dl_e = s_e (m_e u_e − inner_n) with u_e = <g_n,
-    v_e> and inner_n = Σ s m u, and dv_e = s_e m_e g_n. Per-segment softmax
-    stats (max, denom) and `inner` reduce over the SMALL [N, D, heads] logits
-    table; everything wide stays [E, ·] — no [N, D, hidden] materialization.
+    v_e> and inner_n = Σ s m u, and dv_e = s_e m_e g_n. The per-row softmax
+    stats (max, denom) are residuals saved by the forward kernel, and
+    `inner` reduces via the windowed segment-sum — everything wide stays
+    [E, ·] with no table materialization at all.
     """
-    logits_e, scale_e, v_j, dst, in_edges, in_mask = res
+    logits_e, scale_e, v_j, dst, row_ptr, mx, denom = res
     e_total, hidden = v_j.shape
     ch = hidden // heads
-
-    lt = logits_e[in_edges]                              # [N, D, h] (small)
-    lt = jnp.where(in_mask[..., None] > 0, lt, _NEG)
-    mx = jax.lax.stop_gradient(jnp.maximum(lt.max(axis=1), _NEG))   # [N, h]
-    e_t = jnp.exp(lt - mx[:, None]) * in_mask[..., None]
-    denom = jnp.maximum(e_t.sum(axis=1), 1e-16)          # [N, h]
 
     s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]       # [E, h] pre-dropout α
     g_e = g[dst]                                         # [E, H]
@@ -171,7 +167,8 @@ def _bwd(heads, block_n, cap, interpret, res, g):
                                      axis=0))            # [H, heads]
     u_e = (g_e * v_j) @ blocksum                         # [E, h]
     w_e = scale_e * u_e
-    inner = ((s_e * w_e)[in_edges] * in_mask[..., None]).sum(axis=1)  # [N, h]
+    inner = windowed_segment_sum(s_e * w_e, row_ptr[:-1], e_total,
+                                 max_deg=max_in_degree, interpret=interpret)
     dlogits = s_e * (w_e - inner[dst])
     return (dlogits, None, dv, None, None, None, None, None)
 
@@ -210,7 +207,7 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
         scale_e = jnp.ones_like(logits_e)
     return csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst,
                                  in_edges, in_mask, pos, heads, block_n, cap,
-                                 interpret)
+                                 interpret, max_in_degree)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB VMEM limit
