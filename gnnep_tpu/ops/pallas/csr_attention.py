@@ -65,6 +65,8 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
     cp_s.wait()
     cp_v.wait()
 
+    mxs = []
+    dens = []
     for h in range(heads):
         mat = jnp.where(member, l_win[h, :][None, :], _NEG)  # [BN, cap]
         mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
@@ -75,8 +77,11 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
         out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
             alpha, v_win[:, h * ch:(h + 1) * ch],
             preferred_element_type=jnp.float32)
-        mx_ref[:, h] = mx[:, 0]
-        den_ref[:, h] = denom[:, 0]
+        mxs.append(mx)
+        dens.append(denom)
+    # full-block writes: single-column lane slices are illegal on Mosaic
+    mx_ref[:, :] = jnp.concatenate(mxs, axis=1)
+    den_ref[:, :] = jnp.concatenate(dens, axis=1)
 
 
 def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
