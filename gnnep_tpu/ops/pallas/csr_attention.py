@@ -41,7 +41,8 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
             scale_hbm,             # [heads, E] post-softmax scales (dropout)
             v_hbm,                 # [E, H]
             out_ref,               # [BN, H] VMEM output block
-            mx_ref, den_ref,       # [BN, heads] per-row softmax stats (for VJP)
+            stats_ref,             # [BN, 256]: max in cols 0:heads, denom in
+                                   # cols 128:128+heads (lane-aligned packing)
             l_win, s_win, v_win, sems,
             *, bn: int, cap: int, heads: int, ch: int):
     i = pl.program_id(0)
@@ -79,9 +80,11 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
             preferred_element_type=jnp.float32)
         mxs.append(mx)
         dens.append(denom)
-    # full-block writes: single-column lane slices are illegal on Mosaic
-    mx_ref[:, :] = jnp.concatenate(mxs, axis=1)
-    den_ref[:, :] = jnp.concatenate(dens, axis=1)
+    # stats packed into one 2x128-lane block (narrow outputs are illegal
+    # Mosaic slices); cols 0:heads = max, 128:128+heads = denom
+    pad = jnp.zeros((bn, 128 - heads), jnp.float32)
+    stats_ref[:, :] = jnp.concatenate(
+        [*mxs, pad, *dens, pad], axis=1)
 
 
 def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
@@ -112,8 +115,7 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
-                   pl.BlockSpec((block_n, heads), lambda i, s: (i, 0)),
-                   pl.BlockSpec((block_n, heads), lambda i, s: (i, 0))),
+                   pl.BlockSpec((block_n, 256), lambda i, s: (i, 0))),
         scratch_shapes=[
             pltpu.VMEM((heads, cap), jnp.float32),
             pltpu.VMEM((heads, cap), jnp.float32),
@@ -126,8 +128,7 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((n, heads), jnp.float32),
-                   jax.ShapeDtypeStruct((n, heads), jnp.float32)),
+                   jax.ShapeDtypeStruct((n, 256), jnp.float32)),
         interpret=interpret,
     )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
       row_ptr[1:].reshape(n_blocks, block_n), logits_e.T, scale_e.T, v_j)
@@ -143,9 +144,11 @@ def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst, in_edges,
 
 def _fwd(logits_e, scale_e, v_j, row_ptr, dst, in_edges, in_mask, pos, heads,
          block_n, cap, interpret, max_in_degree):
-    out, mx, denom = _pallas_forward(logits_e, scale_e, v_j, row_ptr,
-                                     heads=heads, block_n=block_n, cap=cap,
-                                     interpret=interpret)
+    out, stats = _pallas_forward(logits_e, scale_e, v_j, row_ptr,
+                                 heads=heads, block_n=block_n, cap=cap,
+                                 interpret=interpret)
+    mx = stats[:, :heads]
+    denom = stats[:, 128:128 + heads]
     return out, (logits_e, scale_e, v_j, dst, row_ptr, mx, denom)
 
 
