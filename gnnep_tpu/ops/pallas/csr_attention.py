@@ -175,8 +175,12 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
                                      axis=0))            # [H, heads]
     u_e = (g_e * v_j) @ blocksum                         # [E, h]
     w_e = scale_e * u_e
-    inner = windowed_segment_sum(s_e * w_e, row_ptr[:-1], e_total,
-                                 max_deg=max_in_degree, interpret=interpret)
+    # pad the slim [E, heads] tensor to a full 128-lane tile — narrow dim-1
+    # windows are illegal Mosaic slices
+    sw = jnp.pad(s_e * w_e, ((0, 0), (0, 128 - heads)))
+    inner = windowed_segment_sum(sw, row_ptr[:-1], e_total,
+                                 max_deg=max_in_degree,
+                                 interpret=interpret)[:, :heads]
     dlogits = s_e * (w_e - inner[dst])
     return (dlogits, None, dv, None, None, None, None, None)
 
