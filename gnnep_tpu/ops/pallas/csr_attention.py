@@ -87,19 +87,32 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
         [*mxs, pad, *dens, pad], axis=1)
 
 
+def _window_starts(row_ptr, block_n: int, cap: int, e_total: int):
+    """128-aligned-down per-block window starts, clamped to the arena.
+
+    Mosaic requires lane-dim slices to be 128-aligned; cap carries the +128
+    margin so an aligned-down start still covers the block's full edge
+    range, and e_total % 128 == 0 keeps the clamped tail start aligned too.
+    """
+    block_starts = row_ptr[:-1:block_n]
+    return jnp.minimum((block_starts // 128) * 128,
+                       jnp.maximum(e_total - cap, 0)).astype(jnp.int32)
+
+
 def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
                     block_n: int, cap: int, interpret: bool) -> jnp.ndarray:
+    return _pallas_forward_t(logits_e.T, scale_e.T, v_j, row_ptr, heads=heads,
+                             block_n=block_n, cap=cap, interpret=interpret)
+
+
+def _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, *, heads: int,
+                      block_n: int, cap: int, interpret: bool) -> jnp.ndarray:
+    """Forward over pre-transposed [heads, E] logits/scale arenas."""
     e_total, hidden = v_j.shape
     n = row_ptr.shape[0] - 1
     ch = hidden // heads
     n_blocks = n // block_n
-    # window starts aligned down to the 128-lane tile (Mosaic requires
-    # lane-dim slices to be 128-aligned); cap carries the +128 margin so an
-    # aligned-down start still covers the block's full edge range, and
-    # e_total % 128 == 0 keeps the clamped tail start aligned too
-    block_starts = row_ptr[:-1:block_n]
-    starts = jnp.minimum((block_starts // 128) * 128,
-                         jnp.maximum(e_total - cap, 0)).astype(jnp.int32)
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -131,7 +144,7 @@ def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
                    jax.ShapeDtypeStruct((n, 256), jnp.float32)),
         interpret=interpret,
     )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
-      row_ptr[1:].reshape(n_blocks, block_n), logits_e.T, scale_e.T, v_j)
+      row_ptr[1:].reshape(n_blocks, block_n), logits_t, scale_t, v_j)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
@@ -144,12 +157,152 @@ def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst, in_edges,
 
 def _fwd(logits_e, scale_e, v_j, row_ptr, dst, in_edges, in_mask, pos, heads,
          block_n, cap, interpret, max_in_degree):
-    out, stats = _pallas_forward(logits_e, scale_e, v_j, row_ptr,
-                                 heads=heads, block_n=block_n, cap=cap,
-                                 interpret=interpret)
-    mx = stats[:, :heads]
-    denom = stats[:, 128:128 + heads]
-    return out, (logits_e, scale_e, v_j, dst, row_ptr, mx, denom)
+    logits_t = logits_e.T          # [heads, E]: the kernels' window layout
+    scale_t = scale_e.T
+    out, stats = _pallas_forward_t(logits_t, scale_t, v_j, row_ptr,
+                                   heads=heads, block_n=block_n, cap=cap,
+                                   interpret=interpret)
+    return out, (logits_t, scale_t, v_j, dst, row_ptr, stats)
+
+
+def _bwd_kernel(starts_ref,            # SMEM: [n_blocks] window starts
+                rp_lo_ref, rp_hi_ref,  # [BN] row-pointer begin/end
+                logits_hbm,            # [heads, E] ANY
+                scale_hbm,             # [heads, E] ANY
+                v_hbm,                 # [E, H] ANY
+                g_ref,                 # [BN, H] VMEM block (out cotangent)
+                stats_ref,             # [BN, 256] VMEM block (fwd softmax stats)
+                dl0_hbm, dv0_hbm,      # zero-init arenas aliased to outputs
+                dl_out,                # [heads, E] ANY output
+                dv_out,                # [E, H] ANY output
+                l_win, s_win, v_win, dl_acc, dv_acc, sems,
+                *, bn: int, cap: int, heads: int, ch: int):
+    """Fused backward for the segment softmax-aggregate.
+
+    Recomputes the softmax matrix S[n, e] in-register from the forward's
+    saved (max, denom) stats, then per head runs the two MXU contractions
+    U = g·vᵀ (SDDMM) and dv = Aᵀ·g inside the window, plus the row
+    reductions for `inner` and the column collapse for dlogits. Edge-space
+    outputs are accumulated into zero-initialized arenas with overlapping
+    read-modify-write windows — safe because TPU grids execute
+    sequentially, so each block folds its member-masked contribution into
+    whatever earlier blocks already wrote.
+    """
+    i = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[i], 128)
+    cp_l = pltpu.make_async_copy(logits_hbm.at[:, pl.ds(start, cap)], l_win,
+                                 sems.at[0])
+    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
+                                 sems.at[1])
+    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[2])
+    # RMW reads of the current output content (zeros + earlier blocks' writes)
+    cp_dl = pltpu.make_async_copy(dl_out.at[:, pl.ds(start, cap)], dl_acc,
+                                  sems.at[3])
+    cp_dv = pltpu.make_async_copy(dv_out.at[pl.ds(start, cap)], dv_acc,
+                                  sems.at[4])
+    cp_l.start()
+    cp_s.start()
+    cp_v.start()
+    cp_dl.start()
+    cp_dv.start()
+
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])   # [BN, cap]
+
+    cp_l.wait()
+    cp_s.wait()
+    cp_v.wait()
+    cp_dl.wait()
+    cp_dv.wait()
+
+    stats = stats_ref[:, :]
+    dl_rows = []
+    for h in range(heads):
+        mat = jnp.where(member, l_win[h, :][None, :], _NEG)       # [BN, cap]
+        mx = stats[:, h:h + 1]
+        den = stats[:, 128 + h:129 + h]
+        # the > _NEG/2 clamp keeps masked logits (−1e30) at S=0 even when a
+        # row's max is itself −1e30 (all-masked segments)
+        s_mat = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0) / den
+        sc = s_win[h, :][None, :]
+        a_mat = s_mat * sc                                        # α·dropout
+        g_h = g_ref[:, h * ch:(h + 1) * ch]                       # [BN, ch]
+        v_h = v_win[:, h * ch:(h + 1) * ch]                       # [cap, ch]
+        u_mat = jax.lax.dot_general(                              # [BN, cap]
+            g_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w_mat = sc * u_mat
+        inner = jnp.sum(a_mat * u_mat, axis=1, keepdims=True)     # [BN, 1]
+        dl_mat = s_mat * (w_mat - inner)                          # [BN, cap]
+        # each window column has at most one member row (S=0 elsewhere)
+        dl_rows.append(jnp.sum(dl_mat, axis=0, keepdims=True))    # [1, cap]
+        dv_h = jax.lax.dot_general(                               # [cap, ch]
+            a_mat, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_acc[:, h * ch:(h + 1) * ch] = dv_acc[:, h * ch:(h + 1) * ch] + dv_h
+    dl_acc[:, :] = dl_acc[:, :] + jnp.concatenate(dl_rows, axis=0)
+
+    wb_l = pltpu.make_async_copy(dl_acc, dl_out.at[:, pl.ds(start, cap)],
+                                 sems.at[3])
+    wb_v = pltpu.make_async_copy(dv_acc, dv_out.at[pl.ds(start, cap)],
+                                 sems.at[4])
+    wb_l.start()
+    wb_v.start()
+    # writes must land before the next (sequential) block's RMW read
+    wb_l.wait()
+    wb_v.wait()
+
+
+def _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g, stats, *,
+                       heads: int, block_n: int, cap: int, interpret: bool):
+    """Host wrapper: returns (dlogits_t [heads, E], dv [E, H])."""
+    e_total, hidden = v_j.shape
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+            pl.BlockSpec((block_n, 256), lambda i, s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((heads, cap), jnp.float32),
+            pltpu.VMEM((heads, cap), jnp.float32),
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((heads, cap), jnp.float32),
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, bn=block_n, cap=cap, heads=heads,
+                               ch=ch)
+    dl0 = jnp.zeros((heads, e_total), jnp.float32)
+    dv0 = jnp.zeros((e_total, hidden), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((heads, e_total), jnp.float32),
+                   jax.ShapeDtypeStruct((e_total, hidden), jnp.float32)),
+        # flat inputs: starts, rp_lo, rp_hi, logits, scale, v, g, stats, dl0, dv0
+        input_output_aliases={8: 0, 9: 1},
+        interpret=interpret,
+    )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), logits_t, scale_t, v_j,
+      g.astype(jnp.float32), stats, dl0, dv0)
 
 
 def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
@@ -157,15 +310,28 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
 
     With post-softmax scale m: out_n = Σ_{e→n} s_e m_e v_e for s = softmax(l)
     within each segment, so dl_e = s_e (m_e u_e − inner_n) with u_e = <g_n,
-    v_e> and inner_n = Σ s m u, and dv_e = s_e m_e g_n. The per-row softmax
-    stats (max, denom) are residuals saved by the forward kernel, and
-    `inner` reduces via the windowed segment-sum — everything wide stays
-    [E, ·] with no table materialization at all.
+    v_e> and inner_n = Σ s m u, and dv_e = s_e m_e g_n. Preferred path: the
+    fused backward kernel (everything in one VMEM-windowed pass). Fallback
+    (backward VMEM budget unmet): XLA edge-space streams with the windowed
+    segment-sum for `inner`.
     """
-    logits_e, scale_e, v_j, dst, row_ptr, mx, denom = res
+    logits_t, scale_t, v_j, dst, row_ptr, stats = res
     e_total, hidden = v_j.shape
+    n = row_ptr.shape[0] - 1
     ch = hidden // heads
 
+    bn_b = pick_block_n_bwd(n, e_total, max_in_degree, hidden)
+    if bn_b is not None:
+        cap_b = min(_round_up(bn_b * max_in_degree + 128, 128), e_total)
+        dl_t, dv = _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g,
+                                      stats, heads=heads, block_n=bn_b,
+                                      cap=cap_b, interpret=interpret)
+        return (dl_t.T, None, dv, None, None, None, None, None)
+
+    mx = stats[:, :heads]
+    denom = stats[:, 128:128 + heads]
+    logits_e = logits_t.T
+    scale_e = scale_t.T
     s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]       # [E, h] pre-dropout α
     g_e = g[dst]                                         # [E, H]
     sm = s_e * scale_e
@@ -243,6 +409,24 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
         # scratch windows + ~3 live [bn, cap] softmax/mask temporaries
         win_bytes = (cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
                      + 3 * bn * cap * 4)
+        if win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def pick_block_n_bwd(n: int, e_total: int, max_in_degree: int, hidden: int,
+                     preferred: int = 128):
+    """Block size for the fused backward kernel (its own VMEM budget:
+    two [cap, H] windows — values and the dv accumulator — plus ~6 live
+    [bn, cap] softmax/SDDMM temporaries)."""
+    if e_total % 128:
+        return None
+    for bn in (128, 64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        win_bytes = (2 * cap * hidden * 4 + 4 * 8 * cap * 4
+                     + 2 * bn * max(hidden, 256) * 4 + 6 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
             return bn
     return None

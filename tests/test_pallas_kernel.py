@@ -101,6 +101,69 @@ class TestFusedAggregate:
             np.testing.assert_allclose(np.asarray(a)[real], np.asarray(b)[real],
                                        rtol=1e-4, atol=1e-5)
 
+    def test_gradients_with_dropout_scale(self, rng):
+        """Backward-kernel parity including the post-softmax scale path."""
+        logits, v, rp, tab, tmask, pos, dst = _csr_case(rng)
+        scale = (rng.random((logits.shape[0], 2)) > 0.3).astype(np.float32) / 0.7
+
+        def loss_fused(l, vv):
+            out = fused_aggregate(l, vv, jnp.asarray(rp), jnp.asarray(tab),
+                                  jnp.asarray(tmask), jnp.asarray(pos),
+                                  dst=jnp.asarray(dst),
+                                  heads=2, max_in_degree=tab.shape[1],
+                                  scale_e=jnp.asarray(scale),
+                                  block_n=8, interpret=True)
+            return (out ** 2).sum()
+
+        def loss_ref(l, vv):
+            lt = l[jnp.asarray(tab)]
+            lt = jnp.where(jnp.asarray(tmask)[..., None] > 0, lt, -1e30)
+            lt = lt - jax.lax.stop_gradient(lt.max(axis=1, keepdims=True))
+            e = jnp.exp(lt) * jnp.asarray(tmask)[..., None]
+            alpha = e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+            alpha = alpha * jnp.asarray(scale)[jnp.asarray(tab)]
+            vt = vv[jnp.asarray(tab)].reshape(tab.shape[0], tab.shape[1], 2, 8)
+            out = jnp.einsum("ndh,ndhc->nhc", alpha, vt).reshape(tab.shape[0], 16)
+            return (out ** 2).sum()
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1))(jnp.asarray(logits), jnp.asarray(v))
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(logits), jnp.asarray(v))
+        real = dst < tab.shape[0] - 1
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a)[real], np.asarray(b)[real],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_backward_kernel_matches_xla_fallback(self, rng):
+        """The fused backward kernel and the XLA edge-space fallback must
+        produce identical (dlogits, dv)."""
+        from gnnep_tpu.ops.pallas import csr_attention as mod
+        logits, v, rp, tab, tmask, pos, dst = _csr_case(rng)
+        scale = (rng.random((logits.shape[0], 2)) > 0.2).astype(np.float32) / 0.8
+
+        def loss(l, vv, use_kernel):
+            # force/deny the kernel path via pick_block_n_bwd monkeypatching
+            out = fused_aggregate(l, vv, jnp.asarray(rp), jnp.asarray(tab),
+                                  jnp.asarray(tmask), jnp.asarray(pos),
+                                  dst=jnp.asarray(dst),
+                                  heads=2, max_in_degree=tab.shape[1],
+                                  scale_e=jnp.asarray(scale),
+                                  block_n=8, interpret=True)
+            return (out * np.arange(out.shape[1])[None, :]).sum()
+
+        orig = mod.pick_block_n_bwd
+        try:
+            g_kernel = jax.grad(loss, argnums=(0, 1))(
+                jnp.asarray(logits), jnp.asarray(v), True)
+            mod.pick_block_n_bwd = lambda *a, **k: None
+            g_xla = jax.grad(loss, argnums=(0, 1))(
+                jnp.asarray(logits), jnp.asarray(v), False)
+        finally:
+            mod.pick_block_n_bwd = orig
+        real = dst < tab.shape[0] - 1
+        for a, b in zip(g_kernel, g_xla):
+            np.testing.assert_allclose(np.asarray(a)[real], np.asarray(b)[real],
+                                       rtol=1e-5, atol=1e-6)
+
     def test_fusable_predicate(self):
         assert fusable(256, 10240, 16, block_n=128)
         assert fusable(256, 128, 16, block_n=128)         # window clamps to E
