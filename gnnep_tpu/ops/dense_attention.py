@@ -99,6 +99,7 @@ def transformer_conv_table(
     # transpose is a row-serial scatter-add — the dominant backward cost),
     # falling back to gather_rows' sort-based segment-sum otherwise. (A
     # dense-table VJP was tried and measured slower — see PERF.md.)
+    from .pallas.csr_attention import attn_fusable, fused_attention
     from .pallas.csr_attention import fusable as _sum_ok
     from .pallas.csr_attention import csr_gather, csr_gather_ordered
 
@@ -107,6 +108,18 @@ def transformer_conv_table(
     _interp = jax.default_backend() != "tpu"
     fuse_gathers = fused and (
         not _interp or bool(__import__("os").environ.get("GNNEP_FORCE_FUSED")))
+    # fully fused attention (q·k SDDMM in-kernel): no q gather, no [E, heads]
+    # logits tensor, no edge-mask stream — padded edges (dst = dummy) are
+    # excluded from real rows by CSR membership alone. Off by default: at
+    # the current ~20 % window density the in-window SDDMM costs more MXU
+    # time than the external [E, H] logits GEMM it replaces (measured
+    # 28.3 vs 27.2 ms/step — see PERF.md); flips on via GNNEP_ATTN_FUSED=1
+    # once window density improves.
+    use_attn = (fused
+                and bool(__import__("os").environ.get("GNNEP_ATTN_FUSED"))
+                and attn_fusable(n, e_total, in_edges.shape[1],
+                                 hidden=hidden))
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if (fuse_gathers and src_order is not None and src_starts is not None
             and out_edges is not None
             and _sum_ok(src_starts.shape[0], e_total, out_edges.shape[1],
@@ -116,12 +129,33 @@ def transformer_conv_table(
                                 src_starts, out_edges.shape[1], _interp)
         row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                    ).astype(jnp.int32)
-        q_dst = csr_gather(q, dst, row_ptr[:-1], in_edges.shape[1], _interp)
+        q_dst = None if use_attn else csr_gather(q, dst, row_ptr[:-1],
+                                                 in_edges.shape[1], _interp)
     else:
         kv = gather_rows(proj[:, hidden:3 * hidden], src)
-        q_dst = gather_rows(q, dst)
+        q_dst = None if use_attn else gather_rows(q, dst)
     k_j = kv[:, :hidden] + e                           # [E, H]
     v_j = kv[:, hidden:] + e
+
+    from .pallas.csr_attention import fusable, fused_aggregate
+
+    if use_attn:
+        scale_t = None
+        if use_dropout:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                        (heads, e_total))
+            scale_t = keep.astype(jnp.float32) / (1.0 - dropout_rate)
+        if row_ptr is None:
+            row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
+                                       ).astype(jnp.int32)
+        msg = fused_attention(
+            q.astype(jnp.float32), k_j.astype(jnp.float32),
+            v_j.astype(jnp.float32), row_ptr, dst, heads=heads,
+            max_in_degree=in_edges.shape[1], scale_t=scale_t).astype(x.dtype)
+        beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
+                              @ params.w_beta)
+        return beta * r + (1.0 - beta) * msg
+
     # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
     import numpy as _np
 
@@ -130,9 +164,6 @@ def transformer_conv_table(
     logits_e = ((q_dst * k_j) @ blocksum) / math.sqrt(ch)
     if edge_mask is not None:
         logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
-
-    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    from .pallas.csr_attention import fusable, fused_aggregate
 
     use_fused = fused and fusable(n, src.shape[0], in_edges.shape[1],
                                   hidden=hidden)
@@ -147,9 +178,11 @@ def transformer_conv_table(
         if row_ptr is None:
             row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                        ).astype(jnp.int32)
-        # kernel scratch is f32; cast at the boundary under bf16 compute
+        # logits/scale are f32 at the boundary (softmax exp precision); the
+        # value arena keeps the compute dtype — under bf16 the kernels read
+        # half the window bytes and aggregate on the bf16 MXU path
         msg = fused_aggregate(
-            logits_e.astype(jnp.float32), v_j.astype(jnp.float32), row_ptr,
+            logits_e.astype(jnp.float32), v_j, row_ptr,
             in_edges, in_mask, pos, dst=dst, heads=heads,
             max_in_degree=in_edges.shape[1],
             scale_e=None if scale_e is None else scale_e.astype(jnp.float32)

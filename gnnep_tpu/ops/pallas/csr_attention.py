@@ -75,8 +75,10 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
         e = jnp.where(member, e, 0.0)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         alpha = (e / denom) * s_win[h, :][None, :]
+        # under bf16 compute the value window arrives bf16 — half the DMA
+        # bytes and a native-bf16 MXU aggregation (f32 accumulate)
         out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
-            alpha, v_win[:, h * ch:(h + 1) * ch],
+            alpha.astype(v_win.dtype), v_win[:, h * ch:(h + 1) * ch],
             preferred_element_type=jnp.float32)
         mxs.append(mx)
         dens.append(denom)
@@ -132,7 +134,7 @@ def _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, *, heads: int,
         scratch_shapes=[
             pltpu.VMEM((heads, cap), jnp.float32),
             pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), v_j.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -231,7 +233,7 @@ def _bwd_kernel(starts_ref,            # SMEM: [n_blocks] window starts
         g_h = g_ref[:, h * ch:(h + 1) * ch]                       # [BN, ch]
         v_h = v_win[:, h * ch:(h + 1) * ch]                       # [cap, ch]
         u_mat = jax.lax.dot_general(                              # [BN, cap]
-            g_h, v_h, (((1,), (1,)), ((), ())),
+            g_h.astype(v_h.dtype), v_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         w_mat = sc * u_mat
         inner = jnp.sum(a_mat * u_mat, axis=1, keepdims=True)     # [BN, 1]
@@ -239,9 +241,11 @@ def _bwd_kernel(starts_ref,            # SMEM: [n_blocks] window starts
         # each window column has at most one member row (S=0 elsewhere)
         dl_rows.append(jnp.sum(dl_mat, axis=0, keepdims=True))    # [1, cap]
         dv_h = jax.lax.dot_general(                               # [cap, ch]
-            a_mat, g_h, (((0,), (0,)), ((), ())),
+            a_mat.astype(v_h.dtype), g_h.astype(v_h.dtype),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dv_acc[:, h * ch:(h + 1) * ch] = dv_acc[:, h * ch:(h + 1) * ch] + dv_h
+        dv_acc[:, h * ch:(h + 1) * ch] = (
+            dv_acc[:, h * ch:(h + 1) * ch] + dv_h.astype(dv_acc.dtype))
     dl_acc[:, :] = dl_acc[:, :] + jnp.concatenate(dl_rows, axis=0)
 
     wb_l = pltpu.make_async_copy(dl_acc, dl_out.at[:, pl.ds(start, cap)],
@@ -282,21 +286,21 @@ def _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g, stats, *,
         scratch_shapes=[
             pltpu.VMEM((heads, cap), jnp.float32),
             pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), v_j.dtype),
             pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), v_j.dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, bn=block_n, cap=cap, heads=heads,
                                ch=ch)
     dl0 = jnp.zeros((heads, e_total), jnp.float32)
-    dv0 = jnp.zeros((e_total, hidden), jnp.float32)
+    dv0 = jnp.zeros((e_total, hidden), v_j.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((heads, e_total), jnp.float32),
-                   jax.ShapeDtypeStruct((e_total, hidden), jnp.float32)),
+                   jax.ShapeDtypeStruct((e_total, hidden), v_j.dtype)),
         # flat inputs: starts, rp_lo, rp_hi, logits, scale, v, g, stats, dl0, dv0
         input_output_aliases={8: 0, 9: 1},
         interpret=interpret,
@@ -335,11 +339,11 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
     s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]       # [E, h] pre-dropout α
     g_e = g[dst]                                         # [E, H]
     sm = s_e * scale_e
-    dv = jnp.repeat(sm, ch, axis=1) * g_e                # [E, H]
+    dv = (jnp.repeat(sm, ch, axis=1) * g_e).astype(v_j.dtype)  # [E, H]
     # per-head <g, v> as a 2-D block-sum GEMM (no [E, h, c] tiling waste)
     blocksum = jnp.asarray(np.repeat(np.eye(heads, dtype=np.float32), ch,
                                      axis=0))            # [H, heads]
-    u_e = (g_e * v_j) @ blocksum                         # [E, h]
+    u_e = (g_e * v_j.astype(jnp.float32)) @ blocksum     # [E, h]
     w_e = scale_e * u_e
     # pad the slim [E, heads] tensor to a full 128-lane tile — narrow dim-1
     # windows are illegal Mosaic slices
@@ -442,6 +446,364 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Fully fused CSR attention: q·k SDDMM + segment softmax + aggregation
+# ---------------------------------------------------------------------------
+
+def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
+                 k_hbm, v_hbm, scale_hbm,   # [E, H], [E, H], [heads, E] ANY
+                 q_ref,                     # [BN, H] VMEM block
+                 out_ref, stats_ref,        # [BN, H], [BN, 256] VMEM blocks
+                 k_win, v_win, s_win, sems,
+                 *, bn: int, cap: int, heads: int, ch: int, inv_sqrt_ch: float):
+    """Forward: logits are computed in-kernel as the per-head SDDMM
+    q_h · k_hᵀ/√c over the window, so no [E, heads] logits tensor (or its
+    lane-padded transposes and mask streams) ever exists in HBM. Padded
+    edges (dst = dummy) are excluded from every real row by the member mask;
+    the dummy row itself aggregates garbage and is unspecified by contract."""
+    i = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[i], 128)
+    cp_k = pltpu.make_async_copy(k_hbm.at[pl.ds(start, cap)], k_win, sems.at[0])
+    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[1])
+    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
+                                 sems.at[2])
+    cp_k.start()
+    cp_v.start()
+    cp_s.start()
+
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])
+
+    cp_k.wait()
+    cp_v.wait()
+    cp_s.wait()
+
+    mxs = []
+    dens = []
+    for h in range(heads):
+        q_h = q_ref[:, h * ch:(h + 1) * ch]
+        k_h = k_win[:, h * ch:(h + 1) * ch]
+        logits = jax.lax.dot_general(                     # [BN, cap] SDDMM
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        mat = jnp.where(member, logits, _NEG)
+        mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
+        e = jnp.exp(mat - mx)
+        e = jnp.where(member, e, 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        alpha = (e / denom) * s_win[h, :][None, :]
+        out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
+            alpha, v_win[:, h * ch:(h + 1) * ch],
+            preferred_element_type=jnp.float32)
+        mxs.append(mx)
+        dens.append(denom)
+    pad = jnp.zeros((bn, 128 - heads), jnp.float32)
+    stats_ref[:, :] = jnp.concatenate([*mxs, pad, *dens, pad], axis=1)
+
+
+def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
+                     k_hbm, v_hbm, scale_hbm,   # ANY
+                     q_ref, g_ref, stats_ref,   # [BN, ·] VMEM blocks
+                     dk0_hbm, dv0_hbm,          # zero arenas aliased to outputs
+                     dq_ref,                    # [BN, H] VMEM block output
+                     dk_out, dv_out,            # [E, H] ANY outputs
+                     k_win, v_win, s_win, dk_acc, dv_acc, sems,
+                     *, bn: int, cap: int, heads: int, ch: int,
+                     inv_sqrt_ch: float):
+    """Backward: recomputes logits (SDDMM) and the softmax matrix from the
+    forward stats, then per head runs U = g·vᵀ, dv = αᵀ·g, dq = DL·k/√c and
+    dk = DLᵀ·q/√c as MXU contractions in the window. dq is a regular
+    node-space block output; dk/dv accumulate via sequential RMW windows."""
+    i = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[i], 128)
+    cp_k = pltpu.make_async_copy(k_hbm.at[pl.ds(start, cap)], k_win, sems.at[0])
+    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[1])
+    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
+                                 sems.at[2])
+    cp_dk = pltpu.make_async_copy(dk_out.at[pl.ds(start, cap)], dk_acc,
+                                  sems.at[3])
+    cp_dv = pltpu.make_async_copy(dv_out.at[pl.ds(start, cap)], dv_acc,
+                                  sems.at[4])
+    cp_k.start()
+    cp_v.start()
+    cp_s.start()
+    cp_dk.start()
+    cp_dv.start()
+
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])
+
+    cp_k.wait()
+    cp_v.wait()
+    cp_s.wait()
+    cp_dk.wait()
+    cp_dv.wait()
+
+    stats = stats_ref[:, :]
+    for h in range(heads):
+        q_h = q_ref[:, h * ch:(h + 1) * ch]
+        k_h = k_win[:, h * ch:(h + 1) * ch]
+        v_h = v_win[:, h * ch:(h + 1) * ch]
+        g_h = g_ref[:, h * ch:(h + 1) * ch]
+        sc = s_win[h, :][None, :]
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        mat = jnp.where(member, logits, _NEG)
+        mx = stats[:, h:h + 1]
+        den = stats[:, 128 + h:129 + h]
+        s_mat = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0) / den
+        a_mat = s_mat * sc
+        u_mat = jax.lax.dot_general(
+            g_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w_mat = sc * u_mat
+        inner = jnp.sum(a_mat * u_mat, axis=1, keepdims=True)
+        dl_mat = s_mat * (w_mat - inner)                  # [BN, cap]
+        dq_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
+            dl_mat, k_h, preferred_element_type=jnp.float32) * inv_sqrt_ch
+        dk_h = jax.lax.dot_general(
+            dl_mat, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        dk_acc[:, h * ch:(h + 1) * ch] = dk_acc[:, h * ch:(h + 1) * ch] + dk_h
+        dv_h = jax.lax.dot_general(
+            a_mat, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_acc[:, h * ch:(h + 1) * ch] = dv_acc[:, h * ch:(h + 1) * ch] + dv_h
+
+    wb_k = pltpu.make_async_copy(dk_acc, dk_out.at[pl.ds(start, cap)],
+                                 sems.at[3])
+    wb_v = pltpu.make_async_copy(dv_acc, dv_out.at[pl.ds(start, cap)],
+                                 sems.at[4])
+    wb_k.start()
+    wb_k.wait()
+    wb_v.start()
+    wb_v.wait()
+
+
+def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
+                  interpret):
+    e_total, hidden = v_e.shape
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+        ],
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+                   pl.BlockSpec((block_n, 256), lambda i, s: (i, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((heads, cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kernel = functools.partial(_attn_kernel, bn=block_n, cap=cap, heads=heads,
+                               ch=ch, inv_sqrt_ch=1.0 / (ch ** 0.5))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 256), jnp.float32)),
+        interpret=interpret,
+    )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), k_e, v_e, scale_t, q)
+
+
+def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
+                   block_n, cap, interpret):
+    e_total, hidden = v_e.shape
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+            pl.BlockSpec((block_n, 256), lambda i, s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((heads, cap), jnp.float32),
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    kernel = functools.partial(_attn_bwd_kernel, bn=block_n, cap=cap,
+                               heads=heads, ch=ch,
+                               inv_sqrt_ch=1.0 / (ch ** 0.5))
+    dk0 = jnp.zeros((e_total, hidden), jnp.float32)
+    dv0 = jnp.zeros((e_total, hidden), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((e_total, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((e_total, hidden), jnp.float32)),
+        # flat inputs: starts, rp_lo, rp_hi, k, v, scale, q, g, stats, dk0, dv0
+        input_output_aliases={9: 1, 10: 2},
+        interpret=interpret,
+    )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), k_e, v_e, scale_t, q,
+      g.astype(jnp.float32), stats, dk0, dv0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
+                  interpret, max_in_degree, bwd_block_n):
+    """out_n = Σ_{e→n} softmax_e(q_n·k_e/√c)·scale_e·v_e over CSR segments,
+    fully fused (no [E, heads] logits tensor in HBM, forward or backward)."""
+    return _attn_forward(q, k_e, v_e, scale_t, row_ptr, heads=heads,
+                         block_n=block_n, cap=cap, interpret=interpret)[0]
+
+
+def _attn_fwd(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
+              interpret, max_in_degree, bwd_block_n):
+    out, stats = _attn_forward(q, k_e, v_e, scale_t, row_ptr, heads=heads,
+                               block_n=block_n, cap=cap, interpret=interpret)
+    return out, (q, k_e, v_e, scale_t, row_ptr, dst, stats)
+
+
+def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
+              res, g):
+    q, k_e, v_e, scale_t, row_ptr, dst, stats = res
+    e_total, hidden = v_e.shape
+    ch = hidden // heads
+
+    if bwd_block_n is not None:
+        cap_b = min(_round_up(bwd_block_n * max_in_degree + 128, 128), e_total)
+        dq, dk, dv = _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats,
+                                    heads=heads, block_n=bwd_block_n,
+                                    cap=cap_b, interpret=interpret)
+        return (dq, dk, dv, None, None, None)
+
+    # XLA edge-space fallback (backward VMEM budget unmet). With in-kernel
+    # logits the dummy row's stats are self-consistent, so no masking is
+    # needed: g rows for the dummy target are zero, which zeroes every
+    # padded edge's contribution.
+    mx = stats[:, :heads]
+    denom = stats[:, 128:128 + heads]
+    blocksum = jnp.asarray(np.repeat(np.eye(heads, dtype=np.float32), ch,
+                                     axis=0))            # [H, heads]
+    logits_e = ((q[dst] * k_e) @ blocksum) / (ch ** 0.5)
+    scale_e = scale_t.T
+    s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]
+    g_e = g.astype(jnp.float32)[dst]
+    sm = s_e * scale_e
+    dv = jnp.repeat(sm, ch, axis=1) * g_e
+    u_e = (g_e * v_e) @ blocksum
+    w_e = scale_e * u_e
+    sw = jnp.pad(s_e * w_e, ((0, 0), (0, 128 - heads)))
+    inner = windowed_segment_sum(sw, row_ptr[:-1], e_total,
+                                 max_deg=max_in_degree,
+                                 interpret=interpret)[:, :heads]
+    dl = s_e * (w_e - inner[dst])                        # [E, heads]
+    dl_wide = jnp.repeat(dl, ch, axis=1) / (ch ** 0.5)   # [E, H]
+    dk = dl_wide * q[dst]
+    n = row_ptr.shape[0] - 1
+    dq = jax.ops.segment_sum(dl_wide * k_e, dst, num_segments=n,
+                             indices_are_sorted=True)
+    return (dq, dk, dv, None, None, None)
+
+
+csr_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+def pick_block_n_attn(n: int, e_total: int, max_in_degree: int, hidden: int,
+                      preferred: int = 128):
+    """Forward block size for csr_attention: two [cap, H] windows plus ~4
+    live [bn, cap] softmax temporaries."""
+    if e_total % 128:
+        return None
+    for bn in (128, 64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        win_bytes = (2 * cap * hidden * 4 + 8 * cap * 4
+                     + 2 * bn * max(hidden, 256) * 4 + 4 * bn * cap * 4)
+        if win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def pick_block_n_attn_bwd(n: int, e_total: int, max_in_degree: int,
+                          hidden: int, preferred: int = 128):
+    """Backward block size: four [cap, H] windows (k, v, dk, dv) plus ~6
+    live [bn, cap] temporaries."""
+    if e_total % 128:
+        return None
+    for bn in (128, 64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        win_bytes = (4 * cap * hidden * 4 + 8 * cap * 4
+                     + 4 * bn * max(hidden, 256) * 4 + 6 * bn * cap * 4)
+        if win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def attn_fusable(n: int, e_total: int, max_in_degree: int,
+                 hidden: int = 256) -> bool:
+    return pick_block_n_attn(n, e_total, max_in_degree, hidden) is not None
+
+
+def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
+                    row_ptr: jnp.ndarray, dst: jnp.ndarray, *, heads: int,
+                    max_in_degree: int,
+                    scale_t: Optional[jnp.ndarray] = None,
+                    block_n: int = 128,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fully fused CSR attention over CSR-sorted edge arenas.
+
+    `scale_t` is the [heads, E] post-softmax scale (attention dropout);
+    defaults to ones. The dummy row (n-1) owns padded edges and its output
+    is unspecified, as in `fused_aggregate`."""
+    n = row_ptr.shape[0] - 1
+    e_total = v_e.shape[0]
+    hidden = v_e.shape[1]
+    bn = pick_block_n_attn(n, e_total, max_in_degree, hidden, block_n)
+    if bn is None:
+        raise ValueError("fused_attention preconditions not met")
+    cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale_t is None:
+        scale_t = jnp.ones((heads, e_total), jnp.float32)
+    bwd_bn = pick_block_n_attn_bwd(n, e_total, max_in_degree, hidden)
+    return csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, bn, cap,
+                         interpret, max_in_degree, bwd_bn)
+
+
+# ---------------------------------------------------------------------------
 # Windowed plain segment-sum (the gather-transpose kernel)
 # ---------------------------------------------------------------------------
 
@@ -454,7 +816,9 @@ def _sum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, vals_hbm, out_ref,
     lo = rp_lo_ref[i, :] - start
     hi = rp_hi_ref[i, :] - start
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
-    member = ((pos >= lo[:, None]) & (pos < hi[:, None])).astype(jnp.float32)
+    # 0/1 membership is exact in bf16, so the matmul dtype follows the
+    # window (halved DMA under bf16 compute) with f32 accumulation
+    member = ((pos >= lo[:, None]) & (pos < hi[:, None])).astype(win.dtype)
     cp.wait()
     out_ref[:, :] = jnp.dot(member, win[:, :],
                             preferred_element_type=jnp.float32)
@@ -496,7 +860,7 @@ def windowed_segment_sum(values: jnp.ndarray, seg_starts: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bn, hidden), lambda i, s: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), values.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -521,7 +885,7 @@ def _csr_gather_fwd(x, idx, seg_starts, max_deg, interpret):
 
 def _csr_gather_bwd(max_deg, interpret, res, g):
     e_total, seg_starts = res
-    dx = windowed_segment_sum(g.astype(jnp.float32), seg_starts, e_total,
+    dx = windowed_segment_sum(g, seg_starts, e_total,
                               max_deg=max_deg, interpret=interpret)
     return dx.astype(g.dtype), None, None
 
@@ -544,7 +908,7 @@ def _csr_gather_ordered_fwd(x, idx, order, seg_starts, max_deg, interpret):
 def _csr_gather_ordered_bwd(max_deg, interpret, res, g):
     e_total, order, seg_starts = res
     g_sorted = g[order]
-    dx = windowed_segment_sum(g_sorted.astype(jnp.float32), seg_starts,
+    dx = windowed_segment_sum(g_sorted, seg_starts,
                               e_total, max_deg=max_deg, interpret=interpret)
     return dx.astype(g.dtype), None, None, None
 

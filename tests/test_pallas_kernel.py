@@ -201,6 +201,127 @@ class TestFusedAggregate:
                                    rtol=1e-3, atol=1e-4)
 
 
+class TestFusedAttention:
+    """Fully fused CSR attention (q·k SDDMM in-kernel)."""
+
+    def _case(self, rng, n=32, heads=2, hidden=16, cap_d=8):
+        degs = rng.integers(1, cap_d - 1, n)
+        degs[-1] = 0
+        dst = np.repeat(np.arange(n, dtype=np.int32), degs)
+        e_real = dst.shape[0]
+        cap_needed = ((8 * cap_d + 128 + 127) // 128) * 128
+        e_total = max((-(-(e_real + 16) // 128)) * 128, cap_needed)
+        dst = np.concatenate([dst, np.full(e_total - e_real, n - 1, np.int32)])
+        mask = (np.arange(e_total) < e_real).astype(np.float32)
+        q = rng.normal(size=(n, hidden)).astype(np.float32)
+        k = rng.normal(size=(e_total, hidden)).astype(np.float32)
+        v = rng.normal(size=(e_total, hidden)).astype(np.float32)
+        row_ptr = np.searchsorted(dst, np.arange(n + 1)).astype(np.int32)
+        return q, k, v, row_ptr, dst, mask
+
+    def _ref(self, q, k, v, dst, mask, heads, scale_t=None):
+        n, hidden = q.shape
+        ch = hidden // heads
+        e_total = k.shape[0]
+        out = np.zeros((n, hidden), np.float32)
+        for t in range(n):
+            idx = np.nonzero((dst == t) & (mask > 0))[0]
+            if idx.size == 0:
+                continue
+            for h in range(heads):
+                sl = slice(h * ch, (h + 1) * ch)
+                lg = (k[idx, sl] @ q[t, sl]) / np.sqrt(ch)
+                a = np.exp(lg - lg.max())
+                a /= max(a.sum(), 1e-16)
+                if scale_t is not None:
+                    a = a * scale_t[h, idx]
+                out[t, sl] = a @ v[idx, sl]
+        return out
+
+    def test_forward_matches_reference(self, rng):
+        from gnnep_tpu.ops.pallas.csr_attention import fused_attention
+        q, k, v, rp, dst, mask = self._case(rng)
+        got = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              jnp.asarray(rp), jnp.asarray(dst), heads=2,
+                              max_in_degree=8, block_n=8, interpret=True)
+        want = self._ref(q, k, v, dst, mask, heads=2)
+        np.testing.assert_allclose(np.asarray(got)[:-1], want[:-1],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_autodiff_reference(self, rng):
+        from gnnep_tpu.ops.pallas.csr_attention import fused_attention
+        q, k, v, rp, dst, mask = self._case(rng)
+        scale = (rng.random((2, k.shape[0])) > 0.25).astype(np.float32) / 0.75
+        tab_mask = jnp.asarray(mask)
+        w = rng.normal(size=(32, 16)).astype(np.float32)
+
+        def loss_fused(qq, kk, vv):
+            out = fused_attention(qq, kk, vv, jnp.asarray(rp),
+                                  jnp.asarray(dst), heads=2, max_in_degree=8,
+                                  scale_t=jnp.asarray(scale), block_n=8,
+                                  interpret=True)
+            return (out * w).sum()
+
+        def loss_ref(qq, kk, vv):
+            ch = 8
+            d = jnp.asarray(dst)
+            lg = []
+            for h in range(2):
+                sl = slice(h * ch, (h + 1) * ch)
+                lg.append(((qq[d, sl] * kk[:, sl]).sum(-1) / np.sqrt(ch)))
+            logits = jnp.stack(lg, axis=1)
+            logits = jnp.where(tab_mask[:, None] > 0, logits, -1e30)
+            from gnnep_tpu.ops.segment import segment_softmax
+            alpha = segment_softmax(logits, d, 32) * jnp.asarray(scale).T
+            msg = jnp.concatenate(
+                [jax.ops.segment_sum(
+                    alpha[:, h:h+1] * vv[:, h*ch:(h+1)*ch], d, 32)
+                 for h in range(2)], axis=1)
+            return (msg * w).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        real_e = mask > 0
+        np.testing.assert_allclose(np.asarray(gf[0])[:-1],
+                                   np.asarray(gr[0])[:-1],
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(gf[1:], gr[1:]):
+            np.testing.assert_allclose(np.asarray(a)[real_e],
+                                       np.asarray(b)[real_e],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_backward_xla_fallback_matches_kernel(self, rng):
+        from gnnep_tpu.ops.pallas import csr_attention as mod
+        q, k, v, rp, dst, mask = self._case(rng)
+
+        def loss(qq, kk, vv):
+            out = mod.fused_attention(qq, kk, vv, jnp.asarray(rp),
+                                      jnp.asarray(dst), heads=2,
+                                      max_in_degree=8, block_n=8,
+                                      interpret=True)
+            return (out ** 2).sum()
+
+        g_kern = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        orig = mod.pick_block_n_attn_bwd
+        try:
+            mod.pick_block_n_attn_bwd = lambda *a, **kw: None
+            g_xla = jax.grad(loss, argnums=(0, 1, 2))(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        finally:
+            mod.pick_block_n_attn_bwd = orig
+        real_e = mask > 0
+        np.testing.assert_allclose(np.asarray(g_kern[0])[:-1],
+                                   np.asarray(g_xla[0])[:-1],
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(g_kern[1:], g_xla[1:]):
+            np.testing.assert_allclose(np.asarray(a)[real_e],
+                                       np.asarray(b)[real_e],
+                                       rtol=1e-5, atol=1e-6)
+
+
 class TestWindowedSegmentSum:
     def test_matches_numpy(self, rng):
         from gnnep_tpu.ops.pallas.csr_attention import windowed_segment_sum
@@ -266,8 +387,10 @@ class TestWindowedSegmentSum:
 
     def test_model_grad_parity_fused_gathers(self, monkeypatch):
         """Full-model gradient parity: fused (kernel + CSR-gather VJPs) vs
-        the plain table path."""
+        the plain table path — with the fully fused attention boundary
+        active so the csr_attention kernels get model-level coverage."""
         monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")
+        monkeypatch.setenv("GNNEP_ATTN_FUSED", "1")
         import sys
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from synthetic import make_store
