@@ -103,6 +103,18 @@ def main():
     batch = synthetic_batch(rng, n_graphs=n_graphs, mean_atoms=10, degree=10)
     edges_per_step = float(np.asarray(batch.edge_mask).sum()
                            + np.asarray(batch.lg_mask).sum())
+    # exact per-64-target window bounds of this batch → smaller VMEM windows
+    from gnnep_tpu.data.batching import measure_win64
+
+    def _r32(x):
+        return ((x + 31) // 32) * 32
+
+    cfg = dataclasses.replace(
+        cfg,
+        edge_win64=_r32(measure_win64(np.asarray(batch.edge_dst),
+                                      batch.nodes.shape[0])),
+        lg_win64=_r32(measure_win64(np.asarray(batch.lg_dst),
+                                    batch.edge_src.shape[0])))
     batch = jax.device_put(batch, dev)
 
     step, init_opt = make_train_step(cfg, hyper,
@@ -143,6 +155,7 @@ def main():
             "graphs_per_batch": n_graphs,
             "hidden": cfg.hidden, "layers": cfg.layers, "heads": cfg.heads,
             "conv_impl": conv_impl, "compute_dtype": dtype,
+            "edge_win64": cfg.edge_win64, "lg_win64": cfg.lg_win64,
         },
     }))
 

@@ -14,6 +14,11 @@ Conventions:
   target of padded line-graph edges.
 - Graph arena capacity `G`; padded graph rows have `graph_mask=False`,
   y=1.0 (safe under log), weight 0.
+- When the budget carries win64 window bounds, dense regions are DILUTED:
+  masked padding rows are interleaved into the arenas (bond gap rows carry
+  src=dummy but a forward-filled real dst to keep the CSR sort), so "padding
+  ⇒ dst == dummy" holds only for the tail, not for interior gap rows. All
+  consumers treat `*_mask == 0` as the authority.
 """
 from __future__ import annotations
 
@@ -90,10 +95,18 @@ class BatchBudget:
     max_lg_in_degree: int = 32   # dense-table width: bond LG in-degree cap
     max_out_degree: int = 32     # atom out-degree cap (gather-VJP tables)
     max_lg_out_degree: int = 32  # bond LG out-degree cap
+    # packer-enforced window bounds (0 = unenforced): max edge rows owned by
+    # any aligned 64-node group / max LG rows per aligned 64-bond group. The
+    # packer dilutes dense regions with interior padding rows to honor them,
+    # letting the Pallas kernels size VMEM windows far below the
+    # block·max_in_degree worst case (see PERF.md "window density").
+    edge_win64: int = 0
+    lg_win64: int = 0
 
     @classmethod
     def plan(cls, store: GraphStore, indices: Sequence[int], batch_size: int,
-             slack: float = 1.15, quantile: float = 0.95) -> "BatchBudget":
+             slack: float = 1.15, quantile: float = 0.95,
+             win_quantile: float = 0.999) -> "BatchBudget":
         """Size arenas so `batch_size` typical graphs fit: capacity =
         max(largest single graph, batch_size × q-quantile × slack), rounded
         up to a multiple of 8 (TPU sublane) with +1 dummy slot. Dense-table
@@ -116,6 +129,8 @@ class BatchBudget:
             return _round_up(need + 1, mult)
 
         deg_a = deg_l = deg_ao = deg_lo = 1
+        node_counts: List[np.ndarray] = []
+        bond_counts: List[np.ndarray] = []
         for g in idx:
             n_g = int(store.node_off[g + 1] - store.node_off[g])
             e_g = store.edge_dst[store.edge_off[g]:store.edge_off[g + 1]]
@@ -123,11 +138,28 @@ class BatchBudget:
             l_g = store.lg_dst[store.lg_off[g]:store.lg_off[g + 1]]
             ls_g = store.lg_src[store.lg_off[g]:store.lg_off[g + 1]]
             if e_g.size:
-                deg_a = max(deg_a, int(np.bincount(e_g, minlength=n_g).max()))
+                nc = np.bincount(e_g, minlength=n_g)
+                deg_a = max(deg_a, int(nc.max()))
                 deg_ao = max(deg_ao, int(np.bincount(es_g, minlength=n_g).max()))
+                node_counts.append(nc)
             if l_g.size:
-                deg_l = max(deg_l, int(np.bincount(l_g).max()))
+                bc = np.bincount(l_g, minlength=e_g.size)
+                deg_l = max(deg_l, int(bc.max()))
                 deg_lo = max(deg_lo, int(np.bincount(ls_g).max()))
+                bond_counts.append(bc)
+
+        def win_bound(counts: List[np.ndarray], floor: int) -> int:
+            # quantile of aligned-64-group sums over the concatenated
+            # per-target counts; the packer's dilution is the safety valve
+            # for batches that exceed it, so this is a target, not a maximum
+            if not counts:
+                return _round_up(floor, 32)
+            c = np.concatenate(counts)
+            pad = (-c.size) % 64
+            g = np.pad(c, (0, pad)).reshape(-1, 64).sum(axis=1)
+            q = float(np.quantile(g, win_quantile)) * 1.1
+            return _round_up(max(int(np.ceil(q)), floor, 1), 32)
+
         # all arenas pad to the fused kernel's 128 tile (node/edge rows are
         # aggregation blocks; the LG arena is a 128-lane-aligned window source)
         return cls(n_graphs=int(batch_size), n_nodes=cap(n, 128),
@@ -135,7 +167,12 @@ class BatchBudget:
                    max_in_degree=_round_up(deg_a, 4),
                    max_lg_in_degree=_round_up(deg_l, 4),
                    max_out_degree=_round_up(deg_ao, 4),
-                   max_lg_out_degree=_round_up(deg_lo, 4))
+                   max_lg_out_degree=_round_up(deg_lo, 4),
+                   # +128 on the atom floor: LG dilution interleaves padding
+                   # rows into the edge arena, so a single atom's row span
+                   # can exceed its degree by up to two group skips
+                   edge_win64=win_bound(node_counts, deg_a + 128),
+                   lg_win64=win_bound(bond_counts, deg_l))
 
 
 def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
@@ -168,6 +205,126 @@ def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
         table_mask[ds, cum] = 1.0
         pos[es] = ds.astype(np.int64) * cap + cum
     return table, table_mask, pos
+
+
+class DilutionOverflow(Exception):
+    """Honoring a win64 bound would overflow the arena; repack with fewer
+    graphs."""
+
+
+def plan_dilution(counts: np.ndarray, bound: int, cap_rows: int,
+                  group: int = 64) -> Optional[np.ndarray]:
+    """Monotone target remap honoring a per-aligned-group edge bound.
+
+    `counts[t]` is the number of edge rows owned by real target t (in CSR
+    order). Returns new positions such that every aligned `group` of target
+    rows owns ≤ `bound` edge rows, skipping to the next group boundary when
+    a target would overflow the current group — the skipped slots become
+    interior padding rows. None if the remap needs ≥ cap_rows − 1 rows (the
+    last row stays reserved for the dummy target).
+    """
+    n_real = counts.shape[0]
+    new = np.empty(n_real, np.int64)
+    pos = 0
+    acc = 0
+    for t in range(n_real):
+        c = int(counts[t])
+        if acc + c > bound and pos % group:
+            pos = ((pos // group) + 1) * group
+            acc = 0
+        if pos >= cap_rows - 1:
+            return None
+        new[t] = pos
+        acc += c
+        pos += 1
+        if pos % group == 0:
+            acc = 0
+    return new
+
+
+def dilute_for_window_bounds(nodes, node_graph, edge_src, edge_dst, edge_attr,
+                             edge_mask, lg_src, lg_dst, lg_mask, *,
+                             n_real_nodes: int, n_real_edges: int,
+                             edge_win64: int, lg_win64: int):
+    """Relocate tail padding rows into dense regions so every aligned
+    64-target group honors the window bounds.
+
+    Bond-space dilution (for the LG conv) runs first — it interleaves masked
+    bond rows into the edge arena, whose forward-filled dst values keep the
+    atom-CSR sort while extending atom row spans — then node-space dilution
+    (for the atom conv) re-spaces node indices over the final edge arena.
+    Raises DilutionOverflow when a bound cannot be met within capacity.
+    """
+    Np = nodes.shape[0]
+    Ep = edge_src.shape[0]
+    dummy_node, dummy_edge = Np - 1, Ep - 1
+
+    if lg_win64 and n_real_edges:
+        lg_counts = np.bincount(lg_dst[lg_mask > 0].astype(np.int64),
+                                minlength=Ep)[:n_real_edges]
+        new_pos = plan_dilution(lg_counts, lg_win64, Ep)
+        if new_pos is None:
+            raise DilutionOverflow()
+        if int(new_pos[-1]) != n_real_edges - 1:
+            ns = np.full(Ep, dummy_node, np.int32)
+            nd = np.full(Ep, dummy_node, np.int32)
+            na = np.zeros_like(edge_attr)
+            nm = np.zeros(Ep, np.float32)
+            ns[new_pos] = edge_src[:n_real_edges]
+            nd[new_pos] = edge_dst[:n_real_edges]
+            na[new_pos] = edge_attr[:n_real_edges]
+            nm[new_pos] = edge_mask[:n_real_edges]
+            # forward-fill gap rows' dst inside the diluted span: keeps the
+            # arena sorted by dst; the rows stay masked interior padding
+            end = int(new_pos[-1]) + 1
+            assigned = np.zeros(Ep, bool)
+            assigned[new_pos] = True
+            last = np.where(assigned, np.arange(Ep), 0)
+            np.maximum.accumulate(last, out=last)
+            gaps = ~assigned
+            gaps[end:] = False
+            nd[gaps] = nd[last[gaps]]
+            remap = np.full(Ep, dummy_edge, np.int64)
+            remap[:n_real_edges] = new_pos
+            edge_src, edge_dst, edge_attr, edge_mask = ns, nd, na, nm
+            lg_src = remap[lg_src].astype(np.int32)
+            lg_dst = remap[lg_dst].astype(np.int32)
+
+    if edge_win64 and n_real_nodes:
+        rp = np.searchsorted(edge_dst, np.arange(Np + 1))
+        spans = (rp[1:] - rp[:-1])[:n_real_nodes]
+        new_pos = plan_dilution(spans, edge_win64, Np)
+        if new_pos is None:
+            raise DilutionOverflow()
+        if int(new_pos[-1]) != n_real_nodes - 1:
+            nn = np.zeros_like(nodes)
+            ng = np.full(Np, node_graph[dummy_node], np.int32)
+            nn[new_pos] = nodes[:n_real_nodes]
+            ng[new_pos] = node_graph[:n_real_nodes]
+            remap = np.full(Np, dummy_node, np.int64)
+            remap[:n_real_nodes] = new_pos
+            nodes, node_graph = nn, ng
+            edge_src = remap[edge_src].astype(np.int32)
+            edge_dst = remap[edge_dst].astype(np.int32)
+
+    return (nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+            lg_src, lg_dst)
+
+
+def measure_win64(dst_sorted: np.ndarray, n_rows: int, group: int = 64) -> int:
+    """Max edge-row span owned by any aligned group of `group` consecutive
+    aggregation targets, excluding the reserved dummy target's tail padding.
+
+    This is the quantity the Pallas kernels' `win64` window bound must
+    dominate; measuring it on a packed batch yields an exact static bound
+    for single-batch benchmarks, and validates packer-enforced budgets.
+    """
+    rp = np.searchsorted(dst_sorted, np.arange(n_rows + 1)).astype(np.int64)
+    dummy_start = rp[n_rows - 1]
+    rp = np.minimum(rp, dummy_start)
+    starts = rp[0:n_rows:group]
+    end_idx = np.minimum(np.arange(0, n_rows, group) + group, n_rows)
+    return int(np.max(rp[end_idx] - starts)) if n_rows else 0
 
 
 def src_csr_index(src_vals: np.ndarray, n_rows: int):
@@ -211,7 +368,10 @@ def apply_csr_sort(edge_src, edge_dst, edge_attr, edge_mask,
 
 class BatchPacker:
     """Greedy first-fit packer: graphs are packed in the given order until a
-    capacity would overflow, then the batch is emitted."""
+    capacity would overflow, then the batch is emitted. When the budget
+    carries win64 window bounds, batches whose dilution would overflow the
+    arenas are re-emitted with their tail graphs deferred to the next batch.
+    """
 
     def __init__(self, store: GraphStore, budget: BatchBudget):
         self.store = store
@@ -221,24 +381,53 @@ class BatchPacker:
              weights: Optional[np.ndarray] = None,
              drop_remainder: bool = False) -> Iterator[GraphBatch]:
         b = self.budget
+        pending: List[int] = [int(i) for i in indices]
+        pending.reverse()                     # treat as a stack: pop() = next
         cur: List[int] = []
         n_used, e_used, l_used = 0, 0, 0
-        for i in indices:
-            n, e, l = self.store.counts(int(i))
+        while pending:
+            i = pending.pop()
+            n, e, l = self.store.counts(i)
             if n > b.n_nodes - 1 or e > b.n_edges - 1 or l > b.n_lg_edges:
                 raise ValueError(
                     f"Graph {i} (nodes={n}, edges={e}, lg={l}) exceeds batch budget {b}; "
                     "re-plan with a larger quantile/slack.")
             if (len(cur) + 1 > b.n_graphs or n_used + n > b.n_nodes - 1
                     or e_used + e > b.n_edges - 1 or l_used + l > b.n_lg_edges):
-                yield self._assemble(cur, weights)
-                cur, n_used, e_used, l_used = [], 0, 0, 0
-            cur.append(int(i))
+                batch, cur = self._assemble_fitting(cur, weights)
+                yield batch
+                n_used = e_used = l_used = 0
+                for j in cur:
+                    nj, ej, lj = self.store.counts(j)
+                    n_used += nj
+                    e_used += ej
+                    l_used += lj
+            cur.append(i)
             n_used += n
             e_used += e
             l_used += l
         if cur and not drop_remainder:
-            yield self._assemble(cur, weights)
+            while cur:
+                batch, cur = self._assemble_fitting(cur, weights)
+                yield batch
+
+    def _assemble_fitting(self, cur: List[int], weights):
+        """Assemble `cur`, deferring tail graphs while dilution overflows.
+
+        Returns (batch, leftover): leftover graphs start the next batch."""
+        leftover: List[int] = []
+        while True:
+            try:
+                return self._assemble(cur, weights), leftover[::-1]
+            except DilutionOverflow:
+                if len(cur) <= 1:
+                    raise ValueError(
+                        f"Graph {cur} cannot satisfy window bounds "
+                        f"(edge_win64={self.budget.edge_win64}, "
+                        f"lg_win64={self.budget.lg_win64}) within the arena "
+                        "capacities; re-plan with a larger win_quantile or "
+                        "capacity slack.")
+                leftover.append(cur.pop())
 
     def _assemble(self, graph_ids: List[int], weights: Optional[np.ndarray]) -> GraphBatch:
         s, b = self.store, self.budget
@@ -300,6 +489,18 @@ class BatchPacker:
          lg_src, lg_dst, lg_attr, lg_mask) = apply_csr_sort(
             edge_src, edge_dst, edge_attr, edge_mask,
             lg_src, lg_dst, lg_attr, lg_mask)
+
+        if b.edge_win64 or b.lg_win64:
+            (nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+             lg_src, lg_dst) = dilute_for_window_bounds(
+                nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+                lg_src, lg_dst, lg_mask,
+                n_real_nodes=n_cursor, n_real_edges=e_cursor,
+                edge_win64=b.edge_win64, lg_win64=b.lg_win64)
+            if b.edge_win64:
+                assert measure_win64(edge_dst, Np) <= b.edge_win64
+            if b.lg_win64:
+                assert measure_win64(lg_dst, Ep) <= b.lg_win64
 
         node_tab, node_tab_mask, edge_pos = build_incoming_table(
             edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)

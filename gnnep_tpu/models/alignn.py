@@ -49,6 +49,13 @@ class AlignnConfig:
     # 'table' = dense padded-adjacency aggregation (TPU fast path, no XLA
     # scatter); 'coo' = segment-op reference path (same math)
     conv_impl: str = "table"
+    # Optional packer guarantees (0 = none): max edge rows owned by any
+    # aligned group of 64 consecutive aggregation targets — atom-graph rows
+    # per 64 nodes / line-graph rows per 64 bonds. They bound the Pallas
+    # kernels' VMEM windows far below block·max_in_degree, cutting both
+    # window DMA and window-matmul FLOPs (see PERF.md "window density").
+    edge_win64: int = 0
+    lg_win64: int = 0
 
     def __post_init__(self):
         if self.heads <= 0:
@@ -152,7 +159,8 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 batch.lg_out_edges, batch.lg_out_mask,
                 batch.lg_src_order, batch.lg_src_starts,
                 heads=cfg.heads, edge_mask=batch.lg_mask,
-                dropout_rate=drop, dropout_rng=rng, fused=fused)
+                dropout_rate=drop, dropout_rng=rng, fused=fused,
+                win64=cfg.lg_win64)
 
         def atom_conv(p, state, feats, rng):
             return transformer_conv_table(
@@ -161,7 +169,8 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 batch.node_out_edges, batch.node_out_mask,
                 batch.edge_src_order, batch.edge_src_starts,
                 heads=cfg.heads, edge_mask=batch.edge_mask,
-                dropout_rate=drop, dropout_rng=rng, fused=fused)
+                dropout_rate=drop, dropout_rng=rng, fused=fused,
+                win64=cfg.edge_win64)
     else:
         def lg_conv(p, state, feats, rng):
             return transformer_conv(

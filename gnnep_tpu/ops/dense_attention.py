@@ -77,6 +77,7 @@ def transformer_conv_table(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     fused: bool = False,
+    win64: int = 0,
 ) -> jnp.ndarray:
     n = x.shape[0]
     hidden = params.w_query.shape[1]
@@ -118,19 +119,20 @@ def transformer_conv_table(
     use_attn = (fused
                 and bool(__import__("os").environ.get("GNNEP_ATTN_FUSED"))
                 and attn_fusable(n, e_total, in_edges.shape[1],
-                                 hidden=hidden))
+                                 hidden=hidden, win64=win64))
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if (fuse_gathers and src_order is not None and src_starts is not None
             and out_edges is not None
             and _sum_ok(src_starts.shape[0], e_total, out_edges.shape[1],
                         hidden=2 * hidden)
-            and _sum_ok(n, e_total, in_edges.shape[1], hidden=hidden)):
+            and _sum_ok(n, e_total, in_edges.shape[1], hidden=hidden,
+                        win64=win64)):
         kv = csr_gather_ordered(proj[:, hidden:3 * hidden], src, src_order,
                                 src_starts, out_edges.shape[1], _interp)
         row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                    ).astype(jnp.int32)
-        q_dst = None if use_attn else csr_gather(q, dst, row_ptr[:-1],
-                                                 in_edges.shape[1], _interp)
+        q_dst = None if use_attn else csr_gather(
+            q, dst, row_ptr[:-1], in_edges.shape[1], _interp, win64)
     else:
         kv = gather_rows(proj[:, hidden:3 * hidden], src)
         q_dst = None if use_attn else gather_rows(q, dst)
@@ -151,7 +153,8 @@ def transformer_conv_table(
         msg = fused_attention(
             q.astype(jnp.float32), k_j.astype(jnp.float32),
             v_j.astype(jnp.float32), row_ptr, dst, heads=heads,
-            max_in_degree=in_edges.shape[1], scale_t=scale_t).astype(x.dtype)
+            max_in_degree=in_edges.shape[1], scale_t=scale_t,
+            win64=win64).astype(x.dtype)
         beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
                               @ params.w_beta)
         return beta * r + (1.0 - beta) * msg
@@ -166,7 +169,7 @@ def transformer_conv_table(
         logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
 
     use_fused = fused and fusable(n, src.shape[0], in_edges.shape[1],
-                                  hidden=hidden)
+                                  hidden=hidden, win64=win64)
     if use_fused:
         # Pallas fused path (requires CSR-sorted edges); attention dropout
         # becomes a per-edge post-softmax scale shared by forward and VJP
@@ -184,7 +187,7 @@ def transformer_conv_table(
         msg = fused_aggregate(
             logits_e.astype(jnp.float32), v_j, row_ptr,
             in_edges, in_mask, pos, dst=dst, heads=heads,
-            max_in_degree=in_edges.shape[1],
+            max_in_degree=in_edges.shape[1], win64=win64,
             scale_e=None if scale_e is None else scale_e.astype(jnp.float32)
         ).astype(x.dtype)
     else:

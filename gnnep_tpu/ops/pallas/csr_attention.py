@@ -71,8 +71,10 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
     for h in range(heads):
         mat = jnp.where(member, l_win[h, :][None, :], _NEG)  # [BN, cap]
         mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
-        e = jnp.exp(mat - mx)
-        e = jnp.where(member, e, 0.0)
+        # the > _NEG/2 clamp keeps masked logits (−1e30) at weight 0 even in
+        # all-masked segments (mx = −1e30 → exp(0) would otherwise be 1) —
+        # interior masked rows exist once the packer dilutes dense blocks
+        e = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         alpha = (e / denom) * s_win[h, :][None, :]
         # under bf16 compute the value window arrives bf16 — half the DMA
@@ -149,16 +151,16 @@ def _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, *, heads: int,
       row_ptr[1:].reshape(n_blocks, block_n), logits_t, scale_t, v_j)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst, in_edges,
                           in_mask, pos, heads, block_n, cap, interpret,
-                          max_in_degree):
+                          max_in_degree, win64):
     return _pallas_forward(logits_e, scale_e, v_j, row_ptr, heads=heads,
                            block_n=block_n, cap=cap, interpret=interpret)[0]
 
 
 def _fwd(logits_e, scale_e, v_j, row_ptr, dst, in_edges, in_mask, pos, heads,
-         block_n, cap, interpret, max_in_degree):
+         block_n, cap, interpret, max_in_degree, win64):
     logits_t = logits_e.T          # [heads, E]: the kernels' window layout
     scale_t = scale_e.T
     out, stats = _pallas_forward_t(logits_t, scale_t, v_j, row_ptr,
@@ -309,7 +311,7 @@ def _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g, stats, *,
       g.astype(jnp.float32), stats, dl0, dv0)
 
 
-def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
+def _bwd(heads, block_n, cap, interpret, max_in_degree, win64, res, g):
     """Scatter-free, edge-space backward.
 
     With post-softmax scale m: out_n = Σ_{e→n} s_e m_e v_e for s = softmax(l)
@@ -324,9 +326,9 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
     n = row_ptr.shape[0] - 1
     ch = hidden // heads
 
-    bn_b = pick_block_n_bwd(n, e_total, max_in_degree, hidden)
+    bn_b = pick_block_n_bwd(n, e_total, max_in_degree, hidden, win64=win64)
     if bn_b is not None:
-        cap_b = min(_round_up(bn_b * max_in_degree + 128, 128), e_total)
+        cap_b = _win_cap(bn_b, max_in_degree, e_total, win64)
         dl_t, dv = _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g,
                                       stats, heads=heads, block_n=bn_b,
                                       cap=cap_b, interpret=interpret)
@@ -350,7 +352,7 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, res, g):
     sw = jnp.pad(s_e * w_e, ((0, 0), (0, 128 - heads)))
     inner = windowed_segment_sum(sw, row_ptr[:-1], e_total,
                                  max_deg=max_in_degree,
-                                 interpret=interpret)[:, :heads]
+                                 interpret=interpret, win64=win64)[:, :heads]
     dlogits = s_e * (w_e - inner[dst])
     return (dlogits, None, dv, None, None, None, None, None)
 
@@ -365,12 +367,16 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
                     max_in_degree: int,
                     scale_e: Optional[jnp.ndarray] = None,
                     block_n: int = 128,
+                    win64: int = 0,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused segment softmax-aggregate over CSR-sorted edges.
 
     `scale_e` [E, heads] applies post-softmax (attention dropout); defaults
     to ones. Requires n % block_n == 0 and window capacity ≤ E — callers
-    fall back to the dense-table path otherwise (see `fusable`).
+    fall back to the dense-table path otherwise (see `fusable`). `win64` is
+    an optional guarantee that any aligned group of 64 consecutive targets
+    owns at most that many edge rows — it shrinks the VMEM windows (and
+    every window matmul) well below the worst-case block·max_in_degree.
 
     NOTE: the reserved dummy row (index n-1) owns the padded edges under the
     CSR convention, so its output is unspecified (it aggregates padding).
@@ -379,24 +385,40 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
     n = in_edges.shape[0]
     e_total = v_j.shape[0]
     hidden = v_j.shape[1]
-    block_n = pick_block_n(n, e_total, max_in_degree, hidden, block_n)
+    block_n = pick_block_n(n, e_total, max_in_degree, hidden, block_n,
+                           win64=win64)
     if block_n is None:
         raise ValueError("fused_aggregate preconditions not met")
-    cap = min(_round_up(block_n * max_in_degree + 128, 128), e_total)
+    cap = _win_cap(block_n, max_in_degree, e_total, win64)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if scale_e is None:
         scale_e = jnp.ones_like(logits_e)
     return csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst,
                                  in_edges, in_mask, pos, heads, block_n, cap,
-                                 interpret, max_in_degree)
+                                 interpret, max_in_degree, win64)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB VMEM limit
 
 
+def _win_cap(bn: int, max_deg: int, e_total: int, win64: int = 0) -> int:
+    """VMEM window capacity for a block of `bn` targets.
+
+    Two independent upper bounds on the edge-row span of any aligned block:
+    bn · max_in_degree (degree worst case), and — when the packer guarantees
+    it — (bn/64) · win64 (aligned 64-target groups own ≤ win64 rows; blocks
+    of bn ≤ 64 sit inside one group). +128 covers aligning the window start
+    down to the 128-lane tile.
+    """
+    span = bn * max_deg
+    if win64:
+        span = min(span, (max(bn, 64) // 64) * win64)
+    return min(_round_up(span + 128, 128), e_total)
+
+
 def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
-                 preferred: int = 128):
+                 preferred: int = 128, win64: int = 0):
     """Largest power-of-two block size whose window fits the VMEM budget.
 
     Heavy-tailed in-degrees can push `cap = block·D` past VMEM (the window
@@ -409,7 +431,7 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
         if bn > preferred or n % bn:
             continue
         # a window larger than the arena clamps to the whole arena
-        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
         # scratch windows + ~3 live [bn, cap] softmax/mask temporaries
         win_bytes = (cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
                      + 3 * bn * cap * 4)
@@ -419,7 +441,7 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
 
 
 def pick_block_n_bwd(n: int, e_total: int, max_in_degree: int, hidden: int,
-                     preferred: int = 128):
+                     preferred: int = 128, win64: int = 0):
     """Block size for the fused backward kernel (its own VMEM budget:
     two [cap, H] windows — values and the dv accumulator — plus ~6 live
     [bn, cap] softmax/SDDMM temporaries)."""
@@ -428,7 +450,7 @@ def pick_block_n_bwd(n: int, e_total: int, max_in_degree: int, hidden: int,
     for bn in (128, 64, 32, 16, 8):
         if bn > preferred or n % bn:
             continue
-        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
         win_bytes = (2 * cap * hidden * 4 + 4 * 8 * cap * 4
                      + 2 * bn * max(hidden, 256) * 4 + 6 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
@@ -437,8 +459,9 @@ def pick_block_n_bwd(n: int, e_total: int, max_in_degree: int, hidden: int,
 
 
 def fusable(n: int, e_total: int, max_in_degree: int, block_n: int = 128,
-            hidden: int = 256) -> bool:
-    return pick_block_n(n, e_total, max_in_degree, hidden, block_n) is not None
+            hidden: int = 256, win64: int = 0) -> bool:
+    return pick_block_n(n, e_total, max_in_degree, hidden, block_n,
+                        win64=win64) is not None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -676,9 +699,9 @@ def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
       g.astype(jnp.float32), stats, dk0, dv0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
-                  interpret, max_in_degree, bwd_block_n):
+                  interpret, max_in_degree, bwd_block_n, win64=0):
     """out_n = Σ_{e→n} softmax_e(q_n·k_e/√c)·scale_e·v_e over CSR segments,
     fully fused (no [E, heads] logits tensor in HBM, forward or backward)."""
     return _attn_forward(q, k_e, v_e, scale_t, row_ptr, heads=heads,
@@ -686,20 +709,20 @@ def csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
 
 
 def _attn_fwd(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
-              interpret, max_in_degree, bwd_block_n):
+              interpret, max_in_degree, bwd_block_n, win64=0):
     out, stats = _attn_forward(q, k_e, v_e, scale_t, row_ptr, heads=heads,
                                block_n=block_n, cap=cap, interpret=interpret)
     return out, (q, k_e, v_e, scale_t, row_ptr, dst, stats)
 
 
 def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
-              res, g):
+              win64, res, g):
     q, k_e, v_e, scale_t, row_ptr, dst, stats = res
     e_total, hidden = v_e.shape
     ch = hidden // heads
 
     if bwd_block_n is not None:
-        cap_b = min(_round_up(bwd_block_n * max_in_degree + 128, 128), e_total)
+        cap_b = _win_cap(bwd_block_n, max_in_degree, e_total, win64)
         dq, dk, dv = _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats,
                                     heads=heads, block_n=bwd_block_n,
                                     cap=cap_b, interpret=interpret)
@@ -724,7 +747,8 @@ def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
     sw = jnp.pad(s_e * w_e, ((0, 0), (0, 128 - heads)))
     inner = windowed_segment_sum(sw, row_ptr[:-1], e_total,
                                  max_deg=max_in_degree,
-                                 interpret=interpret)[:, :heads]
+                                 interpret=interpret,
+                                 win64=win64)[:, :heads]
     dl = s_e * (w_e - inner[dst])                        # [E, heads]
     dl_wide = jnp.repeat(dl, ch, axis=1) / (ch ** 0.5)   # [E, H]
     dk = dl_wide * q[dst]
@@ -738,7 +762,7 @@ csr_attention.defvjp(_attn_fwd, _attn_bwd)
 
 
 def pick_block_n_attn(n: int, e_total: int, max_in_degree: int, hidden: int,
-                      preferred: int = 128):
+                      preferred: int = 128, win64: int = 0):
     """Forward block size for csr_attention: two [cap, H] windows plus ~4
     live [bn, cap] softmax temporaries."""
     if e_total % 128:
@@ -746,7 +770,7 @@ def pick_block_n_attn(n: int, e_total: int, max_in_degree: int, hidden: int,
     for bn in (128, 64, 32, 16, 8):
         if bn > preferred or n % bn:
             continue
-        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
         win_bytes = (2 * cap * hidden * 4 + 8 * cap * 4
                      + 2 * bn * max(hidden, 256) * 4 + 4 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
@@ -755,7 +779,7 @@ def pick_block_n_attn(n: int, e_total: int, max_in_degree: int, hidden: int,
 
 
 def pick_block_n_attn_bwd(n: int, e_total: int, max_in_degree: int,
-                          hidden: int, preferred: int = 128):
+                          hidden: int, preferred: int = 128, win64: int = 0):
     """Backward block size: four [cap, H] windows (k, v, dk, dv) plus ~6
     live [bn, cap] temporaries."""
     if e_total % 128:
@@ -763,7 +787,7 @@ def pick_block_n_attn_bwd(n: int, e_total: int, max_in_degree: int,
     for bn in (128, 64, 32, 16, 8):
         if bn > preferred or n % bn:
             continue
-        cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
         win_bytes = (4 * cap * hidden * 4 + 8 * cap * 4
                      + 4 * bn * max(hidden, 256) * 4 + 6 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
@@ -772,15 +796,16 @@ def pick_block_n_attn_bwd(n: int, e_total: int, max_in_degree: int,
 
 
 def attn_fusable(n: int, e_total: int, max_in_degree: int,
-                 hidden: int = 256) -> bool:
-    return pick_block_n_attn(n, e_total, max_in_degree, hidden) is not None
+                 hidden: int = 256, win64: int = 0) -> bool:
+    return pick_block_n_attn(n, e_total, max_in_degree, hidden,
+                             win64=win64) is not None
 
 
 def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
                     row_ptr: jnp.ndarray, dst: jnp.ndarray, *, heads: int,
                     max_in_degree: int,
                     scale_t: Optional[jnp.ndarray] = None,
-                    block_n: int = 128,
+                    block_n: int = 128, win64: int = 0,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fully fused CSR attention over CSR-sorted edge arenas.
 
@@ -790,17 +815,19 @@ def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
     n = row_ptr.shape[0] - 1
     e_total = v_e.shape[0]
     hidden = v_e.shape[1]
-    bn = pick_block_n_attn(n, e_total, max_in_degree, hidden, block_n)
+    bn = pick_block_n_attn(n, e_total, max_in_degree, hidden, block_n,
+                           win64=win64)
     if bn is None:
         raise ValueError("fused_attention preconditions not met")
-    cap = min(_round_up(bn * max_in_degree + 128, 128), e_total)
+    cap = _win_cap(bn, max_in_degree, e_total, win64)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if scale_t is None:
         scale_t = jnp.ones((heads, e_total), jnp.float32)
-    bwd_bn = pick_block_n_attn_bwd(n, e_total, max_in_degree, hidden)
+    bwd_bn = pick_block_n_attn_bwd(n, e_total, max_in_degree, hidden,
+                                   win64=win64)
     return csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, bn, cap,
-                         interpret, max_in_degree, bwd_bn)
+                         interpret, max_in_degree, bwd_bn, win64)
 
 
 # ---------------------------------------------------------------------------
@@ -826,7 +853,7 @@ def _sum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, vals_hbm, out_ref,
 
 def windowed_segment_sum(values: jnp.ndarray, seg_starts: jnp.ndarray,
                          e_total_end: int, *, max_deg: int,
-                         block_n: int = 128,
+                         block_n: int = 128, win64: int = 0,
                          interpret: Optional[bool] = None) -> jnp.ndarray:
     """Σ over contiguous CSR segments via windowed DMA + 0/1 matmul.
 
@@ -837,10 +864,10 @@ def windowed_segment_sum(values: jnp.ndarray, seg_starts: jnp.ndarray,
     """
     e_total, hidden = values.shape
     n = seg_starts.shape[0]
-    bn = pick_block_n(n, e_total, max_deg, hidden, block_n)
+    bn = pick_block_n(n, e_total, max_deg, hidden, block_n, win64=win64)
     if bn is None:
         raise ValueError("windowed_segment_sum preconditions not met")
-    cap = min(_round_up(bn * max_deg + 128, 128), e_total)
+    cap = _win_cap(bn, max_deg, e_total, win64)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_blocks = n // bn
@@ -872,21 +899,22 @@ def windowed_segment_sum(values: jnp.ndarray, seg_starts: jnp.ndarray,
     )(starts, rp_lo, rp_hi, values)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def csr_gather(x, idx, seg_starts, max_deg, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def csr_gather(x, idx, seg_starts, max_deg, interpret, win64=0):
     """`x[idx]` for segment-contiguous `idx` (the arena's sort key); the VJP
     is a windowed segment-sum over the cotangent."""
     return x[idx]
 
 
-def _csr_gather_fwd(x, idx, seg_starts, max_deg, interpret):
+def _csr_gather_fwd(x, idx, seg_starts, max_deg, interpret, win64=0):
     return x[idx], (idx.shape[0], seg_starts)
 
 
-def _csr_gather_bwd(max_deg, interpret, res, g):
+def _csr_gather_bwd(max_deg, interpret, win64, res, g):
     e_total, seg_starts = res
     dx = windowed_segment_sum(g, seg_starts, e_total,
-                              max_deg=max_deg, interpret=interpret)
+                              max_deg=max_deg, interpret=interpret,
+                              win64=win64)
     return dx.astype(g.dtype), None, None
 
 

@@ -62,7 +62,8 @@ def train_members_vmapped(setup, cfg: TrainConfig
                          "use member_parallel='sequential' for per-member dropout.")
     lrs = [float(cfg.member_override(cfg.member_lrs, i, cfg.lr)) for i in range(m)]
 
-    mc = model_config(cfg, s, hidden=hidden, dropout=dropouts[0])
+    mc = model_config(cfg, s, hidden=hidden, dropout=dropouts[0],
+                      budget=setup.budget)
     if mc.conv_impl == "fused":
         # vmapping pallas_call across the member axis is not supported;
         # the XLA table path vmaps cleanly

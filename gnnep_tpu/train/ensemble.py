@@ -79,7 +79,8 @@ def prepare(cfg: TrainConfig, store: Optional[GraphStore] = None) -> TrainingSet
 
 
 def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] = None,
-                 dropout: Optional[float] = None) -> AlignnConfig:
+                 dropout: Optional[float] = None,
+                 budget: Optional[BatchBudget] = None) -> AlignnConfig:
     h = int(hidden if hidden is not None else cfg.hidden)
     if h % cfg.heads != 0:
         raise ValueError(f"Hidden dimension {h} must be divisible by heads ({cfg.heads})")
@@ -88,7 +89,11 @@ def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] =
         global_dim=store.global_scalar_dim + N_SG_ONE_HOT,
         target_dim=store.target_dim, hidden=h, layers=cfg.layers, heads=cfg.heads,
         dropout=float(dropout if dropout is not None else cfg.dropout),
-        conv_impl=cfg.conv_impl)
+        conv_impl=cfg.conv_impl,
+        # packer-enforced window bounds shrink the Pallas kernels' VMEM
+        # windows (the packer dilutes dense batches to honor them)
+        edge_win64=budget.edge_win64 if budget else 0,
+        lg_win64=budget.lg_win64 if budget else 0)
 
 
 def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
@@ -145,7 +150,8 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
             mc = model_config(
                 cfg, s,
                 hidden=cfg.member_override(cfg.member_hiddens, i, cfg.hidden),
-                dropout=cfg.member_override(cfg.member_dropouts, i, cfg.dropout))
+                dropout=cfg.member_override(cfg.member_dropouts, i, cfg.dropout),
+                budget=setup.budget)
             member_cfg = dataclasses.replace(
                 cfg, lr=float(cfg.member_override(cfg.member_lrs, i, cfg.lr)))
             if cfg.verbose:

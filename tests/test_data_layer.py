@@ -226,3 +226,80 @@ class TestHeavyTailPacking:
         utils = [float(np.asarray(b.lg_mask).sum()) / b.lg_src.shape[0]
                  for b in batches]
         assert np.median(utils) > 0.3, utils
+
+
+class TestWindowDilution:
+    def test_plan_dilution_honors_bound(self):
+        from gnnep_tpu.data.batching import plan_dilution
+        rng = np.random.default_rng(0)
+        counts = rng.integers(0, 12, 300)
+        counts[40:60] = 30                      # a dense stretch
+        new = plan_dilution(counts, bound=220, cap_rows=1024, group=64)
+        assert new is not None
+        assert np.all(np.diff(new) >= 1)        # monotone, no collisions
+        groups = new // 64
+        for g in np.unique(groups):
+            assert counts[groups == g].sum() <= 220
+        # insufficient capacity → None
+        assert plan_dilution(counts, bound=40, cap_rows=310, group=64) is None
+
+    def test_packed_batches_honor_budget_bounds(self):
+        from gnnep_tpu.data.batching import measure_win64
+        store = make_store(12, seed=5)
+        budget = BatchBudget.plan(store, range(12), batch_size=6)
+        assert budget.edge_win64 > 0 and budget.lg_win64 > 0
+        for b in BatchPacker(store, budget).pack(range(12)):
+            Np, Ep, Lp, G = b.capacity
+            assert measure_win64(np.asarray(b.edge_dst), Np) <= budget.edge_win64
+            assert measure_win64(np.asarray(b.lg_dst), Ep) <= budget.lg_win64
+
+    def test_dilution_preserves_model_outputs(self):
+        """Forcing heavy dilution must not change any real graph's output."""
+        import dataclasses as dc
+        import jax
+        from gnnep_tpu.data.batching import measure_win64
+        from gnnep_tpu.models.alignn import AlignnConfig, alignn_apply, init_alignn
+
+        store = make_store(8, seed=3)
+        base_budget = BatchBudget.plan(store, range(8), batch_size=8)
+        # generous arenas so the diluted variant fits
+        roomy = dc.replace(base_budget,
+                           n_nodes=base_budget.n_nodes + 256,
+                           n_edges=base_budget.n_edges + 512,
+                           n_lg_edges=base_budget.n_lg_edges + 512)
+        plain = dc.replace(roomy, edge_win64=0, lg_win64=0)
+        # tight bounds (floored at the max single-target span) force gaps
+        tight = dc.replace(
+            roomy,
+            edge_win64=max(base_budget.max_in_degree + 130, 136),
+            lg_win64=max(base_budget.max_lg_in_degree + 2, 34))
+        b0 = next(iter(BatchPacker(store, plain).pack(range(8))))
+        diluted = list(BatchPacker(store, tight).pack(range(8)))
+        # the tight bound forces heavy dilution → the packer defers graphs
+        assert len(diluted) > 1
+        for b in diluted:
+            Np, Ep, _, _ = b.capacity
+            assert measure_win64(np.asarray(b.edge_dst), Np) <= tight.edge_win64
+            assert measure_win64(np.asarray(b.lg_dst), Ep) <= tight.lg_win64
+        # every graph packed exactly once
+        packed = np.concatenate([np.asarray(b.sample_index) for b in diluted])
+        assert sorted(packed[packed >= 0].tolist()) == list(range(8))
+
+        cfg = AlignnConfig(node_dim=store.node_dim, edge_dim=store.edge_dim,
+                           angle_dim=store.angle_dim,
+                           global_dim=store.global_scalar_dim + 230,
+                           target_dim=2, hidden=16, layers=2, heads=2,
+                           dropout=0.0, conv_impl="table")
+        params = init_alignn(jax.random.PRNGKey(0), cfg)
+        m0, _ = alignn_apply(params, cfg, b0)
+        by_sample = {}
+        for b in diluted:
+            m1, _ = alignn_apply(params, cfg, b)
+            for slot, s_idx in enumerate(np.asarray(b.sample_index)):
+                if s_idx >= 0:
+                    by_sample[int(s_idx)] = np.asarray(m1)[slot]
+        for slot, s_idx in enumerate(np.asarray(b0.sample_index)):
+            if s_idx >= 0:
+                np.testing.assert_allclose(np.asarray(m0)[slot],
+                                           by_sample[int(s_idx)],
+                                           rtol=2e-4, atol=1e-5)

@@ -164,6 +164,29 @@ class TestFusedAggregate:
             np.testing.assert_allclose(np.asarray(a)[real], np.asarray(b)[real],
                                        rtol=1e-5, atol=1e-6)
 
+    def test_win64_bound_matches_unbounded(self, rng):
+        """A valid per-64-target window bound must not change results
+        (forward or gradients) — only the window capacity."""
+        from gnnep_tpu.data.batching import measure_win64
+        logits, v, rp, tab, tmask, pos, dst = _csr_case(rng)
+        w64 = measure_win64(dst, tab.shape[0], group=64)
+
+        def loss(l, vv, win64):
+            out = fused_aggregate(l, vv, jnp.asarray(rp), jnp.asarray(tab),
+                                  jnp.asarray(tmask), jnp.asarray(pos),
+                                  dst=jnp.asarray(dst),
+                                  heads=2, max_in_degree=tab.shape[1],
+                                  win64=win64, block_n=8, interpret=True)
+            return (out ** 2).sum()
+
+        g0 = jax.grad(loss, argnums=(0, 1))(jnp.asarray(logits),
+                                            jnp.asarray(v), 0)
+        g1 = jax.grad(loss, argnums=(0, 1))(jnp.asarray(logits),
+                                            jnp.asarray(v), max(w64, 1))
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_fusable_predicate(self):
         assert fusable(256, 10240, 16, block_n=128)
         assert fusable(256, 128, 16, block_n=128)         # window clamps to E
