@@ -139,7 +139,7 @@ def transformer_conv_table(
     k_j = kv[:, :hidden] + e                           # [E, H]
     v_j = kv[:, hidden:] + e
 
-    from .pallas.csr_attention import fusable, fused_aggregate
+    from .pallas.csr_attention import fusable
 
     if use_attn:
         scale_t = None
@@ -159,38 +159,47 @@ def transformer_conv_table(
                               @ params.w_beta)
         return beta * r + (1.0 - beta) * msg
 
-    # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
     import numpy as _np
-
-    blocksum = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32),
-                                      ch, axis=0), dtype=q.dtype)  # [H, heads]
-    logits_e = ((q_dst * k_j) @ blocksum) / math.sqrt(ch)
-    if edge_mask is not None:
-        logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
 
     use_fused = fused and fusable(n, src.shape[0], in_edges.shape[1],
                                   hidden=hidden, win64=win64)
     if use_fused:
-        # Pallas fused path (requires CSR-sorted edges); attention dropout
-        # becomes a per-edge post-softmax scale shared by forward and VJP
-        scale_e = None
+        # Pallas fused path (requires CSR-sorted edges). The logit family
+        # lives in [heads, E] layout end-to-end: an [E, heads] tensor
+        # lane-pads 4 → 128 on TPU tiles (32× HBM amplification), while
+        # [heads, E] only sublane-pads 4 → 8. The per-head reduction is the
+        # transposed block-sum GEMM [heads, H] × [E, H]ᵀ → [heads, E]; its
+        # VJP is another GEMM, so no slim [E, heads] tensor exists in
+        # forward or backward. f32 output (softmax exp precision); the
+        # value arena keeps the compute dtype — under bf16 the kernels
+        # read half the window bytes and aggregate on the bf16 MXU path.
+        blocksum_t = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32),
+                                            ch, axis=1), dtype=q.dtype)  # [h, H]
+        logits_t = jax.lax.dot_general(
+            blocksum_t, q_dst * k_j, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) / math.sqrt(ch)  # [heads, E]
+        if edge_mask is not None:
+            logits_t = jnp.where(edge_mask[None, :] > 0, logits_t, _NEG)
+        scale_t = None
         if use_dropout:
             keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
-                                        logits_e.shape)
-            scale_e = keep.astype(logits_e.dtype) / (1.0 - dropout_rate)
+                                        logits_t.shape)
+            scale_t = keep.astype(jnp.float32) / (1.0 - dropout_rate)
         if row_ptr is None:
             row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                        ).astype(jnp.int32)
-        # logits/scale are f32 at the boundary (softmax exp precision); the
-        # value arena keeps the compute dtype — under bf16 the kernels read
-        # half the window bytes and aggregate on the bf16 MXU path
-        msg = fused_aggregate(
-            logits_e.astype(jnp.float32), v_j, row_ptr,
-            in_edges, in_mask, pos, dst=dst, heads=heads,
+        from .pallas.csr_attention import fused_aggregate_t
+        msg = fused_aggregate_t(
+            logits_t, v_j, row_ptr, dst=dst, heads=heads,
             max_in_degree=in_edges.shape[1], win64=win64,
-            scale_e=None if scale_e is None else scale_e.astype(jnp.float32)
-        ).astype(x.dtype)
+            scale_t=scale_t).astype(x.dtype)
     else:
+        # per-head logit reduction as a block-sum GEMM (keeps the product 2-D)
+        blocksum = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32),
+                                          ch, axis=0), dtype=q.dtype)  # [H, h]
+        logits_e = ((q_dst * k_j) @ blocksum) / math.sqrt(ch)
+        if edge_mask is not None:
+            logits_e = jnp.where(edge_mask[:, None] > 0, logits_e, _NEG)
         logits_t = table_gather(logits_e, in_edges, pos)   # [N, D, h]
         logits_t = jnp.where(in_mask[..., None] > 0, logits_t, _NEG)
         logits_t = logits_t - jax.lax.stop_gradient(

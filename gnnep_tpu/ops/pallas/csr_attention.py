@@ -103,12 +103,6 @@ def _window_starts(row_ptr, block_n: int, cap: int, e_total: int):
                        jnp.maximum(e_total - cap, 0)).astype(jnp.int32)
 
 
-def _pallas_forward(logits_e, scale_e, v_j, row_ptr, *, heads: int,
-                    block_n: int, cap: int, interpret: bool) -> jnp.ndarray:
-    return _pallas_forward_t(logits_e.T, scale_e.T, v_j, row_ptr, heads=heads,
-                             block_n=block_n, cap=cap, interpret=interpret)
-
-
 def _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, *, heads: int,
                       block_n: int, cap: int, interpret: bool) -> jnp.ndarray:
     """Forward over pre-transposed [heads, E] logits/scale arenas."""
@@ -151,18 +145,22 @@ def _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, *, heads: int,
       row_ptr[1:].reshape(n_blocks, block_n), logits_t, scale_t, v_j)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst, in_edges,
-                          in_mask, pos, heads, block_n, cap, interpret,
-                          max_in_degree, win64):
-    return _pallas_forward(logits_e, scale_e, v_j, row_ptr, heads=heads,
-                           block_n=block_n, cap=cap, interpret=interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def csr_softmax_aggregate(logits_t, scale_t, v_j, row_ptr, dst, heads,
+                          block_n, cap, interpret, max_in_degree, win64):
+    """Segment softmax-aggregate over [heads, E] logit/scale arenas.
+
+    The [heads, E] layout is load-bearing: an [E, heads] tensor lane-pads
+    4 → 128 on TPU tiles (32× HBM amplification on every slim tensor
+    crossing this boundary, forward and backward), while [heads, E] only
+    sublane-pads 4 → 8. Callers produce logits directly in this layout via
+    a transposed block-sum GEMM (see `dense_attention`)."""
+    return _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, heads=heads,
+                             block_n=block_n, cap=cap, interpret=interpret)[0]
 
 
-def _fwd(logits_e, scale_e, v_j, row_ptr, dst, in_edges, in_mask, pos, heads,
+def _fwd(logits_t, scale_t, v_j, row_ptr, dst, heads,
          block_n, cap, interpret, max_in_degree, win64):
-    logits_t = logits_e.T          # [heads, E]: the kernels' window layout
-    scale_t = scale_e.T
     out, stats = _pallas_forward_t(logits_t, scale_t, v_j, row_ptr,
                                    heads=heads, block_n=block_n, cap=cap,
                                    interpret=interpret)
@@ -332,7 +330,7 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, win64, res, g):
         dl_t, dv = _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g,
                                       stats, heads=heads, block_n=bn_b,
                                       cap=cap_b, interpret=interpret)
-        return (dl_t.T, None, dv, None, None, None, None, None)
+        return (dl_t, None, dv, None, None)
 
     mx = stats[:, :heads]
     denom = stats[:, 128:128 + heads]
@@ -354,10 +352,50 @@ def _bwd(heads, block_n, cap, interpret, max_in_degree, win64, res, g):
                                  max_deg=max_in_degree,
                                  interpret=interpret, win64=win64)[:, :heads]
     dlogits = s_e * (w_e - inner[dst])
-    return (dlogits, None, dv, None, None, None, None, None)
+    return (dlogits.T, None, dv, None, None)
 
 
 csr_softmax_aggregate.defvjp(_fwd, _bwd)
+
+
+def fused_aggregate_t(logits_t: jnp.ndarray, v_j: jnp.ndarray,
+                      row_ptr: jnp.ndarray, *,
+                      dst: jnp.ndarray, heads: int,
+                      max_in_degree: int,
+                      scale_t: Optional[jnp.ndarray] = None,
+                      block_n: int = 128,
+                      win64: int = 0,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused segment softmax-aggregate over CSR-sorted edges.
+
+    `logits_t` / `scale_t` are [heads, E] (see `csr_softmax_aggregate` on
+    why that layout); `scale_t` applies post-softmax (attention dropout) and
+    defaults to ones. Requires n % block_n == 0 and window capacity ≤ E —
+    callers fall back to the dense-table path otherwise (see `fusable`).
+    `win64` is an optional guarantee that any aligned group of 64
+    consecutive targets owns at most that many edge rows — it shrinks the
+    VMEM windows (and every window matmul) well below the worst-case
+    block·max_in_degree.
+
+    NOTE: the reserved dummy row (index n-1) owns the padded edges under the
+    CSR convention, so its output is unspecified (it aggregates padding).
+    That row is masked out of pooling and never gathered by real edges.
+    """
+    n = row_ptr.shape[0] - 1
+    e_total = v_j.shape[0]
+    hidden = v_j.shape[1]
+    block_n = pick_block_n(n, e_total, max_in_degree, hidden, block_n,
+                           win64=win64)
+    if block_n is None:
+        raise ValueError("fused_aggregate preconditions not met")
+    cap = _win_cap(block_n, max_in_degree, e_total, win64)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale_t is None:
+        scale_t = jnp.ones_like(logits_t)
+    return csr_softmax_aggregate(logits_t, scale_t, v_j, row_ptr, dst,
+                                 heads, block_n, cap, interpret,
+                                 max_in_degree, win64)
 
 
 def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
@@ -369,34 +407,18 @@ def fused_aggregate(logits_e: jnp.ndarray, v_j: jnp.ndarray,
                     block_n: int = 128,
                     win64: int = 0,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Fused segment softmax-aggregate over CSR-sorted edges.
+    """[E, heads]-layout convenience wrapper around `fused_aggregate_t`.
 
-    `scale_e` [E, heads] applies post-softmax (attention dropout); defaults
-    to ones. Requires n % block_n == 0 and window capacity ≤ E — callers
-    fall back to the dense-table path otherwise (see `fusable`). `win64` is
-    an optional guarantee that any aligned group of 64 consecutive targets
-    owns at most that many edge rows — it shrinks the VMEM windows (and
-    every window matmul) well below the worst-case block·max_in_degree.
-
-    NOTE: the reserved dummy row (index n-1) owns the padded edges under the
-    CSR convention, so its output is unspecified (it aggregates padding).
-    That row is masked out of pooling and never gathered by real edges.
-    """
-    n = in_edges.shape[0]
-    e_total = v_j.shape[0]
-    hidden = v_j.shape[1]
-    block_n = pick_block_n(n, e_total, max_in_degree, hidden, block_n,
-                           win64=win64)
-    if block_n is None:
-        raise ValueError("fused_aggregate preconditions not met")
-    cap = _win_cap(block_n, max_in_degree, e_total, win64)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if scale_e is None:
-        scale_e = jnp.ones_like(logits_e)
-    return csr_softmax_aggregate(logits_e, scale_e, v_j, row_ptr, dst,
-                                 in_edges, in_mask, pos, heads, block_n, cap,
-                                 interpret, max_in_degree, win64)
+    Production code should build logits in [heads, E] directly (transposing
+    here costs a lane-padded [E, heads] round trip). `in_edges`/`in_mask`/
+    `pos` are accepted for signature compatibility but unused — the kernel
+    needs only the CSR row pointers."""
+    del in_edges, in_mask, pos
+    return fused_aggregate_t(
+        logits_t=logits_e.T, v_j=v_j, row_ptr=row_ptr, dst=dst, heads=heads,
+        max_in_degree=max_in_degree,
+        scale_t=None if scale_e is None else scale_e.T,
+        block_n=block_n, win64=win64, interpret=interpret)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB VMEM limit
