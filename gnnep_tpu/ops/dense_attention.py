@@ -78,6 +78,7 @@ def transformer_conv_table(
     dropout_rng: Optional[jax.Array] = None,
     fused: bool = False,
     win64: int = 0,
+    row_ptr: Optional[jnp.ndarray] = None,  # [N+1] CSR pointers of dst
 ) -> jnp.ndarray:
     n = x.shape[0]
     hidden = params.w_query.shape[1]
@@ -104,7 +105,6 @@ def transformer_conv_table(
     from .pallas.csr_attention import fusable as _sum_ok
     from .pallas.csr_attention import csr_gather, csr_gather_ordered
 
-    row_ptr = None
     e_total = src.shape[0]
     _interp = jax.default_backend() != "tpu"
     fuse_gathers = fused and (
@@ -129,8 +129,9 @@ def transformer_conv_table(
                         win64=win64)):
         kv = csr_gather_ordered(proj[:, hidden:3 * hidden], src, src_order,
                                 src_starts, out_edges.shape[1], _interp)
-        row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
-                                   ).astype(jnp.int32)
+        if row_ptr is None:
+            row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
+                                       ).astype(jnp.int32)
         q_dst = None if use_attn else csr_gather(
             q, dst, row_ptr[:-1], in_edges.shape[1], _interp, win64)
     else:
@@ -150,9 +151,10 @@ def transformer_conv_table(
         if row_ptr is None:
             row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                        ).astype(jnp.int32)
+        # q/k/v stay in the compute dtype — the kernels window them as-is
+        # (bf16 halves DMA bytes and runs native-bf16 MXU contractions)
         msg = fused_attention(
-            q.astype(jnp.float32), k_j.astype(jnp.float32),
-            v_j.astype(jnp.float32), row_ptr, dst, heads=heads,
+            q, k_j, v_j, row_ptr, dst, heads=heads,
             max_in_degree=in_edges.shape[1], scale_t=scale_t,
             win64=win64).astype(x.dtype)
         beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)

@@ -529,6 +529,8 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     for h in range(heads):
         q_h = q_ref[:, h * ch:(h + 1) * ch]
         k_h = k_win[:, h * ch:(h + 1) * ch]
+        # under bf16 compute the q/k/v windows arrive bf16: half the DMA
+        # bytes and native-bf16 MXU contractions with f32 accumulation
         logits = jax.lax.dot_general(                     # [BN, cap] SDDMM
             q_h, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * inv_sqrt_ch
@@ -539,7 +541,7 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         alpha = (e / denom) * s_win[h, :][None, :]
         out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
-            alpha, v_win[:, h * ch:(h + 1) * ch],
+            alpha.astype(v_win.dtype), v_win[:, h * ch:(h + 1) * ch],
             preferred_element_type=jnp.float32)
         mxs.append(mx)
         dens.append(denom)
@@ -603,21 +605,25 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
         s_mat = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0) / den
         a_mat = s_mat * sc
         u_mat = jax.lax.dot_general(
-            g_h, v_h, (((1,), (1,)), ((), ())),
+            g_h.astype(v_h.dtype), v_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         w_mat = sc * u_mat
         inner = jnp.sum(a_mat * u_mat, axis=1, keepdims=True)
-        dl_mat = s_mat * (w_mat - inner)                  # [BN, cap]
-        dq_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
-            dl_mat, k_h, preferred_element_type=jnp.float32) * inv_sqrt_ch
+        dl_mat = (s_mat * (w_mat - inner)).astype(k_h.dtype)  # [BN, cap]
+        dq_ref[:, h * ch:(h + 1) * ch] = (jnp.dot(
+            dl_mat, k_h, preferred_element_type=jnp.float32)
+            * inv_sqrt_ch).astype(dq_ref.dtype)
         dk_h = jax.lax.dot_general(
-            dl_mat, q_h, (((0,), (0,)), ((), ())),
+            dl_mat, q_h.astype(k_h.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * inv_sqrt_ch
-        dk_acc[:, h * ch:(h + 1) * ch] = dk_acc[:, h * ch:(h + 1) * ch] + dk_h
+        dk_acc[:, h * ch:(h + 1) * ch] = (
+            dk_acc[:, h * ch:(h + 1) * ch] + dk_h.astype(dk_acc.dtype))
         dv_h = jax.lax.dot_general(
-            a_mat, g_h, (((0,), (0,)), ((), ())),
+            a_mat.astype(v_h.dtype), g_h.astype(v_h.dtype),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dv_acc[:, h * ch:(h + 1) * ch] = dv_acc[:, h * ch:(h + 1) * ch] + dv_h
+        dv_acc[:, h * ch:(h + 1) * ch] = (
+            dv_acc[:, h * ch:(h + 1) * ch] + dv_h.astype(dv_acc.dtype))
 
     wb_k = pltpu.make_async_copy(dk_acc, dk_out.at[pl.ds(start, cap)],
                                  sems.at[3])
@@ -650,8 +656,8 @@ def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
         out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
                    pl.BlockSpec((block_n, 256), lambda i, s: (i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((cap, hidden), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), k_e.dtype),
+            pltpu.VMEM((cap, hidden), v_e.dtype),
             pltpu.VMEM((heads, cap), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -694,25 +700,25 @@ def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
                    pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((cap, hidden), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), k_e.dtype),
+            pltpu.VMEM((cap, hidden), v_e.dtype),
             pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
-            pltpu.VMEM((cap, hidden), jnp.float32),
+            pltpu.VMEM((cap, hidden), k_e.dtype),
+            pltpu.VMEM((cap, hidden), v_e.dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
     )
     kernel = functools.partial(_attn_bwd_kernel, bn=block_n, cap=cap,
                                heads=heads, ch=ch,
                                inv_sqrt_ch=1.0 / (ch ** 0.5))
-    dk0 = jnp.zeros((e_total, hidden), jnp.float32)
-    dv0 = jnp.zeros((e_total, hidden), jnp.float32)
+    dk0 = jnp.zeros((e_total, hidden), k_e.dtype)
+    dv0 = jnp.zeros((e_total, hidden), v_e.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((e_total, hidden), jnp.float32),
-                   jax.ShapeDtypeStruct((e_total, hidden), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), q.dtype),
+                   jax.ShapeDtypeStruct((e_total, hidden), k_e.dtype),
+                   jax.ShapeDtypeStruct((e_total, hidden), v_e.dtype)),
         # flat inputs: starts, rp_lo, rp_hi, k, v, scale, q, g, stats, dk0, dv0
         input_output_aliases={9: 1, 10: 2},
         interpret=interpret,
@@ -758,13 +764,13 @@ def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
     denom = stats[:, 128:128 + heads]
     blocksum = jnp.asarray(np.repeat(np.eye(heads, dtype=np.float32), ch,
                                      axis=0))            # [H, heads]
-    logits_e = ((q[dst] * k_e) @ blocksum) / (ch ** 0.5)
+    logits_e = ((q[dst] * k_e).astype(jnp.float32) @ blocksum) / (ch ** 0.5)
     scale_e = scale_t.T
     s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]
     g_e = g.astype(jnp.float32)[dst]
     sm = s_e * scale_e
     dv = jnp.repeat(sm, ch, axis=1) * g_e
-    u_e = (g_e * v_e) @ blocksum
+    u_e = (g_e * v_e.astype(jnp.float32)) @ blocksum
     w_e = scale_e * u_e
     sw = jnp.pad(s_e * w_e, ((0, 0), (0, 128 - heads)))
     inner = windowed_segment_sum(sw, row_ptr[:-1], e_total,
@@ -777,7 +783,8 @@ def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
     n = row_ptr.shape[0] - 1
     dq = jax.ops.segment_sum(dl_wide * k_e, dst, num_segments=n,
                              indices_are_sorted=True)
-    return (dq, dk, dv, None, None, None)
+    return (dq.astype(q.dtype), dk.astype(k_e.dtype), dv.astype(v_e.dtype),
+            None, None, None)
 
 
 csr_attention.defvjp(_attn_fwd, _attn_bwd)

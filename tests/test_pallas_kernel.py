@@ -315,6 +315,46 @@ class TestFusedAttention:
                                        np.asarray(b)[real_e],
                                        rtol=1e-4, atol=1e-5)
 
+    def test_bf16_windows_match_f32(self, rng):
+        """bf16 q/k/v flow through the kernels (forward + fused backward +
+        XLA fallback) with bf16-dtype windows/outputs and f32-accumulated
+        math close to the f32 path."""
+        from gnnep_tpu.ops.pallas import csr_attention as mod
+        q, k, v, rp, dst, mask = self._case(rng)
+
+        def loss(qq, kk, vv):
+            out = mod.fused_attention(qq, kk, vv, jnp.asarray(rp),
+                                      jnp.asarray(dst), heads=2,
+                                      max_in_degree=8, block_n=8,
+                                      interpret=True)
+            return (out ** 2).sum(), out
+
+        args32 = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        args16 = tuple(a.astype(jnp.bfloat16) for a in args32)
+        (_, out32), g32 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                             has_aux=True)(*args32)
+        (_, out16), g16 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                             has_aux=True)(*args16)
+        assert g16[0].dtype == jnp.bfloat16
+        assert g16[1].dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out16)[:-1],
+                                   np.asarray(out32)[:-1], rtol=0.05,
+                                   atol=0.05)
+        real_e = mask > 0
+        scale_g = max(np.abs(np.asarray(g32[1])[real_e]).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g16[1], np.float32)[real_e] / scale_g,
+            np.asarray(g32[1])[real_e] / scale_g, atol=0.06)
+        # XLA fallback path under bf16: dtypes must round-trip too
+        orig = mod.pick_block_n_attn_bwd
+        try:
+            mod.pick_block_n_attn_bwd = lambda *a, **kw: None
+            g_xla = jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2))(
+                *args16)
+        finally:
+            mod.pick_block_n_attn_bwd = orig
+        assert g_xla[2].dtype == jnp.bfloat16
+
     def test_backward_xla_fallback_matches_kernel(self, rng):
         from gnnep_tpu.ops.pallas import csr_attention as mod
         q, k, v, rp, dst, mask = self._case(rng)
