@@ -72,6 +72,11 @@ class GraphBatch(NamedTuple):
     edge_src_starts: np.ndarray  # [Np] i32 per-node start in that order
     lg_src_order: np.ndarray    # [Lp] i32 permutation sorting LG by src
     lg_src_starts: np.ndarray   # [Ep] i32 per-bond start in that order
+    # CSR row pointers of the dst-sorted arenas, precomputed at pack time:
+    # a device-side searchsorted costs ~12 % of a train step (a 17-iteration
+    # binary-search while-loop in XLA), and the arenas are static per batch
+    edge_row_ptr: np.ndarray    # [Np+1] i32 searchsorted(edge_dst, arange)
+    lg_row_ptr: np.ndarray      # [Ep+1] i32 searchsorted(lg_dst, arange)
 
     @property
     def capacity(self):
@@ -327,6 +332,13 @@ def measure_win64(dst_sorted: np.ndarray, n_rows: int, group: int = 64) -> int:
     return int(np.max(rp[end_idx] - starts)) if n_rows else 0
 
 
+def csr_row_ptrs(edge_dst: np.ndarray, lg_dst: np.ndarray, Np: int, Ep: int):
+    """Host-side CSR row pointers of both dst-sorted arenas (see GraphBatch)."""
+    e_rp = np.searchsorted(edge_dst, np.arange(Np + 1)).astype(np.int32)
+    l_rp = np.searchsorted(lg_dst, np.arange(Ep + 1)).astype(np.int32)
+    return e_rp, l_rp
+
+
 def src_csr_index(src_vals: np.ndarray, n_rows: int):
     """Permutation sorting an arena by source plus per-row segment starts —
     the gather-transpose layout consumed by the windowed segment-sum kernel."""
@@ -512,13 +524,14 @@ class BatchPacker:
             lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1)
         e_order, e_starts = src_csr_index(edge_src, Np)
         l_order, l_starts = src_csr_index(lg_src, Ep)
+        e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
                           globals_, sg_num, y, graph_mask, weight, sample_index,
                           node_tab, node_tab_mask, edge_pos,
                           lg_tab, lg_tab_mask, lg_pos,
                           node_ot, node_ot_mask, lg_ot, lg_ot_mask,
-                          e_order, e_starts, l_order, l_starts)
+                          e_order, e_starts, l_order, l_starts, e_rp, l_rp)
 
 
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,

@@ -63,7 +63,7 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
     y = np.exp(rng.normal(4.0, 0.9, size=(G, target_dim))).astype(np.float32)
 
     from ..data.batching import (apply_csr_sort, build_incoming_table,
-                                 src_csr_index)
+                                 csr_row_ptrs, src_csr_index)
 
     (edge_src, edge_dst, edge_attr, edge_mask,
      lg_src, lg_dst, lg_attr, lg_mask) = apply_csr_sort(
@@ -89,6 +89,7 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         lg_src, lg_mask, Ep, rounded_cap(lg_src, lg_mask, lg_table_cap), Lp - 1)
     e_order, e_starts = src_csr_index(edge_src, Np)
     l_order, l_starts = src_csr_index(lg_src, Ep)
+    e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
     return GraphBatch(
         nodes=nodes, node_graph=node_graph,
         edge_src=edge_src, edge_dst=edge_dst, edge_attr=edge_attr,
@@ -104,7 +105,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         node_out_edges=node_ot, node_out_mask=node_ot_mask,
         lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask,
         edge_src_order=e_order, edge_src_starts=e_starts,
-        lg_src_order=l_order, lg_src_starts=l_starts)
+        lg_src_order=l_order, lg_src_starts=l_starts,
+        edge_row_ptr=e_rp, lg_row_ptr=l_rp)
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,
