@@ -139,14 +139,11 @@ def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
     return loss, (mean, logvar, sample_loss)
 
 
-def make_train_step(cfg: AlignnConfig, hyper: TrainHyper,
-                    log_means: np.ndarray, log_stds: np.ndarray):
-    """Build a jitted (params, adam_state, batch, rng, lr_mean, lr_sigma) step."""
-    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-    mu = jnp.asarray(log_means, dtype=jnp.float32)
-    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
+                    mu: jnp.ndarray, sd: jnp.ndarray):
+    """The (unjitted) train-step body shared by the single-step and
+    scan-over-steps entry points."""
 
-    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, smask, batch, rng, lr_mean, lr_sigma):
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
 
@@ -189,10 +186,64 @@ def make_train_step(cfg: AlignnConfig, hyper: TrainHyper,
         )
         return params, opt_state, metrics
 
+    return step
+
+
+def make_train_step(cfg: AlignnConfig, hyper: TrainHyper,
+                    log_means: np.ndarray, log_stds: np.ndarray):
+    """Build a jitted (params, adam_state, batch, rng, lr_mean, lr_sigma) step."""
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    mu = jnp.asarray(log_means, dtype=jnp.float32)
+    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    body = _make_step_body(cfg, hyper, adam, mu, sd)
+    step = partial(jax.jit, donate_argnums=(0, 1))(body)
+
     def init_opt(params):
         return adam.init(params)
 
     return step, init_opt
+
+
+def stack_batches(batches):
+    """Stack same-budget batches into one leading-axis-K pytree for
+    `make_scan_train_step` (all arenas must share capacities)."""
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *batches)
+
+
+def make_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
+                         log_means: np.ndarray, log_stds: np.ndarray):
+    """Device-side inner loop: ONE jitted program runs K optimizer steps via
+    `lax.scan` over a stacked [K, ...] batch pytree.
+
+    The TPU-idiomatic training loop: per-step host dispatch (especially
+    through remote runtimes) otherwise gates the issue rate and idles the
+    chip between steps. Per-step RNG keys are derived on device by folding
+    the step index into `rng`; metrics come back stacked [K]."""
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    mu = jnp.asarray(log_means, dtype=jnp.float32)
+    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    body = _make_step_body(cfg, hyper, adam, mu, sd)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, smask, batches, rng, lr_mean, lr_sigma):
+        n_steps = jax.tree.leaves(batches)[0].shape[0]
+        keys = jax.random.split(rng, n_steps)
+
+        def f(carry, xs):
+            p, o = carry
+            b, k = xs
+            p, o, m = body(p, o, smask, b, k, lr_mean, lr_sigma)
+            return (p, o), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            f, (params, opt_state), (batches, keys))
+        return params, opt_state, ms
+
+    def init_opt(params):
+        return adam.init(params)
+
+    return multi_step, init_opt
 
 
 def make_forward(cfg: AlignnConfig, floor: float = MIN_LOGVAR_FLOOR):

@@ -154,6 +154,42 @@ class TestTrainStep:
             losses.append(float(m.loss_sum) / max(float(m.n_graphs), 1))
         assert losses[-1] < losses[0]
 
+    def test_scan_step_matches_sequential(self):
+        """make_scan_train_step(K batches) ≡ K sequential make_train_step
+        calls with the same per-step keys."""
+        from gnnep_tpu.train.loop import make_scan_train_step, stack_batches
+
+        store = make_store(8, seed=4)
+        cfg = TrainConfig(batch_size=4, hidden=16, layers=1, heads=2,
+                          ensemble_size=2, verbose=False)
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        hyper = TrainHyper(feature_jitter_std=0.1)
+        step, init_opt = make_train_step(mc, hyper, setup.transformer.means,
+                                         setup.transformer.stds)
+        multi, _ = make_scan_train_step(mc, hyper, setup.transformer.means,
+                                        setup.transformer.stds)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:2]
+        assert len(batches) == 2
+        p0 = init_alignn(jax.random.PRNGKey(0), mc)
+        smask = sigma_mask(p0)
+        rng0 = jax.random.PRNGKey(5)
+
+        p_seq, o_seq = p0, init_opt(p0)
+        for b, k in zip(batches, jax.random.split(rng0, len(batches))):
+            p_seq, o_seq, m_seq = step(p_seq, o_seq, smask, b, k, 3e-3, 3e-3)
+
+        p1 = init_alignn(jax.random.PRNGKey(0), mc)
+        p_scan, o_scan, ms = multi(p1, init_opt(p1), smask,
+                                   stack_batches(batches), rng0, 3e-3, 3e-3)
+        assert ms.loss_sum.shape == (2,)
+        np.testing.assert_allclose(float(ms.loss_sum[-1]),
+                                   float(m_seq.loss_sum), rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=1e-6)
+
     def test_eval_metrics_shapes(self, rng):
         y = np.exp(rng.normal(4, 0.5, (50, 2)))
         t = LogTransformer.fit(y)
