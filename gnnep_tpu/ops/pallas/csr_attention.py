@@ -45,42 +45,61 @@ def _kernel(starts_ref,            # SMEM scalar-prefetch: [n_blocks] window sta
                                    # cols 128:128+heads (lane-aligned packing)
             l_win, s_win, v_win, sems,
             *, bn: int, cap: int, heads: int, ch: int):
+    """Double-buffered: each scratch window is [2, ...]; block i computes
+    from slot i%2 while block i+1's DMA streams into slot (i+1)%2. The
+    kernels were DMA-latency-bound (start→wait→compute serialization), not
+    bandwidth-bound — overlap recovers most of the wait."""
     i = pl.program_id(0)
-    # host guarantees 128-aligned window starts; Mosaic needs the proof hint
-    start = pl.multiple_of(starts_ref[i], 128)
-    cp_l = pltpu.make_async_copy(logits_hbm.at[:, pl.ds(start, cap)], l_win,
-                                 sems.at[0])
-    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
-                                 sems.at[1])
-    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[2])
-    cp_l.start()
-    cp_s.start()
-    cp_v.start()
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
 
+    def copies(idx, s):
+        # host guarantees 128-aligned window starts; Mosaic needs the hint
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return (pltpu.make_async_copy(logits_hbm.at[:, pl.ds(st, cap)],
+                                      l_win.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 1]),
+                pltpu.make_async_copy(v_hbm.at[pl.ds(st, cap)],
+                                      v_win.at[s], sems.at[s, 2]))
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    start = pl.multiple_of(starts_ref[i], 128)
     lo = rp_lo_ref[i, :] - start                   # [BN] window-local begin
     hi = rp_hi_ref[i, :] - start
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     member = (pos >= lo[:, None]) & (pos < hi[:, None])   # [BN, cap]
 
-    cp_l.wait()
-    cp_s.wait()
-    cp_v.wait()
+    for cp in copies(i, slot):
+        cp.wait()
+    l_cur = l_win.at[slot]
+    s_cur = s_win.at[slot]
+    v_cur = v_win.at[slot]
 
     mxs = []
     dens = []
     for h in range(heads):
-        mat = jnp.where(member, l_win[h, :][None, :], _NEG)  # [BN, cap]
+        mat = jnp.where(member, l_cur[h, :][None, :], _NEG)  # [BN, cap]
         mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
         # the > _NEG/2 clamp keeps masked logits (−1e30) at weight 0 even in
         # all-masked segments (mx = −1e30 → exp(0) would otherwise be 1) —
         # interior masked rows exist once the packer dilutes dense blocks
         e = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        alpha = (e / denom) * s_win[h, :][None, :]
+        alpha = (e / denom) * s_cur[h, :][None, :]
         # under bf16 compute the value window arrives bf16 — half the DMA
         # bytes and a native-bf16 MXU aggregation (f32 accumulate)
         out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
-            alpha.astype(v_win.dtype), v_win[:, h * ch:(h + 1) * ch],
+            alpha.astype(v_cur.dtype), v_cur[:, h * ch:(h + 1) * ch],
             preferred_element_type=jnp.float32)
         mxs.append(mx)
         dens.append(denom)
@@ -128,10 +147,10 @@ def _pallas_forward_t(logits_t, scale_t, v_j, row_ptr, *, heads: int,
         out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
                    pl.BlockSpec((block_n, 256), lambda i, s: (i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), v_j.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, cap, hidden), v_j.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(_kernel, bn=block_n, cap=cap, heads=heads, ch=ch)
@@ -191,20 +210,37 @@ def _bwd_kernel(starts_ref,            # SMEM: [n_blocks] window starts
     whatever earlier blocks already wrote.
     """
     i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
     start = pl.multiple_of(starts_ref[i], 128)
-    cp_l = pltpu.make_async_copy(logits_hbm.at[:, pl.ds(start, cap)], l_win,
-                                 sems.at[0])
-    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
-                                 sems.at[1])
-    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[2])
-    # RMW reads of the current output content (zeros + earlier blocks' writes)
+
+    def copies(idx, s):
+        # double-buffered input windows (see `_kernel`)
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return (pltpu.make_async_copy(logits_hbm.at[:, pl.ds(st, cap)],
+                                      l_win.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 1]),
+                pltpu.make_async_copy(v_hbm.at[pl.ds(st, cap)],
+                                      v_win.at[s], sems.at[s, 2]))
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    # RMW reads of the current output content (zeros + earlier blocks'
+    # writes) — inherently serialized: block i-1's writeback completed
+    # before this body runs (TPU grids execute sequentially)
     cp_dl = pltpu.make_async_copy(dl_out.at[:, pl.ds(start, cap)], dl_acc,
-                                  sems.at[3])
+                                  sems.at[0, 3])
     cp_dv = pltpu.make_async_copy(dv_out.at[pl.ds(start, cap)], dv_acc,
-                                  sems.at[4])
-    cp_l.start()
-    cp_s.start()
-    cp_v.start()
+                                  sems.at[0, 4])
     cp_dl.start()
     cp_dv.start()
 
@@ -213,25 +249,27 @@ def _bwd_kernel(starts_ref,            # SMEM: [n_blocks] window starts
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     member = (pos >= lo[:, None]) & (pos < hi[:, None])   # [BN, cap]
 
-    cp_l.wait()
-    cp_s.wait()
-    cp_v.wait()
+    for cp in copies(i, slot):
+        cp.wait()
     cp_dl.wait()
     cp_dv.wait()
+    l_cur = l_win.at[slot]
+    s_cur = s_win.at[slot]
+    v_cur = v_win.at[slot]
 
     stats = stats_ref[:, :]
     dl_rows = []
     for h in range(heads):
-        mat = jnp.where(member, l_win[h, :][None, :], _NEG)       # [BN, cap]
+        mat = jnp.where(member, l_cur[h, :][None, :], _NEG)       # [BN, cap]
         mx = stats[:, h:h + 1]
         den = stats[:, 128 + h:129 + h]
         # the > _NEG/2 clamp keeps masked logits (−1e30) at S=0 even when a
         # row's max is itself −1e30 (all-masked segments)
         s_mat = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0) / den
-        sc = s_win[h, :][None, :]
+        sc = s_cur[h, :][None, :]
         a_mat = s_mat * sc                                        # α·dropout
         g_h = g_ref[:, h * ch:(h + 1) * ch]                       # [BN, ch]
-        v_h = v_win[:, h * ch:(h + 1) * ch]                       # [cap, ch]
+        v_h = v_cur[:, h * ch:(h + 1) * ch]                       # [cap, ch]
         u_mat = jax.lax.dot_general(                              # [BN, cap]
             g_h.astype(v_h.dtype), v_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -249,9 +287,9 @@ def _bwd_kernel(starts_ref,            # SMEM: [n_blocks] window starts
     dl_acc[:, :] = dl_acc[:, :] + jnp.concatenate(dl_rows, axis=0)
 
     wb_l = pltpu.make_async_copy(dl_acc, dl_out.at[:, pl.ds(start, cap)],
-                                 sems.at[3])
+                                 sems.at[0, 3])
     wb_v = pltpu.make_async_copy(dv_acc, dv_out.at[pl.ds(start, cap)],
-                                 sems.at[4])
+                                 sems.at[0, 4])
     wb_l.start()
     wb_v.start()
     # writes must land before the next (sequential) block's RMW read
@@ -284,12 +322,12 @@ def _pallas_backward_t(logits_t, scale_t, v_j, row_ptr, g, stats, *,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((heads, cap), jnp.float32),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, cap, hidden), v_j.dtype),
             pltpu.VMEM((heads, cap), jnp.float32),
             pltpu.VMEM((cap, hidden), v_j.dtype),
-            pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), v_j.dtype),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, 5)),
         ],
     )
     kernel = functools.partial(_bwd_kernel, bn=block_n, cap=cap, heads=heads,
@@ -454,9 +492,9 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
             continue
         # a window larger than the arena clamps to the whole arena
         cap = _win_cap(bn, max_in_degree, e_total, win64)
-        # scratch windows + ~3 live [bn, cap] softmax/mask temporaries
-        win_bytes = (cap * hidden * 4 + 2 * 8 * cap * 4 + bn * hidden * 4
-                     + 3 * bn * cap * 4)
+        # double-buffered scratch windows + ~3 live [bn, cap] temporaries
+        win_bytes = (2 * (cap * hidden * 4 + 2 * 8 * cap * 4)
+                     + bn * hidden * 4 + 3 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
             return bn
     return None
@@ -465,7 +503,7 @@ def pick_block_n(n: int, e_total: int, max_in_degree: int, hidden: int,
 def pick_block_n_bwd(n: int, e_total: int, max_in_degree: int, hidden: int,
                      preferred: int = 128, win64: int = 0):
     """Block size for the fused backward kernel (its own VMEM budget:
-    two [cap, H] windows — values and the dv accumulator — plus ~6 live
+    double-buffered value windows + the dv accumulator — plus ~6 live
     [bn, cap] softmax/SDDMM temporaries)."""
     if e_total % 128:
         return None
@@ -473,7 +511,7 @@ def pick_block_n_bwd(n: int, e_total: int, max_in_degree: int, hidden: int,
         if bn > preferred or n % bn:
             continue
         cap = _win_cap(bn, max_in_degree, e_total, win64)
-        win_bytes = (2 * cap * hidden * 4 + 4 * 8 * cap * 4
+        win_bytes = (3 * cap * hidden * 4 + 5 * 8 * cap * 4
                      + 2 * bn * max(hidden, 256) * 4 + 6 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
             return bn
@@ -865,18 +903,33 @@ def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
 
 def _sum_kernel(starts_ref, rp_lo_ref, rp_hi_ref, vals_hbm, out_ref,
                 win, sems, *, bn: int, cap: int, hidden: int):
+    # double-buffered (see `_kernel`): compute slot i%2, prefetch i+1
     i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def copy(idx, s):
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return pltpu.make_async_copy(vals_hbm.at[pl.ds(st, cap)], win.at[s],
+                                     sems.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        copy(i, slot).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        copy(i + 1, 1 - slot).start()
+
     start = pl.multiple_of(starts_ref[i], 128)
-    cp = pltpu.make_async_copy(vals_hbm.at[pl.ds(start, cap)], win, sems)
-    cp.start()
     lo = rp_lo_ref[i, :] - start
     hi = rp_hi_ref[i, :] - start
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     # 0/1 membership is exact in bf16, so the matmul dtype follows the
     # window (halved DMA under bf16 compute) with f32 accumulation
     member = ((pos >= lo[:, None]) & (pos < hi[:, None])).astype(win.dtype)
-    cp.wait()
-    out_ref[:, :] = jnp.dot(member, win[:, :],
+    copy(i, slot).wait()
+    out_ref[:, :] = jnp.dot(member, win.at[slot][:, :],
                             preferred_element_type=jnp.float32)
 
 
@@ -916,8 +969,8 @@ def windowed_segment_sum(values: jnp.ndarray, seg_starts: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bn, hidden), lambda i, s: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((cap, hidden), values.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, cap, hidden), values.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_sum_kernel, bn=bn, cap=cap, hidden=hidden)
