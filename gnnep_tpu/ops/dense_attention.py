@@ -107,17 +107,22 @@ def transformer_conv_table(
 
     e_total = src.shape[0]
     _interp = jax.default_backend() != "tpu"
-    fuse_gathers = fused and (
+    # real-hardware Mosaic rejects slim lane slices (e.g. per-head window
+    # slices at ch < 64, sub-128-lane arenas); interpret mode accepts them,
+    # so small test configs keep kernel coverage while hardware runs with
+    # unaligned hidden/ch fall back to the dense-table path
+    lane_ok = _interp or (hidden % 128 == 0 and ch % 64 == 0)
+    fuse_gathers = fused and lane_ok and (
         not _interp or bool(__import__("os").environ.get("GNNEP_FORCE_FUSED")))
     # fully fused attention (q·k SDDMM in-kernel): no q gather, no [E, heads]
     # logits tensor, no edge-mask stream — padded edges (dst = dummy) are
-    # excluded from real rows by CSR membership alone. Off by default: at
-    # the current ~20 % window density the in-window SDDMM costs more MXU
-    # time than the external [E, H] logits GEMM it replaces (measured
-    # 28.3 vs 27.2 ms/step — see PERF.md); flips on via GNNEP_ATTN_FUSED=1
-    # once window density improves.
-    use_attn = (fused
-                and bool(__import__("os").environ.get("GNNEP_ATTN_FUSED"))
+    # excluded from real rows by CSR membership alone. Default since the
+    # kernels got win64 window bounds + bf16 windows + double-buffered DMA
+    # (12.2 vs 13.3 ms/step against the external-logits boundary — see
+    # PERF.md); GNNEP_ATTN_FUSED=0 reverts to the external-logits path.
+    use_attn = (fused and lane_ok
+                and __import__("os").environ.get("GNNEP_ATTN_FUSED", "1")
+                != "0"
                 and attn_fusable(n, e_total, in_edges.shape[1],
                                  hidden=hidden, win64=win64))
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
@@ -163,8 +168,9 @@ def transformer_conv_table(
 
     import numpy as _np
 
-    use_fused = fused and fusable(n, src.shape[0], in_edges.shape[1],
-                                  hidden=hidden, win64=win64)
+    use_fused = fused and lane_ok and fusable(n, src.shape[0],
+                                              in_edges.shape[1],
+                                              hidden=hidden, win64=win64)
     if use_fused:
         # Pallas fused path (requires CSR-sorted edges). The logit family
         # lives in [heads, E] layout end-to-end: an [E, heads] tensor

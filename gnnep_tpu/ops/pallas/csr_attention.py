@@ -544,29 +544,46 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     edges (dst = dummy) are excluded from every real row by the member mask;
     the dummy row itself aggregates garbage and is unspecified by contract."""
     i = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[i], 128)
-    cp_k = pltpu.make_async_copy(k_hbm.at[pl.ds(start, cap)], k_win, sems.at[0])
-    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[1])
-    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
-                                 sems.at[2])
-    cp_k.start()
-    cp_v.start()
-    cp_s.start()
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
 
+    def copies(idx, s):
+        # double-buffered input windows (see `_kernel`)
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return (pltpu.make_async_copy(k_hbm.at[pl.ds(st, cap)], k_win.at[s],
+                                      sems.at[s, 0]),
+                pltpu.make_async_copy(v_hbm.at[pl.ds(st, cap)], v_win.at[s],
+                                      sems.at[s, 1]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 2]))
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    start = pl.multiple_of(starts_ref[i], 128)
     lo = rp_lo_ref[i, :] - start
     hi = rp_hi_ref[i, :] - start
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     member = (pos >= lo[:, None]) & (pos < hi[:, None])
 
-    cp_k.wait()
-    cp_v.wait()
-    cp_s.wait()
+    for cp in copies(i, slot):
+        cp.wait()
+    k_cur = k_win.at[slot]
+    v_cur = v_win.at[slot]
+    s_cur = s_win.at[slot]
 
     mxs = []
     dens = []
     for h in range(heads):
         q_h = q_ref[:, h * ch:(h + 1) * ch]
-        k_h = k_win[:, h * ch:(h + 1) * ch]
+        k_h = k_cur[:, h * ch:(h + 1) * ch]
         # under bf16 compute the q/k/v windows arrive bf16: half the DMA
         # bytes and native-bf16 MXU contractions with f32 accumulation
         logits = jax.lax.dot_general(                     # [BN, cap] SDDMM
@@ -577,9 +594,9 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
         e = jnp.exp(mat - mx)
         e = jnp.where(member, e, 0.0)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        alpha = (e / denom) * s_win[h, :][None, :]
+        alpha = (e / denom) * s_cur[h, :][None, :]
         out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
-            alpha.astype(v_win.dtype), v_win[:, h * ch:(h + 1) * ch],
+            alpha.astype(v_cur.dtype), v_cur[:, h * ch:(h + 1) * ch],
             preferred_element_type=jnp.float32)
         mxs.append(mx)
         dens.append(denom)
@@ -601,18 +618,35 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     dk = DLᵀ·q/√c as MXU contractions in the window. dq is a regular
     node-space block output; dk/dv accumulate via sequential RMW windows."""
     i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
     start = pl.multiple_of(starts_ref[i], 128)
-    cp_k = pltpu.make_async_copy(k_hbm.at[pl.ds(start, cap)], k_win, sems.at[0])
-    cp_v = pltpu.make_async_copy(v_hbm.at[pl.ds(start, cap)], v_win, sems.at[1])
-    cp_s = pltpu.make_async_copy(scale_hbm.at[:, pl.ds(start, cap)], s_win,
-                                 sems.at[2])
+
+    def copies(idx, s):
+        # double-buffered input windows (see `_kernel`)
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return (pltpu.make_async_copy(k_hbm.at[pl.ds(st, cap)], k_win.at[s],
+                                      sems.at[s, 0]),
+                pltpu.make_async_copy(v_hbm.at[pl.ds(st, cap)], v_win.at[s],
+                                      sems.at[s, 1]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 2]))
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    # RMW accumulators stay serialized (previous block's writeback landed)
     cp_dk = pltpu.make_async_copy(dk_out.at[pl.ds(start, cap)], dk_acc,
-                                  sems.at[3])
+                                  sems.at[0, 3])
     cp_dv = pltpu.make_async_copy(dv_out.at[pl.ds(start, cap)], dv_acc,
-                                  sems.at[4])
-    cp_k.start()
-    cp_v.start()
-    cp_s.start()
+                                  sems.at[0, 4])
     cp_dk.start()
     cp_dv.start()
 
@@ -621,19 +655,21 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
     member = (pos >= lo[:, None]) & (pos < hi[:, None])
 
-    cp_k.wait()
-    cp_v.wait()
-    cp_s.wait()
+    for cp in copies(i, slot):
+        cp.wait()
     cp_dk.wait()
     cp_dv.wait()
+    k_curw = k_win.at[slot]
+    v_curw = v_win.at[slot]
+    s_curw = s_win.at[slot]
 
     stats = stats_ref[:, :]
     for h in range(heads):
         q_h = q_ref[:, h * ch:(h + 1) * ch]
-        k_h = k_win[:, h * ch:(h + 1) * ch]
-        v_h = v_win[:, h * ch:(h + 1) * ch]
+        k_h = k_curw[:, h * ch:(h + 1) * ch]
+        v_h = v_curw[:, h * ch:(h + 1) * ch]
         g_h = g_ref[:, h * ch:(h + 1) * ch]
-        sc = s_win[h, :][None, :]
+        sc = s_curw[h, :][None, :]
         logits = jax.lax.dot_general(
             q_h, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * inv_sqrt_ch
@@ -664,9 +700,9 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
             dv_acc[:, h * ch:(h + 1) * ch] + dv_h.astype(dv_acc.dtype))
 
     wb_k = pltpu.make_async_copy(dk_acc, dk_out.at[pl.ds(start, cap)],
-                                 sems.at[3])
+                                 sems.at[0, 3])
     wb_v = pltpu.make_async_copy(dv_acc, dv_out.at[pl.ds(start, cap)],
-                                 sems.at[4])
+                                 sems.at[0, 4])
     wb_k.start()
     wb_k.wait()
     wb_v.start()
@@ -694,10 +730,10 @@ def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
         out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
                    pl.BlockSpec((block_n, 256), lambda i, s: (i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((cap, hidden), k_e.dtype),
-            pltpu.VMEM((cap, hidden), v_e.dtype),
-            pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, cap, hidden), k_e.dtype),
+            pltpu.VMEM((2, cap, hidden), v_e.dtype),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(_attn_kernel, bn=block_n, cap=cap, heads=heads,
@@ -738,12 +774,12 @@ def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
                    pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
+            pltpu.VMEM((2, cap, hidden), k_e.dtype),
+            pltpu.VMEM((2, cap, hidden), v_e.dtype),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
             pltpu.VMEM((cap, hidden), k_e.dtype),
             pltpu.VMEM((cap, hidden), v_e.dtype),
-            pltpu.VMEM((heads, cap), jnp.float32),
-            pltpu.VMEM((cap, hidden), k_e.dtype),
-            pltpu.VMEM((cap, hidden), v_e.dtype),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, 5)),
         ],
     )
     kernel = functools.partial(_attn_bwd_kernel, bn=block_n, cap=cap,
@@ -830,15 +866,15 @@ csr_attention.defvjp(_attn_fwd, _attn_bwd)
 
 def pick_block_n_attn(n: int, e_total: int, max_in_degree: int, hidden: int,
                       preferred: int = 128, win64: int = 0):
-    """Forward block size for csr_attention: two [cap, H] windows plus ~4
-    live [bn, cap] softmax temporaries."""
+    """Forward block size for csr_attention: double-buffered k/v windows
+    plus ~4 live [bn, cap] softmax temporaries."""
     if e_total % 128:
         return None
     for bn in (128, 64, 32, 16, 8):
         if bn > preferred or n % bn:
             continue
         cap = _win_cap(bn, max_in_degree, e_total, win64)
-        win_bytes = (2 * cap * hidden * 4 + 8 * cap * 4
+        win_bytes = (4 * cap * hidden * 4 + 2 * 8 * cap * 4
                      + 2 * bn * max(hidden, 256) * 4 + 4 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
             return bn
@@ -847,15 +883,15 @@ def pick_block_n_attn(n: int, e_total: int, max_in_degree: int, hidden: int,
 
 def pick_block_n_attn_bwd(n: int, e_total: int, max_in_degree: int,
                           hidden: int, preferred: int = 128, win64: int = 0):
-    """Backward block size: four [cap, H] windows (k, v, dk, dv) plus ~6
-    live [bn, cap] temporaries."""
+    """Backward block size: double-buffered k/v windows + dk/dv
+    accumulators plus ~6 live [bn, cap] temporaries."""
     if e_total % 128:
         return None
     for bn in (128, 64, 32, 16, 8):
         if bn > preferred or n % bn:
             continue
         cap = _win_cap(bn, max_in_degree, e_total, win64)
-        win_bytes = (4 * cap * hidden * 4 + 8 * cap * 4
+        win_bytes = (6 * cap * hidden * 4 + 2 * 8 * cap * 4
                      + 4 * bn * max(hidden, 256) * 4 + 6 * bn * cap * 4)
         if win_bytes <= _VMEM_BUDGET:
             return bn
