@@ -104,7 +104,7 @@ def main():
     edges_per_step = float(np.asarray(batch.edge_mask).sum()
                            + np.asarray(batch.lg_mask).sum())
     # exact per-64-target window bounds of this batch → smaller VMEM windows
-    from gnnep_tpu.data.batching import measure_win64
+    from gnnep_tpu.data.batching import measure_seg_win64, measure_win64
 
     def _r32(x):
         return ((x + 31) // 32) * 32
@@ -114,7 +114,11 @@ def main():
         edge_win64=_r32(measure_win64(np.asarray(batch.edge_dst),
                                       batch.nodes.shape[0])),
         lg_win64=_r32(measure_win64(np.asarray(batch.lg_dst),
-                                    batch.edge_src.shape[0])))
+                                    batch.edge_src.shape[0])),
+        edge_src_win64=_r32(measure_seg_win64(
+            np.asarray(batch.edge_src_starts), batch.edge_src.shape[0])),
+        lg_src_win64=_r32(measure_seg_win64(
+            np.asarray(batch.lg_src_starts), batch.lg_src.shape[0])))
     batch = jax.device_put(batch, dev)
 
     params = init_alignn(jax.random.PRNGKey(0), cfg)
@@ -189,6 +193,8 @@ def main():
             "hidden": cfg.hidden, "layers": cfg.layers, "heads": cfg.heads,
             "conv_impl": conv_impl, "compute_dtype": dtype,
             "edge_win64": cfg.edge_win64, "lg_win64": cfg.lg_win64,
+            "edge_src_win64": cfg.edge_src_win64,
+            "lg_src_win64": cfg.lg_src_win64,
             "scan_steps": scan_k,
         },
     }))

@@ -107,6 +107,12 @@ class BatchBudget:
     # block·max_in_degree worst case (see PERF.md "window density").
     edge_win64: int = 0
     lg_win64: int = 0
+    # src-side bounds: max rows owned by any aligned group of 64 consecutive
+    # segments of the SRC-sorted arenas (the gather-VJP segment-sum layout).
+    # Not enforceable by dilution (segment sizes are the data's out-degrees);
+    # the packer asserts and defers tail graphs on overflow instead.
+    edge_src_win64: int = 0
+    lg_src_win64: int = 0
 
     @classmethod
     def plan(cls, store: GraphStore, indices: Sequence[int], batch_size: int,
@@ -136,6 +142,8 @@ class BatchBudget:
         deg_a = deg_l = deg_ao = deg_lo = 1
         node_counts: List[np.ndarray] = []
         bond_counts: List[np.ndarray] = []
+        node_out_counts: List[np.ndarray] = []
+        bond_out_counts: List[np.ndarray] = []
         for g in idx:
             n_g = int(store.node_off[g + 1] - store.node_off[g])
             e_g = store.edge_dst[store.edge_off[g]:store.edge_off[g + 1]]
@@ -144,14 +152,18 @@ class BatchBudget:
             ls_g = store.lg_src[store.lg_off[g]:store.lg_off[g + 1]]
             if e_g.size:
                 nc = np.bincount(e_g, minlength=n_g)
+                no = np.bincount(es_g, minlength=n_g)
                 deg_a = max(deg_a, int(nc.max()))
-                deg_ao = max(deg_ao, int(np.bincount(es_g, minlength=n_g).max()))
+                deg_ao = max(deg_ao, int(no.max()))
                 node_counts.append(nc)
+                node_out_counts.append(no)
             if l_g.size:
                 bc = np.bincount(l_g, minlength=e_g.size)
+                bo = np.bincount(ls_g, minlength=e_g.size)
                 deg_l = max(deg_l, int(bc.max()))
-                deg_lo = max(deg_lo, int(np.bincount(ls_g).max()))
+                deg_lo = max(deg_lo, int(bo.max()))
                 bond_counts.append(bc)
+                bond_out_counts.append(bo)
 
         def win_bound(counts: List[np.ndarray], floor: int) -> int:
             # quantile of aligned-64-group sums over the concatenated
@@ -177,7 +189,12 @@ class BatchBudget:
                    # rows into the edge arena, so a single atom's row span
                    # can exceed its degree by up to two group skips
                    edge_win64=win_bound(node_counts, deg_a + 128),
-                   lg_win64=win_bound(bond_counts, deg_l))
+                   lg_win64=win_bound(bond_counts, deg_l),
+                   # src arenas have no interleaved padding (padded rows
+                   # carry src=dummy and sort last), so no dilution fudge;
+                   # a modest extra floor absorbs out-degree clustering
+                   edge_src_win64=win_bound(node_out_counts, deg_ao + 64),
+                   lg_src_win64=win_bound(bond_out_counts, deg_lo + 64))
 
 
 def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
@@ -337,6 +354,25 @@ def csr_row_ptrs(edge_dst: np.ndarray, lg_dst: np.ndarray, Np: int, Ep: int):
     e_rp = np.searchsorted(edge_dst, np.arange(Np + 1)).astype(np.int32)
     l_rp = np.searchsorted(lg_dst, np.arange(Ep + 1)).astype(np.int32)
     return e_rp, l_rp
+
+
+def measure_seg_win64(seg_starts: np.ndarray, e_total: int,
+                      group: int = 64) -> int:
+    """Max row span of any aligned group of `group` consecutive segments of
+    a segment-contiguous arena (`seg_starts` [N] per-segment start offsets),
+    clamped at the reserved dummy segment: the last segment owns the tail
+    padding and is unspecified by the kernel contract."""
+    n = seg_starts.shape[0]
+    if n == 0:
+        return 0
+    starts = seg_starts.astype(np.int64)
+    ends = np.concatenate([starts[1:], [np.int64(e_total)]])
+    dummy_start = int(starts[n - 1])
+    s = np.minimum(starts, dummy_start)
+    e = np.minimum(ends, dummy_start)
+    gs = s[0:n:group]
+    ge_idx = np.minimum(np.arange(0, n, group) + group - 1, n - 1)
+    return int(np.max(e[ge_idx] - gs))
 
 
 def src_csr_index(src_vals: np.ndarray, n_rows: int):
@@ -524,6 +560,14 @@ class BatchPacker:
             lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1)
         e_order, e_starts = src_csr_index(edge_src, Np)
         l_order, l_starts = src_csr_index(lg_src, Ep)
+        # src-side window bounds can't be enforced by dilution (segment
+        # sizes are the data's out-degrees) — defer tail graphs instead
+        if (b.edge_src_win64
+                and measure_seg_win64(e_starts, Ep) > b.edge_src_win64):
+            raise DilutionOverflow()
+        if (b.lg_src_win64
+                and measure_seg_win64(l_starts, Lp) > b.lg_src_win64):
+            raise DilutionOverflow()
         e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,

@@ -56,6 +56,10 @@ class AlignnConfig:
     # window DMA and window-matmul FLOPs (see PERF.md "window density").
     edge_win64: int = 0
     lg_win64: int = 0
+    # src-side analogues for the SRC-sorted arenas consumed by the
+    # gather-VJP windowed segment-sum (packer-asserted, not diluted)
+    edge_src_win64: int = 0
+    lg_src_win64: int = 0
 
     def __post_init__(self):
         if self.heads <= 0:
@@ -160,7 +164,8 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 batch.lg_src_order, batch.lg_src_starts,
                 heads=cfg.heads, edge_mask=batch.lg_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused,
-                win64=cfg.lg_win64, row_ptr=getattr(batch, "lg_row_ptr", None))
+                win64=cfg.lg_win64, src_win64=cfg.lg_src_win64,
+                row_ptr=getattr(batch, "lg_row_ptr", None))
 
         def atom_conv(p, state, feats, rng):
             return transformer_conv_table(
@@ -170,7 +175,7 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 batch.edge_src_order, batch.edge_src_starts,
                 heads=cfg.heads, edge_mask=batch.edge_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused,
-                win64=cfg.edge_win64,
+                win64=cfg.edge_win64, src_win64=cfg.edge_src_win64,
                 row_ptr=getattr(batch, "edge_row_ptr", None))
     else:
         def lg_conv(p, state, feats, rng):

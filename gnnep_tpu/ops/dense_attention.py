@@ -78,6 +78,7 @@ def transformer_conv_table(
     dropout_rng: Optional[jax.Array] = None,
     fused: bool = False,
     win64: int = 0,
+    src_win64: int = 0,  # row bound per 64 segments of the SRC-sorted arena
     row_ptr: Optional[jnp.ndarray] = None,  # [N+1] CSR pointers of dst
 ) -> jnp.ndarray:
     n = x.shape[0]
@@ -129,11 +130,12 @@ def transformer_conv_table(
     if (fuse_gathers and src_order is not None and src_starts is not None
             and out_edges is not None
             and _sum_ok(src_starts.shape[0], e_total, out_edges.shape[1],
-                        hidden=2 * hidden)
+                        hidden=2 * hidden, win64=src_win64)
             and _sum_ok(n, e_total, in_edges.shape[1], hidden=hidden,
                         win64=win64)):
         kv = csr_gather_ordered(proj[:, hidden:3 * hidden], src, src_order,
-                                src_starts, out_edges.shape[1], _interp)
+                                src_starts, out_edges.shape[1], _interp,
+                                src_win64)
         if row_ptr is None:
             row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
                                        ).astype(jnp.int32)

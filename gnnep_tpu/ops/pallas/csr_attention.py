@@ -1039,23 +1039,29 @@ def _csr_gather_bwd(max_deg, interpret, win64, res, g):
 csr_gather.defvjp(_csr_gather_fwd, _csr_gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def csr_gather_ordered(x, idx, order, seg_starts, max_deg, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def csr_gather_ordered(x, idx, order, seg_starts, max_deg, interpret,
+                       win64=0):
     """`x[idx]` for arbitrary `idx`, with `order` a permutation that sorts
     `idx` into contiguous segments (precomputed at pack time); the VJP
-    permutes the cotangent then runs the windowed segment-sum."""
+    permutes the cotangent then runs the windowed segment-sum. `win64`
+    bounds the rows of any aligned 64-segment group of the sorted arena
+    (packer-asserted) — it shrinks the VJP kernel's VMEM windows well below
+    block·max_out_degree."""
     return x[idx]
 
 
-def _csr_gather_ordered_fwd(x, idx, order, seg_starts, max_deg, interpret):
+def _csr_gather_ordered_fwd(x, idx, order, seg_starts, max_deg, interpret,
+                            win64=0):
     return x[idx], (idx.shape[0], order, seg_starts)
 
 
-def _csr_gather_ordered_bwd(max_deg, interpret, res, g):
+def _csr_gather_ordered_bwd(max_deg, interpret, win64, res, g):
     e_total, order, seg_starts = res
     g_sorted = g[order]
     dx = windowed_segment_sum(g_sorted, seg_starts,
-                              e_total, max_deg=max_deg, interpret=interpret)
+                              e_total, max_deg=max_deg, interpret=interpret,
+                              win64=win64)
     return dx.astype(g.dtype), None, None, None
 
 

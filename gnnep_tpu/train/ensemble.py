@@ -93,7 +93,9 @@ def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] =
         # packer-enforced window bounds shrink the Pallas kernels' VMEM
         # windows (the packer dilutes dense batches to honor them)
         edge_win64=budget.edge_win64 if budget else 0,
-        lg_win64=budget.lg_win64 if budget else 0)
+        lg_win64=budget.lg_win64 if budget else 0,
+        edge_src_win64=budget.edge_src_win64 if budget else 0,
+        lg_src_win64=budget.lg_src_win64 if budget else 0)
 
 
 def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],

@@ -448,6 +448,19 @@ class TestWindowedSegmentSum:
         g4 = np.asarray(jax.grad(loss_ord_ref)(jnp.asarray(x)))
         np.testing.assert_allclose(g3[:-1], g4[:-1], rtol=1e-4, atol=1e-5)
 
+        # src-side win64 bound: same grads with the measured group bound
+        from gnnep_tpu.data.batching import measure_seg_win64
+        b64 = measure_seg_win64(starts2, e_total)
+        assert b64 < e_total  # bound actually shrinks the window
+
+        def loss_ord_b(xx):
+            return (csr_gather_ordered(xx, jnp.asarray(idx), jnp.asarray(order),
+                                       jnp.asarray(starts2), 48, True,
+                                       b64) * w).sum()
+
+        g5 = np.asarray(jax.grad(loss_ord_b)(jnp.asarray(x)))
+        np.testing.assert_allclose(g5[:-1], g4[:-1], rtol=1e-4, atol=1e-5)
+
     def test_model_grad_parity_fused_gathers(self, monkeypatch):
         """Full-model gradient parity: fused (kernel + CSR-gather VJPs) vs
         the plain table path — with the fully fused attention boundary
