@@ -163,7 +163,7 @@ def transformer_conv_table(
         msg = fused_attention(
             q, k_j, v_j, row_ptr, dst, heads=heads,
             max_in_degree=in_edges.shape[1], scale_t=scale_t,
-            win64=win64).astype(x.dtype)
+            mask_e=edge_mask, win64=win64).astype(x.dtype)
         beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
                               @ params.w_beta)
         return beta * r + (1.0 - beta) * msg

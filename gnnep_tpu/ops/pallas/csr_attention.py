@@ -534,15 +534,18 @@ def _round_up(x: int, m: int) -> int:
 
 def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
                  k_hbm, v_hbm, scale_hbm,   # [E, H], [E, H], [heads, E] ANY
+                 mask_hbm,                  # [1, E] pre-softmax 0/1 mask ANY
                  q_ref,                     # [BN, H] VMEM block
                  out_ref, stats_ref,        # [BN, H], [BN, 256] VMEM blocks
-                 k_win, v_win, s_win, sems,
+                 k_win, v_win, s_win, m_win, sems,
                  *, bn: int, cap: int, heads: int, ch: int, inv_sqrt_ch: float):
     """Forward: logits are computed in-kernel as the per-head SDDMM
     q_h · k_hᵀ/√c over the window, so no [E, heads] logits tensor (or its
-    lane-padded transposes and mask streams) ever exists in HBM. Padded
-    edges (dst = dummy) are excluded from every real row by the member mask;
-    the dummy row itself aggregates garbage and is unspecified by contract."""
+    lane-padded transposes) ever exists in HBM. Tail padding (dst = dummy)
+    is excluded by CSR membership; INTERIOR padding (dilution relocates
+    masked rows into real segments with forward-filled dst) is excluded by
+    the [1, E] pre-softmax mask stream folded into the member test. The
+    dummy row itself aggregates garbage and is unspecified by contract."""
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -555,7 +558,9 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
                 pltpu.make_async_copy(v_hbm.at[pl.ds(st, cap)], v_win.at[s],
                                       sems.at[s, 1]),
                 pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
-                                      s_win.at[s], sems.at[s, 2]))
+                                      s_win.at[s], sems.at[s, 2]),
+                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(st, cap)],
+                                      m_win.at[s], sems.at[s, 3]))
 
     @pl.when(i == 0)
     def _():
@@ -578,6 +583,7 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     k_cur = k_win.at[slot]
     v_cur = v_win.at[slot]
     s_cur = s_win.at[slot]
+    member = member & (m_win.at[slot][0, :][None, :] > 0)
 
     mxs = []
     dens = []
@@ -606,11 +612,12 @@ def _attn_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
 
 def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
                      k_hbm, v_hbm, scale_hbm,   # ANY
+                     mask_hbm,                  # [1, E] pre-softmax mask ANY
                      q_ref, g_ref, stats_ref,   # [BN, ·] VMEM blocks
                      dk0_hbm, dv0_hbm,          # zero arenas aliased to outputs
                      dq_ref,                    # [BN, H] VMEM block output
                      dk_out, dv_out,            # [E, H] ANY outputs
-                     k_win, v_win, s_win, dk_acc, dv_acc, sems,
+                     k_win, v_win, s_win, m_win, dk_acc, dv_acc, sems,
                      *, bn: int, cap: int, heads: int, ch: int,
                      inv_sqrt_ch: float):
     """Backward: recomputes logits (SDDMM) and the softmax matrix from the
@@ -630,7 +637,9 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
                 pltpu.make_async_copy(v_hbm.at[pl.ds(st, cap)], v_win.at[s],
                                       sems.at[s, 1]),
                 pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
-                                      s_win.at[s], sems.at[s, 2]))
+                                      s_win.at[s], sems.at[s, 2]),
+                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(st, cap)],
+                                      m_win.at[s], sems.at[s, 5]))
 
     @pl.when(i == 0)
     def _():
@@ -662,6 +671,7 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     k_curw = k_win.at[slot]
     v_curw = v_win.at[slot]
     s_curw = s_win.at[slot]
+    member = member & (m_win.at[slot][0, :][None, :] > 0)
 
     stats = stats_ref[:, :]
     for h in range(heads):
@@ -709,8 +719,8 @@ def _attn_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
     wb_v.wait()
 
 
-def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
-                  interpret):
+def _attn_forward(q, k_e, v_e, scale_t, mask2, row_ptr, *, heads, block_n,
+                  cap, interpret):
     e_total, hidden = v_e.shape
     n = row_ptr.shape[0] - 1
     ch = hidden // heads
@@ -725,6 +735,7 @@ def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
         ],
         out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
@@ -733,7 +744,8 @@ def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
             pltpu.VMEM((2, cap, hidden), k_e.dtype),
             pltpu.VMEM((2, cap, hidden), v_e.dtype),
             pltpu.VMEM((2, heads, cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, 1, cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     kernel = functools.partial(_attn_kernel, bn=block_n, cap=cap, heads=heads,
@@ -745,10 +757,10 @@ def _attn_forward(q, k_e, v_e, scale_t, row_ptr, *, heads, block_n, cap,
                    jax.ShapeDtypeStruct((n, 256), jnp.float32)),
         interpret=interpret,
     )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
-      row_ptr[1:].reshape(n_blocks, block_n), k_e, v_e, scale_t, q)
+      row_ptr[1:].reshape(n_blocks, block_n), k_e, v_e, scale_t, mask2, q)
 
 
-def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
+def _attn_backward(q, k_e, v_e, scale_t, mask2, row_ptr, g, stats, *, heads,
                    block_n, cap, interpret):
     e_total, hidden = v_e.shape
     n = row_ptr.shape[0] - 1
@@ -761,6 +773,7 @@ def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
         in_specs=[
             pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
             pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -777,9 +790,10 @@ def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
             pltpu.VMEM((2, cap, hidden), k_e.dtype),
             pltpu.VMEM((2, cap, hidden), v_e.dtype),
             pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.float32),
             pltpu.VMEM((cap, hidden), k_e.dtype),
             pltpu.VMEM((cap, hidden), v_e.dtype),
-            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     kernel = functools.partial(_attn_bwd_kernel, bn=block_n, cap=cap,
@@ -793,42 +807,46 @@ def _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats, *, heads,
         out_shape=(jax.ShapeDtypeStruct((n, hidden), q.dtype),
                    jax.ShapeDtypeStruct((e_total, hidden), k_e.dtype),
                    jax.ShapeDtypeStruct((e_total, hidden), v_e.dtype)),
-        # flat inputs: starts, rp_lo, rp_hi, k, v, scale, q, g, stats, dk0, dv0
-        input_output_aliases={9: 1, 10: 2},
+        # flat inputs: starts, rp_lo, rp_hi, k, v, scale, mask, q, g, stats,
+        # dk0, dv0
+        input_output_aliases={10: 1, 11: 2},
         interpret=interpret,
     )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
-      row_ptr[1:].reshape(n_blocks, block_n), k_e, v_e, scale_t, q,
+      row_ptr[1:].reshape(n_blocks, block_n), k_e, v_e, scale_t, mask2, q,
       g.astype(jnp.float32), stats, dk0, dv0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
-def csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
-                  interpret, max_in_degree, bwd_block_n, win64=0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def csr_attention(q, k_e, v_e, scale_t, mask2, row_ptr, dst, heads, block_n,
+                  cap, interpret, max_in_degree, bwd_block_n, win64=0):
     """out_n = Σ_{e→n} softmax_e(q_n·k_e/√c)·scale_e·v_e over CSR segments,
-    fully fused (no [E, heads] logits tensor in HBM, forward or backward)."""
-    return _attn_forward(q, k_e, v_e, scale_t, row_ptr, heads=heads,
+    fully fused (no [E, heads] logits tensor in HBM, forward or backward).
+    `mask2` [1, E] is the pre-softmax 0/1 validity mask (interior padding
+    rows carry real dst values after dilution and must not contribute)."""
+    return _attn_forward(q, k_e, v_e, scale_t, mask2, row_ptr, heads=heads,
                          block_n=block_n, cap=cap, interpret=interpret)[0]
 
 
-def _attn_fwd(q, k_e, v_e, scale_t, row_ptr, dst, heads, block_n, cap,
-              interpret, max_in_degree, bwd_block_n, win64=0):
-    out, stats = _attn_forward(q, k_e, v_e, scale_t, row_ptr, heads=heads,
-                               block_n=block_n, cap=cap, interpret=interpret)
-    return out, (q, k_e, v_e, scale_t, row_ptr, dst, stats)
+def _attn_fwd(q, k_e, v_e, scale_t, mask2, row_ptr, dst, heads, block_n,
+              cap, interpret, max_in_degree, bwd_block_n, win64=0):
+    out, stats = _attn_forward(q, k_e, v_e, scale_t, mask2, row_ptr,
+                               heads=heads, block_n=block_n, cap=cap,
+                               interpret=interpret)
+    return out, (q, k_e, v_e, scale_t, mask2, row_ptr, dst, stats)
 
 
 def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
               win64, res, g):
-    q, k_e, v_e, scale_t, row_ptr, dst, stats = res
+    q, k_e, v_e, scale_t, mask2, row_ptr, dst, stats = res
     e_total, hidden = v_e.shape
     ch = hidden // heads
 
     if bwd_block_n is not None:
         cap_b = _win_cap(bwd_block_n, max_in_degree, e_total, win64)
-        dq, dk, dv = _attn_backward(q, k_e, v_e, scale_t, row_ptr, g, stats,
-                                    heads=heads, block_n=bwd_block_n,
+        dq, dk, dv = _attn_backward(q, k_e, v_e, scale_t, mask2, row_ptr, g,
+                                    stats, heads=heads, block_n=bwd_block_n,
                                     cap=cap_b, interpret=interpret)
-        return (dq, dk, dv, None, None, None)
+        return (dq, dk, dv, None, None, None, None)
 
     # XLA edge-space fallback (backward VMEM budget unmet). With in-kernel
     # logits the dummy row's stats are self-consistent, so no masking is
@@ -840,7 +858,7 @@ def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
                                      axis=0))            # [H, heads]
     logits_e = ((q[dst] * k_e).astype(jnp.float32) @ blocksum) / (ch ** 0.5)
     scale_e = scale_t.T
-    s_e = jnp.exp(logits_e - mx[dst]) / denom[dst]
+    s_e = jnp.exp(logits_e - mx[dst]) / denom[dst] * mask2[0][:, None]
     g_e = g.astype(jnp.float32)[dst]
     sm = s_e * scale_e
     dv = jnp.repeat(sm, ch, axis=1) * g_e
@@ -858,7 +876,7 @@ def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
     dq = jax.ops.segment_sum(dl_wide * k_e, dst, num_segments=n,
                              indices_are_sorted=True)
     return (dq.astype(q.dtype), dk.astype(k_e.dtype), dv.astype(v_e.dtype),
-            None, None, None)
+            None, None, None, None)
 
 
 csr_attention.defvjp(_attn_fwd, _attn_bwd)
@@ -908,13 +926,17 @@ def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
                     row_ptr: jnp.ndarray, dst: jnp.ndarray, *, heads: int,
                     max_in_degree: int,
                     scale_t: Optional[jnp.ndarray] = None,
+                    mask_e: Optional[jnp.ndarray] = None,
                     block_n: int = 128, win64: int = 0,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fully fused CSR attention over CSR-sorted edge arenas.
 
     `scale_t` is the [heads, E] post-softmax scale (attention dropout);
-    defaults to ones. The dummy row (n-1) owns padded edges and its output
-    is unspecified, as in `fused_aggregate`."""
+    defaults to ones. `mask_e` [E] is the pre-softmax validity mask —
+    REQUIRED whenever the arena may contain interior padding rows
+    (packer dilution forward-fills their dst with real targets); defaults
+    to ones. The dummy row (n-1) owns tail padding and its output is
+    unspecified, as in `fused_aggregate`."""
     n = row_ptr.shape[0] - 1
     e_total = v_e.shape[0]
     hidden = v_e.shape[1]
@@ -927,10 +949,12 @@ def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     if scale_t is None:
         scale_t = jnp.ones((heads, e_total), jnp.float32)
+    mask2 = (jnp.ones((1, e_total), jnp.float32) if mask_e is None
+             else mask_e.astype(jnp.float32).reshape(1, e_total))
     bwd_bn = pick_block_n_attn_bwd(n, e_total, max_in_degree, hidden,
                                    win64=win64)
-    return csr_attention(q, k_e, v_e, scale_t, row_ptr, dst, heads, bn, cap,
-                         interpret, max_in_degree, bwd_bn, win64)
+    return csr_attention(q, k_e, v_e, scale_t, mask2, row_ptr, dst, heads,
+                         bn, cap, interpret, max_in_degree, bwd_bn, win64)
 
 
 # ---------------------------------------------------------------------------

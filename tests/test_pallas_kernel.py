@@ -495,3 +495,60 @@ class TestWindowedSegmentSum:
         for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gt)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-4)
+
+    def test_attn_fused_on_diluted_batch(self, monkeypatch):
+        """Interior padding rows (dilution relocates padding bonds into real
+        atoms' CSR segments with forward-filled dst) must NOT contribute to
+        the in-kernel-softmax attention path: the kernels take an explicit
+        pre-softmax edge-mask stream, since CSR membership alone cannot
+        exclude them. Regression: attn-fused ≡ table on a diluted batch."""
+        monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")
+        monkeypatch.setenv("GNNEP_ATTN_FUSED", "1")
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synthetic import make_store
+        from gnnep_tpu.data.batching import (BatchBudget, BatchPacker,
+                                             measure_win64)
+        from gnnep_tpu.models.alignn import (AlignnConfig, alignn_apply,
+                                             init_alignn)
+        import dataclasses as dc
+
+        store = make_store(10, seed=7)
+        budget = dc.replace(BatchBudget.plan(store, range(10), batch_size=10),
+                            n_nodes=128, n_edges=256, n_lg_edges=1024,
+                            # tight bounds force dilution to interleave
+                            # padding bonds into real atom segments
+                            edge_win64=96, lg_win64=160)
+        batch = next(iter(BatchPacker(store, budget).pack(range(10))))
+        em = np.asarray(batch.edge_mask)
+        # dilution actually produced interior padding (masked row whose dst
+        # is a real atom, before the tail)
+        interior = (em == 0) & (np.asarray(batch.edge_dst)
+                                < batch.nodes.shape[0] - 1)
+        assert interior.any(), "test setup: no interior padding produced"
+        assert measure_win64(np.asarray(batch.edge_dst),
+                             batch.nodes.shape[0]) <= 96
+        base = dict(node_dim=store.node_dim, edge_dim=store.edge_dim,
+                    angle_dim=store.angle_dim,
+                    global_dim=store.global_scalar_dim + 230,
+                    target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0,
+                    edge_win64=96, lg_win64=160)
+        cfg_f = AlignnConfig(**base, conv_impl="fused")
+        cfg_t = AlignnConfig(**base, conv_impl="table")
+        params = init_alignn(jax.random.PRNGKey(0), cfg_f)
+        mf, lf = alignn_apply(params, cfg_f, batch)
+        mt, lt = alignn_apply(params, cfg_t, batch)
+        np.testing.assert_allclose(np.asarray(mf), np.asarray(mt),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lt),
+                                   rtol=5e-4, atol=5e-5)
+
+        def loss(p, cfg):
+            m, l = alignn_apply(p, cfg, batch)
+            return (m ** 2).sum() + (l ** 2).sum()
+
+        gf = jax.grad(lambda p: loss(p, cfg_f))(params)
+        gt = jax.grad(lambda p: loss(p, cfg_t))(params)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gt)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-4)
