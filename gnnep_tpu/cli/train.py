@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="table",
                    help="Graph-conv aggregation path: dense table (XLA), "
                         "fused Pallas kernel, or COO segment ops")
+    p.add_argument("--scan-steps", type=int, default=8,
+                   help="Run K optimizer steps per dispatch as one "
+                        "lax.scan program (device-side inner loop; "
+                        "0/1 = per-step dispatch)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="Save mid-training resume state every N epochs (0=off)")
     p.add_argument("--resume", action="store_true",
@@ -137,7 +141,8 @@ def config_from_args(args) -> TrainConfig:
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile_dir=args.profile_dir,
         member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,
-        batch_slack=args.batch_slack, verbose=not args.quiet)
+        batch_slack=args.batch_slack, scan_steps=args.scan_steps,
+        verbose=not args.quiet)
 
 
 def main(argv=None):

@@ -81,6 +81,11 @@ class TrainConfig:
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints
     member_parallel: str = "sequential"  # 'sequential' | 'vmap'
+    # device-side inner loop: run K optimizer steps per dispatch via
+    # lax.scan over stacked batches (host dispatch + per-step metric
+    # readback otherwise gate throughput on remote runtimes); the epoch's
+    # remainder (< K batches) runs per-step. 0/1 disables.
+    scan_steps: int = 8
     profile_dir: str = ""                # jax.profiler trace output (first epoch)
     save_embeddings: bool = False
     batch_quantile: float = 0.95

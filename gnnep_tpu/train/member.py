@@ -23,6 +23,7 @@ from ..models.alignn import AlignnConfig, init_alignn
 from .config import TrainConfig
 from .knn_weights import compute_knn_weights
 from .loop import (TrainHyper, collect_predictions, cosine_lr, make_forward,
+                   stack_batches,
                    make_train_step, sigma_mask)
 from .metrics import eval_metrics
 
@@ -118,6 +119,14 @@ def train_member(
                        compute_dtype=cfg.compute_dtype)
     step, init_opt = make_train_step(model_cfg, hyper,
                                      transformer.means, transformer.stds)
+    scan_k = max(int(getattr(cfg, "scan_steps", 0)), 0)
+    multi_step = None
+    if scan_k > 1:
+        from .loop import make_scan_train_step
+
+        multi_step, _ = make_scan_train_step(model_cfg, hyper,
+                                             transformer.means,
+                                             transformer.stds)
     forward = make_forward(model_cfg, cfg.min_logvar_floor)
 
     key = jax.random.PRNGKey(member_seed)
@@ -212,11 +221,36 @@ def train_member(
         # i+1 streams in while batch i computes (host↔device bandwidth is a
         # first-class cost on tunneled runtimes — see PERF.md)
         with trace_ctx:
-            pending = jax.device_put(batches[0]) if batches else None
-            for i, b in enumerate(batches):
+            # full K-batch chunks run as ONE lax.scan program (no per-step
+            # dispatch or metric readback); the remainder runs per-step.
+            # Exact optimizer semantics either way — no padded steps.
+            n_scan = (len(batches) // scan_k) * scan_k if multi_step else 0
+            chunks = ([batches[i:i + scan_k] for i in range(0, n_scan, scan_k)]
+                      if n_scan else [])
+            pending_chunk = (jax.device_put(stack_batches(chunks[0]))
+                             if chunks else None)
+            for ci, chunk in enumerate(chunks):
+                stacked = pending_chunk
+                if ci + 1 < len(chunks):
+                    pending_chunk = jax.device_put(stack_batches(chunks[ci + 1]))
+                key, chunk_key = jax.random.split(key)
+                params, opt_state, ms = multi_step(
+                    params, opt_state, smask, stacked, chunk_key,
+                    lr_mean, lr_sigma)
+                for b in chunk:
+                    meter.count_batch(b)
+                sums += np.array([float(ms.loss_sum.sum()),
+                                  float(ms.n_graphs.sum()),
+                                  float(ms.abs_err_sum.sum()),
+                                  float(ms.sq_err_sum.sum())])
+                logvar_sum += float(ms.logvar_sum.sum())
+                n_el += float(ms.n_elements.sum())
+            rest = batches[n_scan:]
+            pending = jax.device_put(rest[0]) if rest else None
+            for i, b in enumerate(rest):
                 cur = pending
-                if i + 1 < len(batches):
-                    pending = jax.device_put(batches[i + 1])
+                if i + 1 < len(rest):
+                    pending = jax.device_put(rest[i + 1])
                 key, step_key = jax.random.split(key)
                 params, opt_state, m = step(params, opt_state, smask, cur,
                                             step_key, lr_mean, lr_sigma)

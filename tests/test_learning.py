@@ -51,6 +51,27 @@ def test_pipeline_learns_structure_property_map(tmp_path):
 
 
 @pytest.mark.slow
+def test_pipeline_learns_with_scan_steps(tmp_path):
+    """Device-side scan inner loop (scan_steps>1, small batches so full
+    chunks actually engage) trains to the same quality bar as per-step
+    dispatch, with the remainder batches running sequentially."""
+    store = _learnable_store()
+    y = store.y
+    spread = float(np.abs(y - y.mean(axis=0)).mean())
+
+    cfg = TrainConfig(
+        save_dir=str(tmp_path), batch_size=4, epochs=30, hidden=32,
+        layers=2, heads=2, ensemble_size=1, seed=3,
+        val_frac=0.15, calib_frac=0.1, test_frac=0.2,
+        lr=3e-3, sigma_lr_max=3e-3, warmup_epochs=2, sigma_warmup_epochs=4,
+        early_stop=30, bootstrap=False, feature_jitter_std=0.0,
+        scan_steps=2, verbose=False)
+    summary = run_training(cfg, store)
+    test_mae = summary["test_stats"]["overall"]["mae"]
+    assert test_mae < 0.5 * spread, (test_mae, spread)
+
+
+@pytest.mark.slow
 def test_save_embeddings(tmp_path):
     store = _learnable_store(n=24)
     cfg = TrainConfig(
