@@ -95,14 +95,14 @@ def transformer_conv_table(
     proj = x @ w_all + b_all
     q = proj[:, :hidden]
     r = proj[:, 3 * hidden:]
-    e = edge_attr @ params.w_edge                      # [E, H]
 
     # gathers of (k‖v) by src and q by dst; both VJPs route through the
     # windowed Pallas segment-sum when the CSR layouts allow it (the XLA
     # transpose is a row-serial scatter-add — the dominant backward cost),
     # falling back to gather_rows' sort-based segment-sum otherwise. (A
     # dense-table VJP was tried and measured slower — see PERF.md.)
-    from .pallas.csr_attention import attn_fusable, fused_attention
+    from .pallas.csr_attention import (attn_eproj_fusable, attn_fusable,
+                                       fused_attention, fused_attention_eproj)
     from .pallas.csr_attention import fusable as _sum_ok
     from .pallas.csr_attention import csr_gather, csr_gather_ordered
 
@@ -126,6 +126,19 @@ def transformer_conv_table(
                 != "0"
                 and attn_fusable(n, e_total, in_edges.shape[1],
                                  hidden=hidden, win64=win64))
+    # one level deeper: the edge projection e = edge_attr·W_e and the k/v
+    # adds move in-kernel too — no [E, H] e tensor, no k_j/v_j slice_add
+    # round trip, backward emits dkv/d(edge_attr)/dW_e directly
+    # (GNNEP_ATTN_EPROJ=0 reverts to the kv+e boundary)
+    use_eproj = (use_attn
+                 and __import__("os").environ.get("GNNEP_ATTN_EPROJ", "1")
+                 != "0"
+                 and (_interp or edge_attr.shape[1] % 128 == 0)
+                 and attn_eproj_fusable(
+                     n, e_total, in_edges.shape[1], hidden=hidden,
+                     fe=edge_attr.shape[1], win64=win64,
+                     itemsize=jnp.dtype(x.dtype).itemsize))
+    e = None if use_eproj else edge_attr @ params.w_edge   # [E, H]
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if (fuse_gathers and src_order is not None and src_starts is not None
             and out_edges is not None
@@ -144,8 +157,6 @@ def transformer_conv_table(
     else:
         kv = gather_rows(proj[:, hidden:3 * hidden], src)
         q_dst = None if use_attn else gather_rows(q, dst)
-    k_j = kv[:, :hidden] + e                           # [E, H]
-    v_j = kv[:, hidden:] + e
 
     from .pallas.csr_attention import fusable
 
@@ -160,13 +171,22 @@ def transformer_conv_table(
                                        ).astype(jnp.int32)
         # q/k/v stay in the compute dtype — the kernels window them as-is
         # (bf16 halves DMA bytes and runs native-bf16 MXU contractions)
-        msg = fused_attention(
-            q, k_j, v_j, row_ptr, dst, heads=heads,
-            max_in_degree=in_edges.shape[1], scale_t=scale_t,
-            mask_e=edge_mask, win64=win64).astype(x.dtype)
+        if use_eproj:
+            msg = fused_attention_eproj(
+                q, kv, edge_attr, params.w_edge, row_ptr, dst, heads=heads,
+                max_in_degree=in_edges.shape[1], scale_t=scale_t,
+                mask_e=edge_mask, win64=win64).astype(x.dtype)
+        else:
+            msg = fused_attention(
+                q, kv[:, :hidden] + e, kv[:, hidden:] + e, row_ptr, dst,
+                heads=heads, max_in_degree=in_edges.shape[1], scale_t=scale_t,
+                mask_e=edge_mask, win64=win64).astype(x.dtype)
         beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
                               @ params.w_beta)
         return beta * r + (1.0 - beta) * msg
+
+    k_j = kv[:, :hidden] + e                           # [E, H]
+    v_j = kv[:, hidden:] + e
 
     import numpy as _np
 

@@ -858,7 +858,11 @@ def _attn_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
                                      axis=0))            # [H, heads]
     logits_e = ((q[dst] * k_e).astype(jnp.float32) @ blocksum) / (ch ** 0.5)
     scale_e = scale_t.T
-    s_e = jnp.exp(logits_e - mx[dst]) / denom[dst] * mask2[0][:, None]
+    # select-before-multiply: all-masked segments carry mx = −1e30, so the
+    # recomputed exp overflows to inf on their (masked) edges — a bare
+    # `exp(·) * mask` would produce inf·0 = NaN there
+    s_e = jnp.where(mask2[0][:, None] > 0,
+                    jnp.exp(logits_e - mx[dst]) / denom[dst], 0.0)
     g_e = g.astype(jnp.float32)[dst]
     sm = s_e * scale_e
     dv = jnp.repeat(sm, ch, axis=1) * g_e
@@ -955,6 +959,556 @@ def fused_attention(q: jnp.ndarray, k_e: jnp.ndarray, v_e: jnp.ndarray,
                                    win64=win64)
     return csr_attention(q, k_e, v_e, scale_t, mask2, row_ptr, dst, heads,
                          bn, cap, interpret, max_in_degree, bwd_bn, win64)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused CSR attention with in-kernel edge projection (eproj)
+# ---------------------------------------------------------------------------
+#
+# One level deeper than `csr_attention`: the kernels consume the *gathered*
+# source projections kv = (k‖v)[src] [E, 2H] and the RAW per-edge features
+# ea [E, Fe] (angle embedding / projected bond states), with the conv's
+# edge-projection weight W_e resident in VMEM, and compute
+#     e = ea · W_e,   k = kv[:, :H] + e,   v = kv[:, H:] + e
+# in-register per window. Consequences, per conv per step:
+#   - no [E, H] `e` tensor in HBM (the external GEMM's read+write round trip)
+#   - no [E, 2H] k_j/v_j materialization (the slice_add round trip)
+#   - backward emits dkv [E, 2H] as ONE arena (no dk/dv → pad_add concat),
+#     d_ea via de·W_eᵀ in-window, and dW_e as a VMEM-accumulated [Fe, H]
+#     output (constant-index block, accumulated across the sequential grid)
+# The only [E, ·] HBM tensors left per conv are the kv gather product and
+# the ea arena itself (read-only, shared across layers for the line graph).
+
+
+def _attn_ep_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
+                    kv_hbm, ea_hbm, scale_hbm,  # [E,2H], [E,Fe], [heads,E] ANY
+                    mask_hbm,                   # [1, E] pre-softmax mask ANY
+                    w_edge_ref,                 # [Fe, H] VMEM (resident)
+                    q_ref,                      # [BN, H] VMEM block
+                    out_ref, stats_ref,         # [BN, H], [BN, 256] blocks
+                    kv_win, ea_win, s_win, m_win, sems,
+                    *, bn: int, cap: int, heads: int, ch: int,
+                    inv_sqrt_ch: float):
+    """Forward: in-window edge projection + SDDMM + segment softmax +
+    aggregation. Same window/membership/double-buffering structure as
+    `_attn_kernel`; see there for the masking contract."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    hidden = heads * ch
+
+    def copies(idx, s):
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return (pltpu.make_async_copy(kv_hbm.at[pl.ds(st, cap)], kv_win.at[s],
+                                      sems.at[s, 0]),
+                pltpu.make_async_copy(ea_hbm.at[pl.ds(st, cap)], ea_win.at[s],
+                                      sems.at[s, 1]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 2]),
+                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(st, cap)],
+                                      m_win.at[s], sems.at[s, 3]))
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    start = pl.multiple_of(starts_ref[i], 128)
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])
+
+    for cp in copies(i, slot):
+        cp.wait()
+    kv_cur = kv_win.at[slot]
+    ea_cur = ea_win.at[slot]
+    s_cur = s_win.at[slot]
+    member = member & (m_win.at[slot][0, :][None, :] > 0)
+
+    # e is cast to the window dtype before the adds so numerics match the
+    # external-GEMM path exactly (XLA also rounds the f32-accumulated GEMM
+    # output to the compute dtype before the k/v adds)
+    e_mat = jnp.dot(ea_cur[:, :], w_edge_ref[:, :],
+                    preferred_element_type=jnp.float32).astype(kv_win.dtype)
+    k_full = kv_cur[:, :hidden] + e_mat                   # [cap, H]
+    v_full = kv_cur[:, hidden:] + e_mat
+
+    mxs = []
+    dens = []
+    for h in range(heads):
+        q_h = q_ref[:, h * ch:(h + 1) * ch]
+        k_h = k_full[:, h * ch:(h + 1) * ch]
+        logits = jax.lax.dot_general(                     # [BN, cap] SDDMM
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        mat = jnp.where(member, logits, _NEG)
+        mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
+        e = jnp.exp(mat - mx)
+        e = jnp.where(member, e, 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        alpha = (e / denom) * s_cur[h, :][None, :]
+        out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
+            alpha.astype(v_full.dtype), v_full[:, h * ch:(h + 1) * ch],
+            preferred_element_type=jnp.float32)
+        mxs.append(mx)
+        dens.append(denom)
+    pad = jnp.zeros((bn, 128 - heads), jnp.float32)
+    stats_ref[:, :] = jnp.concatenate([*mxs, pad, *dens, pad], axis=1)
+
+
+def _attn_ep_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
+                        kv_hbm, ea_hbm, scale_hbm,  # ANY
+                        mask_hbm,                   # [1, E] ANY
+                        w_edge_ref,                 # [Fe, H] VMEM (resident)
+                        q_ref, g_ref, stats_ref,    # [BN, ·] VMEM blocks
+                        dkv0_hbm, dea0_hbm,         # zero arenas (aliased)
+                        dq_ref,                     # [BN, H] block output
+                        dkv_out, dea_out,           # [E, 2H], [E, Fe] ANY
+                        dw_ref,                     # [Fe, H] f32 block output
+                                                    # (constant index map —
+                                                    # accumulated over grid)
+                        kv_win, ea_win, s_win, m_win, dkv_acc, dea_acc, sems,
+                        *, bn: int, cap: int, heads: int, ch: int,
+                        inv_sqrt_ch: float, e_total: int):
+    """Backward: recompute e/k/v and the softmax from the forward stats,
+    then per head the four MXU contractions (U = g·vᵀ, dv = αᵀ·g,
+    dq = DL·k/√c, dk = DLᵀ·q/√c); de = dk + dv flows through W_e in-window
+    (dea = de·W_eᵀ RMW-accumulated, dW_e += eaᵀ·de into the resident f32
+    output block). Non-member rows carry zero dl/α, so overlapping RMW
+    windows and the dW reduction stay exact."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    start = pl.multiple_of(starts_ref[i], 128)
+    hidden = heads * ch
+
+    def copies(idx, s):
+        st = pl.multiple_of(starts_ref[idx], 128)
+        return (pltpu.make_async_copy(kv_hbm.at[pl.ds(st, cap)], kv_win.at[s],
+                                      sems.at[s, 0]),
+                pltpu.make_async_copy(ea_hbm.at[pl.ds(st, cap)], ea_win.at[s],
+                                      sems.at[s, 1]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 2]),
+                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(st, cap)],
+                                      m_win.at[s], sems.at[s, 3]))
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    # RMW accumulators stay serialized (previous block's writeback landed
+    # before this body runs — TPU grids execute sequentially). Margin read:
+    # an UNCLAMPED window starts at aligned_down(first member row), so
+    # earlier blocks' real data can only occupy the first <128 rows of this
+    # window — read just that margin and zero the rest in VMEM, cutting the
+    # RMW read stream ~7×. A window clamped at the arena end
+    # (start + cap ≥ e_total) can sit arbitrarily deep inside earlier
+    # blocks' spans, so it falls back to the full-window read.
+    margin_ok = cap > 128
+
+    def rmw_reads(rows):
+        return (pltpu.make_async_copy(dkv_out.at[pl.ds(start, rows)],
+                                      dkv_acc.at[pl.ds(0, rows)],
+                                      sems.at[0, 4]),
+                pltpu.make_async_copy(dea_out.at[pl.ds(start, rows)],
+                                      dea_acc.at[pl.ds(0, rows)],
+                                      sems.at[0, 5]))
+
+    if not margin_ok:
+        for cp in rmw_reads(cap):
+            cp.start()
+    else:
+        full = start + cap >= e_total
+
+        @pl.when(full)
+        def _():
+            for cp in rmw_reads(cap):
+                cp.start()
+
+        @pl.when(jnp.logical_not(full))
+        def _():
+            for cp in rmw_reads(128):
+                cp.start()
+
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    if not margin_ok:
+        for cp in rmw_reads(cap):
+            cp.wait()
+    else:
+        @pl.when(full)
+        def _():
+            for cp in rmw_reads(cap):
+                cp.wait()
+
+        @pl.when(jnp.logical_not(full))
+        def _():
+            for cp in rmw_reads(128):
+                cp.wait()
+            dkv_acc[128:, :] = jnp.zeros((cap - 128, 2 * heads * ch),
+                                         dkv_acc.dtype)
+            dea_acc[128:, :] = jnp.zeros((cap - 128, dea_acc.shape[1]),
+                                         dea_acc.dtype)
+    kv_cur = kv_win.at[slot]
+    ea_cur = ea_win.at[slot]
+    s_curw = s_win.at[slot]
+    member = member & (m_win.at[slot][0, :][None, :] > 0)
+
+    e_mat = jnp.dot(ea_cur[:, :], w_edge_ref[:, :],
+                    preferred_element_type=jnp.float32).astype(kv_win.dtype)
+    k_full = kv_cur[:, :hidden] + e_mat
+    v_full = kv_cur[:, hidden:] + e_mat
+
+    stats = stats_ref[:, :]
+    de_cols = []
+    for h in range(heads):
+        q_h = q_ref[:, h * ch:(h + 1) * ch]
+        k_h = k_full[:, h * ch:(h + 1) * ch]
+        v_h = v_full[:, h * ch:(h + 1) * ch]
+        g_h = g_ref[:, h * ch:(h + 1) * ch]
+        sc = s_curw[h, :][None, :]
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        mat = jnp.where(member, logits, _NEG)
+        mx = stats[:, h:h + 1]
+        den = stats[:, 128 + h:129 + h]
+        s_mat = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0) / den
+        a_mat = s_mat * sc
+        u_mat = jax.lax.dot_general(
+            g_h.astype(v_h.dtype), v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w_mat = sc * u_mat
+        inner = jnp.sum(a_mat * u_mat, axis=1, keepdims=True)
+        dl_mat = (s_mat * (w_mat - inner)).astype(k_h.dtype)  # [BN, cap]
+        dq_ref[:, h * ch:(h + 1) * ch] = (jnp.dot(
+            dl_mat, k_h, preferred_element_type=jnp.float32)
+            * inv_sqrt_ch).astype(dq_ref.dtype)
+        dk_h = jax.lax.dot_general(
+            dl_mat, q_h.astype(k_h.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        dv_h = jax.lax.dot_general(
+            a_mat.astype(v_h.dtype), g_h.astype(v_h.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkv_acc[:, h * ch:(h + 1) * ch] = (
+            dkv_acc[:, h * ch:(h + 1) * ch] + dk_h.astype(dkv_acc.dtype))
+        dkv_acc[:, hidden + h * ch:hidden + (h + 1) * ch] = (
+            dkv_acc[:, hidden + h * ch:hidden + (h + 1) * ch]
+            + dv_h.astype(dkv_acc.dtype))
+        de_cols.append((dk_h + dv_h).astype(kv_win.dtype))
+    de = jnp.concatenate(de_cols, axis=1)                     # [cap, H]
+    dea_acc[:, :] = dea_acc[:, :] + jax.lax.dot_general(
+        de, w_edge_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dea_acc.dtype)
+    dw_ref[:, :] = dw_ref[:, :] + jax.lax.dot_general(
+        ea_cur[:, :], de, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    wb_kv = pltpu.make_async_copy(dkv_acc, dkv_out.at[pl.ds(start, cap)],
+                                  sems.at[0, 4])
+    wb_ea = pltpu.make_async_copy(dea_acc, dea_out.at[pl.ds(start, cap)],
+                                  sems.at[0, 5])
+    wb_kv.start()
+    wb_ea.start()
+    # writes must land before the next (sequential) block's RMW read
+    wb_kv.wait()
+    wb_ea.wait()
+
+
+def _attn_ep_forward(q, kv, ea, w_edge, scale_t, mask2, row_ptr, *, heads,
+                     block_n, cap, interpret):
+    e_total = kv.shape[0]
+    hidden = kv.shape[1] // 2
+    fe = ea.shape[1]
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((fe, hidden), lambda i, s: (0, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+        ],
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+                   pl.BlockSpec((block_n, 256), lambda i, s: (i, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, cap, 2 * hidden), kv.dtype),
+            pltpu.VMEM((2, cap, fe), ea.dtype),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    kernel = functools.partial(_attn_ep_kernel, bn=block_n, cap=cap,
+                               heads=heads, ch=ch,
+                               inv_sqrt_ch=1.0 / (ch ** 0.5))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 256), jnp.float32)),
+        interpret=interpret,
+    )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), kv, ea, scale_t, mask2,
+      w_edge, q)
+
+
+def _attn_ep_backward(q, kv, ea, w_edge, scale_t, mask2, row_ptr, g, stats,
+                      *, heads, block_n, cap, interpret):
+    e_total = kv.shape[0]
+    hidden = kv.shape[1] // 2
+    fe = ea.shape[1]
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((fe, hidden), lambda i, s: (0, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+            pl.BlockSpec((block_n, 256), lambda i, s: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s: (i, 0)),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec((fe, hidden), lambda i, s: (0, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, cap, 2 * hidden), kv.dtype),
+            pltpu.VMEM((2, cap, fe), ea.dtype),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.float32),
+            pltpu.VMEM((cap, 2 * hidden), kv.dtype),
+            pltpu.VMEM((cap, fe), ea.dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    kernel = functools.partial(_attn_ep_bwd_kernel, bn=block_n, cap=cap,
+                               heads=heads, ch=ch,
+                               inv_sqrt_ch=1.0 / (ch ** 0.5),
+                               e_total=e_total)
+    dkv0 = jnp.zeros((e_total, 2 * hidden), kv.dtype)
+    dea0 = jnp.zeros((e_total, fe), ea.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        # flat inputs: starts, rp_lo, rp_hi, kv, ea, scale, mask, w_edge, q,
+        # g, stats, dkv0, dea0
+        input_output_aliases={11: 1, 12: 2},
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), q.dtype),
+                   jax.ShapeDtypeStruct((e_total, 2 * hidden), kv.dtype),
+                   jax.ShapeDtypeStruct((e_total, fe), ea.dtype),
+                   jax.ShapeDtypeStruct((fe, hidden), jnp.float32)),
+        interpret=interpret,
+    )(starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), kv, ea, scale_t, mask2,
+      w_edge, q, g.astype(jnp.float32), stats, dkv0, dea0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def csr_attention_eproj(q, kv, ea, w_edge, scale_t, mask2, row_ptr, dst,
+                        heads, block_n, cap, interpret, max_in_degree,
+                        bwd_block_n, win64):
+    """`csr_attention` with the edge projection fused in:
+    out_n = Σ_{e→n} softmax_e(q_n·(kv0_e + ea_e·W)/√c)·scale_e·(kv1_e + ea_e·W)
+    over CSR segments. Differentiable in q, kv [E, 2H], ea [E, Fe], w_edge."""
+    return _attn_ep_forward(q, kv, ea, w_edge, scale_t, mask2, row_ptr,
+                            heads=heads, block_n=block_n, cap=cap,
+                            interpret=interpret)[0]
+
+
+def _attn_ep_fwd(q, kv, ea, w_edge, scale_t, mask2, row_ptr, dst, heads,
+                 block_n, cap, interpret, max_in_degree, bwd_block_n, win64):
+    out, stats = _attn_ep_forward(q, kv, ea, w_edge, scale_t, mask2, row_ptr,
+                                  heads=heads, block_n=block_n, cap=cap,
+                                  interpret=interpret)
+    return out, (q, kv, ea, w_edge, scale_t, mask2, row_ptr, dst, stats)
+
+
+def _attn_ep_bwd(heads, block_n, cap, interpret, max_in_degree, bwd_block_n,
+                 win64, res, g):
+    q, kv, ea, w_edge, scale_t, mask2, row_ptr, dst, stats = res
+    e_total = kv.shape[0]
+    hidden = kv.shape[1] // 2
+    ch = hidden // heads
+
+    if bwd_block_n is not None:
+        cap_b = _win_cap(bwd_block_n, max_in_degree, e_total, win64)
+        dq, dkv, dea, dw = _attn_ep_backward(
+            q, kv, ea, w_edge, scale_t, mask2, row_ptr, g, stats,
+            heads=heads, block_n=bwd_block_n, cap=cap_b, interpret=interpret)
+        return (dq, dkv, dea, dw.astype(w_edge.dtype), None, None, None, None)
+
+    # XLA edge-space fallback (backward VMEM budget unmet)
+    e_mat = (ea @ w_edge).astype(kv.dtype)
+    k_e = kv[:, :hidden] + e_mat
+    v_e = kv[:, hidden:] + e_mat
+    mx = stats[:, :heads]
+    denom = stats[:, 128:128 + heads]
+    blocksum = jnp.asarray(np.repeat(np.eye(heads, dtype=np.float32), ch,
+                                     axis=0))            # [H, heads]
+    logits_e = ((q[dst] * k_e).astype(jnp.float32) @ blocksum) / (ch ** 0.5)
+    scale_e = scale_t.T
+    # select-before-multiply (see `_attn_bwd`): avoids inf·0 = NaN on the
+    # masked edges of all-masked segments (stats carry mx = −1e30 there)
+    s_e = jnp.where(mask2[0][:, None] > 0,
+                    jnp.exp(logits_e - mx[dst]) / denom[dst], 0.0)
+    g_e = g.astype(jnp.float32)[dst]
+    sm = s_e * scale_e
+    dv = jnp.repeat(sm, ch, axis=1) * g_e
+    u_e = (g_e * v_e.astype(jnp.float32)) @ blocksum
+    w_e = scale_e * u_e
+    sw = jnp.pad(s_e * w_e, ((0, 0), (0, 128 - heads)))
+    inner = windowed_segment_sum(sw, row_ptr[:-1], e_total,
+                                 max_deg=max_in_degree,
+                                 interpret=interpret,
+                                 win64=win64)[:, :heads]
+    dl = s_e * (w_e - inner[dst])                        # [E, heads]
+    dl_wide = jnp.repeat(dl, ch, axis=1) / (ch ** 0.5)   # [E, H]
+    dk = dl_wide * q[dst]
+    n = row_ptr.shape[0] - 1
+    dq = jax.ops.segment_sum(dl_wide * k_e, dst, num_segments=n,
+                             indices_are_sorted=True)
+    de = (dk + dv).astype(kv.dtype)
+    dkv = jnp.concatenate([dk.astype(kv.dtype), dv.astype(kv.dtype)], axis=1)
+    dea = (de @ w_edge.T).astype(ea.dtype)
+    dw = jax.lax.dot_general(ea.astype(jnp.float32), de.astype(jnp.float32),
+                             (((0,), (0,)), ((), ())))
+    return (dq.astype(q.dtype), dkv, dea, dw.astype(w_edge.dtype),
+            None, None, None, None)
+
+
+csr_attention_eproj.defvjp(_attn_ep_fwd, _attn_ep_bwd)
+
+
+def pick_block_n_attn_ep(n: int, e_total: int, max_in_degree: int,
+                         hidden: int, fe: int, preferred: int = 128,
+                         win64: int = 0, itemsize: int = 4):
+    """Forward block size for csr_attention_eproj: double-buffered kv+ea
+    windows (compute dtype) + the resident W_e + e/k/v live temporaries +
+    ~4 live [bn, cap] softmax mats. Lane alignment (hidden/fe % 128) is the
+    caller's gate — waived in interpret mode for test coverage."""
+    if e_total % 128:
+        return None
+    for bn in (128, 64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
+        win_bytes = (2 * (cap * (2 * hidden + fe) * itemsize + 9 * cap * 4)
+                     + fe * hidden * itemsize
+                     + cap * hidden * (4 + 3 * itemsize)
+                     + 3 * bn * max(hidden, 256) * 4
+                     + 4 * bn * cap * 4)
+        if win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def pick_block_n_attn_ep_bwd(n: int, e_total: int, max_in_degree: int,
+                             hidden: int, fe: int, preferred: int = 128,
+                             win64: int = 0, itemsize: int = 4):
+    """Backward block size: input windows + dkv/dea RMW accumulators + the
+    resident W_e and f32 dW block + e/k/v/de temporaries + ~6 live
+    [bn, cap] mats."""
+    if e_total % 128:
+        return None
+    for bn in (128, 64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
+        win_bytes = (2 * (cap * (2 * hidden + fe) * itemsize + 9 * cap * 4)
+                     + cap * (2 * hidden + fe) * itemsize       # accumulators
+                     + 2 * fe * hidden * (itemsize + 4)         # W_e + dW
+                     + cap * hidden * (4 + 4 * itemsize)        # e/k/v/de
+                     + cap * fe * 4                             # dea product
+                     + 5 * bn * max(hidden, 256) * 4
+                     + 6 * bn * cap * 4)
+        if win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def attn_eproj_fusable(n: int, e_total: int, max_in_degree: int,
+                       hidden: int = 256, fe: int = 256, win64: int = 0,
+                       itemsize: int = 4) -> bool:
+    return pick_block_n_attn_ep(n, e_total, max_in_degree, hidden, fe,
+                                win64=win64, itemsize=itemsize) is not None
+
+
+def fused_attention_eproj(q: jnp.ndarray, kv: jnp.ndarray, ea: jnp.ndarray,
+                          w_edge: jnp.ndarray, row_ptr: jnp.ndarray,
+                          dst: jnp.ndarray, *, heads: int,
+                          max_in_degree: int,
+                          scale_t: Optional[jnp.ndarray] = None,
+                          mask_e: Optional[jnp.ndarray] = None,
+                          block_n: int = 128, win64: int = 0,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fully fused CSR attention with the edge projection in-kernel.
+
+    `kv` [E, 2H] is the gathered (k‖v)[src] arena (pre-edge-feature), `ea`
+    [E, Fe] the raw per-edge features, `w_edge` [Fe, H] the conv's
+    bias-free edge projection. Masking/dummy-row contract as in
+    `fused_attention`."""
+    n = row_ptr.shape[0] - 1
+    e_total = kv.shape[0]
+    hidden = kv.shape[1] // 2
+    fe = ea.shape[1]
+    itemsize = jnp.dtype(kv.dtype).itemsize
+    bn = pick_block_n_attn_ep(n, e_total, max_in_degree, hidden, fe, block_n,
+                              win64=win64, itemsize=itemsize)
+    if bn is None:
+        raise ValueError("fused_attention_eproj preconditions not met")
+    cap = _win_cap(bn, max_in_degree, e_total, win64)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale_t is None:
+        scale_t = jnp.ones((heads, e_total), jnp.float32)
+    mask2 = (jnp.ones((1, e_total), jnp.float32) if mask_e is None
+             else mask_e.astype(jnp.float32).reshape(1, e_total))
+    bwd_bn = pick_block_n_attn_ep_bwd(n, e_total, max_in_degree, hidden, fe,
+                                      win64=win64, itemsize=itemsize)
+    return csr_attention_eproj(q, kv, ea, w_edge, scale_t, mask2, row_ptr,
+                               dst, heads, bn, cap, interpret, max_in_degree,
+                               bwd_bn, win64)
 
 
 # ---------------------------------------------------------------------------

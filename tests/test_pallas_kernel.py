@@ -385,6 +385,121 @@ class TestFusedAttention:
                                        rtol=1e-5, atol=1e-6)
 
 
+class TestFusedAttentionEproj:
+    """csr_attention_eproj ≡ edge-projection GEMM + k/v adds + csr_attention,
+    in value and in every cotangent (q, kv, ea, W_e)."""
+
+    def _case(self, rng, n=32, heads=2, hidden=16, fe=16, cap_d=8):
+        degs = rng.integers(1, cap_d - 1, n)
+        degs[-1] = 0
+        dst = np.repeat(np.arange(n, dtype=np.int32), degs)
+        e_real = dst.shape[0]
+        cap_needed = ((8 * cap_d + 128 + 127) // 128) * 128
+        e_total = max((-(-(e_real + 16) // 128)) * 128, cap_needed)
+        dst = np.concatenate([dst, np.full(e_total - e_real, n - 1, np.int32)])
+        mask = (np.arange(e_total) < e_real).astype(np.float32)
+        q = rng.normal(size=(n, hidden)).astype(np.float32)
+        kv = rng.normal(size=(e_total, 2 * hidden)).astype(np.float32)
+        ea = rng.normal(size=(e_total, fe)).astype(np.float32)
+        w_edge = rng.normal(size=(fe, hidden)).astype(np.float32) * 0.3
+        row_ptr = np.searchsorted(dst, np.arange(n + 1)).astype(np.int32)
+        return q, kv, ea, w_edge, row_ptr, dst, mask
+
+    def _losses(self, rp, dst, scale=None, mask_e=None):
+        from gnnep_tpu.ops.pallas.csr_attention import (fused_attention,
+                                                        fused_attention_eproj)
+        kw = dict(heads=2, max_in_degree=8, block_n=8, interpret=True,
+                  scale_t=None if scale is None else jnp.asarray(scale),
+                  mask_e=None if mask_e is None else jnp.asarray(mask_e))
+
+        def loss_ep(qq, kkvv, eaa, ww):
+            out = fused_attention_eproj(qq, kkvv, eaa, ww, jnp.asarray(rp),
+                                        jnp.asarray(dst), **kw)
+            return (out ** 2).sum()
+
+        def loss_ref(qq, kkvv, eaa, ww):
+            h = qq.shape[1]
+            e = (eaa @ ww).astype(kkvv.dtype)
+            out = fused_attention(qq, kkvv[:, :h] + e, kkvv[:, h:] + e,
+                                  jnp.asarray(rp), jnp.asarray(dst), **kw)
+            return (out ** 2).sum()
+
+        return loss_ep, loss_ref
+
+    def _assert_grads_close(self, ga, gb, mask, **tol):
+        real_e = mask > 0
+        np.testing.assert_allclose(np.asarray(ga[0])[:-1],
+                                   np.asarray(gb[0])[:-1], **tol)
+        for a, b in zip(ga[1:3], gb[1:3]):
+            np.testing.assert_allclose(np.asarray(a)[real_e],
+                                       np.asarray(b)[real_e], **tol)
+        np.testing.assert_allclose(np.asarray(ga[3]), np.asarray(gb[3]),
+                                   **tol)
+
+    def test_matches_composition(self, rng):
+        q, kv, ea, w, rp, dst, mask = self._case(rng)
+        scale = (rng.random((2, kv.shape[0])) > 0.25).astype(np.float32) / .75
+        loss_ep, loss_ref = self._losses(rp, dst, scale=scale, mask_e=mask)
+        args = (jnp.asarray(q), jnp.asarray(kv), jnp.asarray(ea),
+                jnp.asarray(w))
+        va, ga = jax.value_and_grad(loss_ep, argnums=(0, 1, 2, 3))(*args)
+        vb, gb = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+        self._assert_grads_close(ga, gb, mask, rtol=2e-4, atol=2e-5)
+
+    def test_xla_fallback_matches_kernel(self, rng):
+        from gnnep_tpu.ops.pallas import csr_attention as mod
+        q, kv, ea, w, rp, dst, mask = self._case(rng)
+        loss_ep, _ = self._losses(rp, dst, mask_e=mask)
+        args = (jnp.asarray(q), jnp.asarray(kv), jnp.asarray(ea),
+                jnp.asarray(w))
+        g_kern = jax.grad(loss_ep, argnums=(0, 1, 2, 3))(*args)
+        orig = mod.pick_block_n_attn_ep_bwd
+        try:
+            mod.pick_block_n_attn_ep_bwd = lambda *a, **kw: None
+            g_xla = jax.grad(loss_ep, argnums=(0, 1, 2, 3))(*args)
+        finally:
+            mod.pick_block_n_attn_ep_bwd = orig
+        self._assert_grads_close(g_kern, g_xla, mask, rtol=1e-4, atol=1e-5)
+
+    def test_margin_rmw_large_arena(self, rng):
+        """Arena ≫ window cap: interior blocks take the margin RMW read
+        (first-128-rows only + VMEM zeroing), the clamped tail block the
+        full read — grads must still match the XLA fallback exactly."""
+        from gnnep_tpu.ops.pallas import csr_attention as mod
+        q, kv, ea, w, rp, dst, mask = self._case(rng, n=128)
+        e_total = kv.shape[0]
+        cap = mod._win_cap(8, 8, e_total)
+        assert cap < e_total, "test setup: margin path not engaged"
+        loss_ep, _ = self._losses(rp, dst, mask_e=mask)
+        args = (jnp.asarray(q), jnp.asarray(kv), jnp.asarray(ea),
+                jnp.asarray(w))
+        g_kern = jax.grad(loss_ep, argnums=(0, 1, 2, 3))(*args)
+        orig = mod.pick_block_n_attn_ep_bwd
+        try:
+            mod.pick_block_n_attn_ep_bwd = lambda *a, **kw: None
+            g_xla = jax.grad(loss_ep, argnums=(0, 1, 2, 3))(*args)
+        finally:
+            mod.pick_block_n_attn_ep_bwd = orig
+        # atol 1e-4: single-member segments have dl = s·(w − inner) ≡ 0 in
+        # one summation order and ~1e-5 in another (see PERF.md on
+        # near-zero logit grads) — not an RMW artifact
+        self._assert_grads_close(g_kern, g_xla, mask, rtol=1e-4, atol=1e-4)
+
+    def test_bf16_dtypes_roundtrip(self, rng):
+        q, kv, ea, w, rp, dst, mask = self._case(rng)
+        loss_ep, loss_ref = self._losses(rp, dst, mask_e=mask)
+        args = tuple(jnp.asarray(a, jnp.bfloat16) for a in (q, kv, ea, w))
+        ga = jax.grad(loss_ep, argnums=(0, 1, 2, 3))(*args)
+        gb = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        assert all(g.dtype == jnp.bfloat16 for g in ga)
+        for a, b in zip(ga, gb):
+            sc = max(np.abs(np.asarray(b, np.float32)).max(), 1.0)
+            np.testing.assert_allclose(np.asarray(a, np.float32) / sc,
+                                       np.asarray(b, np.float32) / sc,
+                                       atol=0.08)
+
+
 class TestWindowedSegmentSum:
     def test_matches_numpy(self, rng):
         from gnnep_tpu.ops.pallas.csr_attention import windowed_segment_sum
