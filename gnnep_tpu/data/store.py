@@ -206,7 +206,7 @@ class GraphStore:
             "\n".join(f"{p.name}:{p.stat().st_mtime_ns}:{p.stat().st_size}" for p in files)
             .encode()).hexdigest()[:16]
         cache = directory / "_arena_cache.npz"
-        if use_cache and cache.exists():
+        if use_cache:
             try:
                 store = cls._load_arena(cache, fingerprint)
                 if store is not None:
@@ -250,34 +250,57 @@ class GraphStore:
         return self.subset(keep)
 
     # --------------------------------------------------------------- arena io
+    _ARENA_ARRAYS = ("node_feats", "edge_src", "edge_dst", "edge_attr",
+                     "lg_src", "lg_dst", "lg_attr", "node_off", "edge_off",
+                     "lg_off", "global_scalars", "sg_num", "y")
+
     def _save_arena(self, path: Path, fingerprint: str) -> None:
-        np.savez(path,
-                 fingerprint=np.array(fingerprint),
-                 node_feats=self.node_feats,
-                 edge_src=self.edge_src, edge_dst=self.edge_dst, edge_attr=self.edge_attr,
-                 lg_src=self.lg_src, lg_dst=self.lg_dst, lg_attr=self.lg_attr,
-                 node_off=self.node_off, edge_off=self.edge_off, lg_off=self.lg_off,
-                 global_scalars=self.global_scalars, sg_num=self.sg_num, y=self.y,
-                 meta=np.array(json.dumps({
-                     "material_ids": self.material_ids,
-                     "formulas": self.formulas,
-                     "reduced_formulas": self.reduced_formulas,
-                     "prototypes": self.prototypes,
-                 })))
+        """Write the columnar cache as a DIRECTORY of raw .npy files so
+        reloads can memory-map them (`np.load(..., mmap_mode='r')` only works
+        on .npy) — a full-MP arena reload goes from a ~10 s decompress+copy
+        to page-on-demand. Written to a tmp dir and renamed for atomicity."""
+        final = path.with_suffix("")  # <dir>/_arena_cache/
+        tmp = final.with_name(final.name + ".tmp")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for key in self._ARENA_ARRAYS:
+            np.save(tmp / f"{key}.npy", np.ascontiguousarray(getattr(self, key)))
+        (tmp / "meta.json").write_text(json.dumps({
+            "fingerprint": fingerprint,
+            "material_ids": self.material_ids,
+            "formulas": self.formulas,
+            "reduced_formulas": self.reduced_formulas,
+            "prototypes": self.prototypes,
+        }))
+        shutil.rmtree(final, ignore_errors=True)
+        tmp.rename(final)
 
     @classmethod
     def _load_arena(cls, path: Path, fingerprint: str) -> Optional["GraphStore"]:
+        arena_dir = path.with_suffix("")
+        if arena_dir.is_dir():
+            meta = json.loads((arena_dir / "meta.json").read_text())
+            if meta["fingerprint"] != fingerprint:
+                return None
+            arrays = {key: np.load(arena_dir / f"{key}.npy", mmap_mode="r",
+                                   allow_pickle=False)
+                      for key in cls._ARENA_ARRAYS}
+            return cls(**arrays,
+                       material_ids=meta["material_ids"],
+                       formulas=meta["formulas"],
+                       reduced_formulas=meta["reduced_formulas"],
+                       prototypes=meta["prototypes"])
+        if not path.exists():
+            return None
+        # legacy single-.npz cache (eager load)
         with np.load(path, allow_pickle=False) as data:
             if str(data["fingerprint"]) != fingerprint:
                 return None
             meta = json.loads(str(data["meta"]))
             return cls(
-                node_feats=data["node_feats"],
-                edge_src=data["edge_src"], edge_dst=data["edge_dst"],
-                edge_attr=data["edge_attr"],
-                lg_src=data["lg_src"], lg_dst=data["lg_dst"], lg_attr=data["lg_attr"],
-                node_off=data["node_off"], edge_off=data["edge_off"], lg_off=data["lg_off"],
-                global_scalars=data["global_scalars"], sg_num=data["sg_num"], y=data["y"],
+                **{key: data[key] for key in cls._ARENA_ARRAYS},
                 material_ids=meta["material_ids"], formulas=meta["formulas"],
                 reduced_formulas=meta["reduced_formulas"], prototypes=meta["prototypes"],
             )

@@ -77,6 +77,8 @@ class TrainConfig:
 
     # framework extensions (no reference analogue)
     conv_impl: str = "table"             # 'table' | 'fused' (Pallas) | 'coo'
+    scan_layers: bool = False            # lax.scan over layers: ~5× faster
+                                         # compile, ~20% slower step
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints

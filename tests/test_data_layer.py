@@ -35,10 +35,16 @@ class TestStore:
         for s in make_samples(4):
             save_sample(tmp_path, s)
         store1 = GraphStore.load_dir(tmp_path)
-        assert (tmp_path / "_arena_cache.npz").exists()
-        store2 = GraphStore.load_dir(tmp_path)  # from cache
+        assert (tmp_path / "_arena_cache").is_dir()
+        store2 = GraphStore.load_dir(tmp_path)  # from cache, memory-mapped
+        assert isinstance(store2.node_feats, np.memmap)
         np.testing.assert_allclose(store1.node_feats, store2.node_feats)
         assert store1.material_ids == store2.material_ids
+        # cache invalidates when the fileset changes
+        for s in make_samples(5)[4:]:
+            save_sample(tmp_path, s)
+        store3 = GraphStore.load_dir(tmp_path)
+        assert store3.n_graphs == 5
         write_index(tmp_path, store1)
         assert (tmp_path / "index.json").exists()
 

@@ -193,6 +193,34 @@ class TestAlignnModel:
         e, _ = alignn_apply(params, cfg, batch)
         np.testing.assert_allclose(np.asarray(d), np.asarray(e))
 
+    def test_scan_layers_matches_unrolled(self):
+        """lax.scan over stacked layer params ≡ the unrolled Python loop —
+        forward, dropout streams (same per-layer split(rng, 5)), and grads."""
+        import dataclasses as dc
+
+        _, batch, cfg = _batch_and_cfg()
+        cfg_s = dc.replace(cfg, scan_layers=True)
+        cfg_u = dc.replace(cfg, scan_layers=False)
+        assert cfg.layers > 1
+        params = init_alignn(jax.random.PRNGKey(0), cfg)
+        k = jax.random.PRNGKey(7)
+        ms, ls = alignn_apply(params, cfg_s, batch, train=True, rng=k)
+        mu, lu = alignn_apply(params, cfg_u, batch, train=True, rng=k)
+        np.testing.assert_allclose(np.asarray(ms), np.asarray(mu),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lu),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(p, c):
+            m, l = alignn_apply(p, c, batch, train=True, rng=k)
+            return (m ** 2).sum() + (l ** 2).sum()
+
+        gs = jax.grad(lambda p: loss(p, cfg_s))(params)
+        gu = jax.grad(lambda p: loss(p, cfg_u))(params)
+        for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_gradients_finite(self):
         _, batch, cfg = _batch_and_cfg()
         params = init_alignn(jax.random.PRNGKey(0), cfg)
