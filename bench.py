@@ -122,7 +122,9 @@ def main():
     batch = jax.device_put(batch, dev)
 
     params = init_alignn(jax.random.PRNGKey(0), cfg)
-    key = jax.random.PRNGKey(1)
+    # rbg is the training default (BENCH_PRNG=threefry2x32 to override)
+    from gnnep_tpu.train.loop import prng_key
+    key = prng_key(1, os.environ.get("BENCH_PRNG", "rbg"))
     iters = int(os.environ.get("BENCH_ITERS", 30))
     # scan mode (default): lax.scan over K steps inside one jitted program —
     # the host leaves the inner loop, so the number measures the chip, not

@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="table",
                    help="Graph-conv aggregation path: dense table (XLA), "
                         "fused Pallas kernel, or COO segment ops")
+    p.add_argument("--prng-impl", choices=["rbg", "threefry2x32"],
+                   default="rbg",
+                   help="Dropout/jitter PRNG: rbg generates masks cheaper "
+                        "on TPU; threefry2x32 gives JAX's default "
+                        "bit-reproducible stream")
     p.add_argument("--scan-layers", action="store_true",
                    help="Roll the conv layers into one lax.scan: ~5x faster "
                         "compile, ~20%% slower step (good for iteration)")
@@ -141,6 +146,7 @@ def config_from_args(args) -> TrainConfig:
         knn_weight_min=args.knn_weight_min, knn_weight_max=args.knn_weight_max,
         knn_refresh=args.knn_refresh, save_embeddings=args.save_embeddings,
         conv_impl=args.conv_impl, scan_layers=args.scan_layers,
+        prng_impl=args.prng_impl,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile_dir=args.profile_dir,
         member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,

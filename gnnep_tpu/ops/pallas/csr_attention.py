@@ -1128,6 +1128,23 @@ def _attn_ep_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
                                       dea_acc.at[pl.ds(0, rows)],
                                       sems.at[0, 5]))
 
+    def writebacks(st):
+        return (pltpu.make_async_copy(dkv_acc, dkv_out.at[pl.ds(st, cap)],
+                                      sems.at[1, 4]),
+                pltpu.make_async_copy(dea_acc, dea_out.at[pl.ds(st, cap)],
+                                      sems.at[1, 5]))
+
+    # deferred-writeback: block i-1 left its dkv/dea writeback DMAs in
+    # flight; drain them here, BEFORE this block's RMW read touches the
+    # (overlapping) arenas or the (shared) accumulator buffers. The wb
+    # overlaps block-boundary bookkeeping instead of serializing at the
+    # end of every block; the last block drains its own wb inline.
+    @pl.when(i > 0)
+    def _():
+        prev = pl.multiple_of(starts_ref[jnp.maximum(i - 1, 0)], 128)
+        for cp in writebacks(prev):
+            cp.wait()
+
     if not margin_ok:
         for cp in rmw_reads(cap):
             cp.start()
@@ -1225,15 +1242,13 @@ def _attn_ep_bwd_kernel(starts_ref, rp_lo_ref, rp_hi_ref,
         ea_cur[:, :], de, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    wb_kv = pltpu.make_async_copy(dkv_acc, dkv_out.at[pl.ds(start, cap)],
-                                  sems.at[0, 4])
-    wb_ea = pltpu.make_async_copy(dea_acc, dea_out.at[pl.ds(start, cap)],
-                                  sems.at[0, 5])
-    wb_kv.start()
-    wb_ea.start()
-    # writes must land before the next (sequential) block's RMW read
-    wb_kv.wait()
-    wb_ea.wait()
+    for cp in writebacks(start):
+        cp.start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        for cp in writebacks(start):
+            cp.wait()
 
 
 def _attn_ep_forward(q, kv, ea, w_edge, scale_t, mask2, row_ptr, *, heads,

@@ -25,7 +25,7 @@ from ..data.batching import epoch_batches
 from ..models.alignn import AlignnConfig, init_alignn
 from ..train.config import TrainConfig
 from ..train.loop import (TrainHyper, collect_predictions, cosine_lr,
-                          make_forward, sigma_mask)
+                          make_forward, prng_key, sigma_mask)
 from ..train.member import BestSelector
 from ..train.metrics import eval_metrics
 
@@ -75,7 +75,8 @@ def train_members_vmapped(setup, cfg: TrainConfig
                        min_logvar_floor=cfg.min_logvar_floor)
 
     seeds = [cfg.seed + i * 1007 for i in range(m)]
-    member_params = [init_alignn(jax.random.fold_in(jax.random.PRNGKey(sd), 0), mc)
+    _impl = getattr(cfg, "prng_impl", None)
+    member_params = [init_alignn(jax.random.fold_in(prng_key(sd, _impl), 0), mc)
                      for sd in seeds]
     params = _stack_trees(member_params)
     smask = sigma_mask(member_params[0])
@@ -146,7 +147,7 @@ def train_members_vmapped(setup, cfg: TrainConfig
     stopped = [False] * m
     patience = max(cfg.early_stop, 0)
     shuffle_rngs = [np.random.default_rng(sd + 17) for sd in seeds]
-    keys = [jax.random.PRNGKey(sd + 1) for sd in seeds]
+    keys = [prng_key(sd + 1, _impl) for sd in seeds]
     val_batches = [epoch_batches(s, setup.folds[i % num_folds], setup.budget,
                                  shuffle=False) for i in range(m)]
 

@@ -79,6 +79,8 @@ class TrainConfig:
     conv_impl: str = "table"             # 'table' | 'fused' (Pallas) | 'coo'
     scan_layers: bool = False            # lax.scan over layers: ~5× faster
                                          # compile, ~20% slower step
+    prng_impl: str = "rbg"               # dropout/jitter PRNG: 'rbg' (fast
+                                         # on TPU) | 'threefry2x32'
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints

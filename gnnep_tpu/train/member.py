@@ -23,7 +23,7 @@ from ..models.alignn import AlignnConfig, init_alignn
 from .config import TrainConfig
 from .knn_weights import compute_knn_weights
 from .loop import (TrainHyper, collect_predictions, cosine_lr, make_forward,
-                   stack_batches,
+                   stack_batches, prng_key,
                    make_train_step, sigma_mask)
 from .metrics import eval_metrics
 
@@ -129,7 +129,7 @@ def train_member(
                                              transformer.stds)
     forward = make_forward(model_cfg, cfg.min_logvar_floor)
 
-    key = jax.random.PRNGKey(member_seed)
+    key = prng_key(member_seed, getattr(cfg, "prng_impl", None))
     key, init_key = jax.random.split(key)
     params = init_alignn(init_key, model_cfg)
     opt_state = init_opt(params)
@@ -181,7 +181,8 @@ def train_member(
             selector.best_epoch = meta.get("best_epoch")
             if meta.get("has_best"):
                 best_params = jax.device_get(best_tree)
-            key = jax.random.PRNGKey(member_seed + 7919 * start_epoch)
+            key = prng_key(member_seed + 7919 * start_epoch,
+                           getattr(cfg, "prng_impl", None))
             for _ in range(start_epoch - 1):  # keep the shuffle stream aligned
                 shuffle_rng.permutation(max(len(effective), 1))
             if cfg.verbose:
