@@ -28,6 +28,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coverage-grid", default="0.5,0.6,0.7,0.8,0.9,0.95")
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--device", default=None)
+    # reference-CLI compatibility: architecture comes from the embedded
+    # checkpoint config here (the reference shape-sniffs and needs these);
+    # when given they are validated against the checkpoints
+    p.add_argument("--heads", type=int, default=None)
+    p.add_argument("--layers", type=int, default=None)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="Accepted for reference-CLI compatibility; batch "
+                        "assembly is in-process arena slicing")
+    p.add_argument("--train-subset-ratio", type=float, default=1.0,
+                   help="Accepted for reference-CLI compatibility; unused "
+                        "here because the saved scaler_state round-trips "
+                        "the exact target transform (the reference refits "
+                        "it from a reconstructed train subset)")
     return p
 
 
@@ -37,6 +50,16 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.heads is not None or args.layers is not None:
+        from ..infer.predict import Ensemble
+
+        mc = Ensemble.load(args.ensemble_dir).cfgs[0]
+        if args.heads is not None and args.heads != mc.heads:
+            raise SystemExit(f"--heads {args.heads} does not match the "
+                             f"checkpoint architecture (heads={mc.heads})")
+        if args.layers is not None and args.layers != mc.layers:
+            raise SystemExit(f"--layers {args.layers} does not match the "
+                             f"checkpoint architecture (layers={mc.layers})")
     cfg = EvalConfig(
         ensemble_dir=args.ensemble_dir, data_dir=args.data_dir,
         output_dir=args.output_dir, batch_size=args.batch_size, seed=args.seed,

@@ -201,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--mat2vec-path", default=_default_mat2vec())
     p.add_argument("--disable-mat2vec", action="store_true")
+    p.add_argument("--quiet", dest="quiet", action="store_true", default=True,
+                   help="Suppress known benign featurization warnings "
+                        "(default on, as in the reference)")
+    p.add_argument("--no-quiet", dest="quiet", action="store_false")
     p.add_argument("--from-json", default=None,
                    help="Offline source: JSON with pymatgen structure dicts "
                         "(no network / mp_api needed)")
@@ -216,6 +220,16 @@ def _default_mat2vec() -> str:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.quiet:
+        # known benign warnings from pymatgen-backed featurization
+        # (fetch.py:726-729); the pure-numpy path emits none of these
+        import warnings
+
+        for pat in (r"No Pauling electronegativity for .*",
+                    r"CrystalNN: cannot locate an appropriate radius.*",
+                    r"No oxidation states specified on sites!.*"):
+            warnings.filterwarnings("ignore", message=pat,
+                                    category=UserWarning)
     if args.limit is not None and args.limit <= 0:
         raise SystemExit("--limit must be a positive integer when provided.")
     if args.limit is not None and args.fetch_all:

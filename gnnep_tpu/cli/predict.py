@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-logvar-floor", type=float, default=MIN_LOGVAR_FLOOR)
     p.add_argument("--output-json", default=None)
     p.add_argument("--device", default=None)
+    p.add_argument("--heads", type=int, default=None,
+                   help="Reference-CLI compatibility: heads come from the "
+                        "embedded checkpoint config; validated if given")
     return p
 
 
@@ -62,6 +65,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.device)
     ensemble = Ensemble.load(args.ensemble_dir)
     node_dim = ensemble.cfgs[0].node_dim
+    if args.heads is not None and args.heads != ensemble.cfgs[0].heads:
+        raise SystemExit(f"--heads {args.heads} does not match the "
+                         f"checkpoint architecture (heads="
+                         f"{ensemble.cfgs[0].heads})")
 
     if args.mode in ("random", "materials"):
         if not Path(args.data_dir).exists():

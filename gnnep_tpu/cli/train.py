@@ -80,6 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn-weight-min", type=float, default=0.2)
     p.add_argument("--knn-weight-max", type=float, default=1.0)
     p.add_argument("--knn-refresh", type=int, default=5)
+    p.add_argument("--knn-coverage-audit", action="store_true",
+                   help="Audit weight map coverage before activation")
+    p.add_argument("--knn-coverage-max-batches", type=int, default=0,
+                   help="Max batches to audit (0=full train)")
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="Accepted for reference-CLI compatibility; the "
+                        "columnar arena pipeline loads in-process (batch "
+                        "assembly is pure slicing + async device_put)")
     p.add_argument("--save-embeddings", action="store_true")
     p.add_argument("--member-parallel", choices=["sequential", "vmap"],
                    default="sequential")
@@ -144,7 +152,10 @@ def config_from_args(args) -> TrainConfig:
         weight_warmup_epochs=args.weight_warmup_epochs, knn_k=args.knn_k,
         knn_eps=args.knn_eps, knn_alpha=args.knn_alpha, knn_beta=args.knn_beta,
         knn_weight_min=args.knn_weight_min, knn_weight_max=args.knn_weight_max,
-        knn_refresh=args.knn_refresh, save_embeddings=args.save_embeddings,
+        knn_refresh=args.knn_refresh,
+        knn_coverage_audit=args.knn_coverage_audit,
+        knn_coverage_max_batches=args.knn_coverage_max_batches,
+        save_embeddings=args.save_embeddings,
         conv_impl=args.conv_impl, scan_layers=args.scan_layers,
         prng_impl=args.prng_impl,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,

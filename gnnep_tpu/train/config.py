@@ -74,6 +74,9 @@ class TrainConfig:
     knn_weight_min: float = 0.2
     knn_weight_max: float = 1.0
     knn_refresh: int = 5
+    knn_coverage_audit: bool = False     # audit weight-map coverage over the
+                                         # train batches before activation
+    knn_coverage_max_batches: int = 0    # 0 = audit the full train set
 
     # framework extensions (no reference analogue)
     conv_impl: str = "table"             # 'table' | 'fused' (Pallas) | 'coo'

@@ -323,7 +323,41 @@ def train_member(
                     clip_max=cfg.knn_weight_max if cfg.knn_weight_max > 0 else None)
                 last_snapshot_epoch = epoch
                 weights_active_epoch = epoch + 1
-                if cfg.verbose:
+                # coverage guard before activation (train.py:1874-1903):
+                # every effective train id must have a weight — a silent
+                # default-to-1.0 would skew the loss unnoticed
+                expected = set(int(g) for g in effective)
+                missing = sorted(expected - set(weights_by_index.keys()))
+                if missing:
+                    print(f"[Weights] Coverage failure: KNN weights missing "
+                          f"{len(missing)} train ids; examples: {missing[:5]}")
+                    weights_by_index = None
+                    last_snapshot_epoch = None
+                    weights_active_epoch = None
+                elif getattr(cfg, "knn_coverage_audit", False):
+                    total = 0
+                    miss = 0
+                    max_b = int(getattr(cfg, "knn_coverage_max_batches", 0))
+                    for b_idx, b in enumerate(
+                            epoch_batches(store, effective, budget,
+                                          shuffle=False)):
+                        ids = np.asarray(b.sample_index)
+                        real = ids[ids >= 0]
+                        total += int(real.size)
+                        miss += int(sum(1 for ti in real.tolist()
+                                        if int(ti) not in weights_by_index))
+                        if max_b > 0 and (b_idx + 1) >= max_b:
+                            break
+                    pct = ((total - miss) / total * 100.0) if total else float("nan")
+                    print(f"[Weights] Coverage audit: total={total}, "
+                          f"covered={total - miss} ({pct:.2f}%), missing={miss}")
+                    if miss > 0:
+                        print("[Weights] Coverage failure: audit detected "
+                              "missing train ids; skipping activation.")
+                        weights_by_index = None
+                        last_snapshot_epoch = None
+                        weights_active_epoch = None
+                if weights_by_index is not None and cfg.verbose:
                     vals = list(weights_by_index.values())
                     print(f"[Weights] Epoch {epoch}: KNN weights for {len(vals)} "
                           f"samples | mean={np.mean(vals):.3f}, "

@@ -47,3 +47,43 @@ class TestKnnWeights:
             setup.store, cfg, mc, setup.transformer, setup.budget, 7,
             setup.train_idx, setup.val_idx)
         assert np.isfinite(metrics.get("mae", np.nan))
+
+    def test_coverage_audit_passes_and_failure_skips_activation(self, capsys):
+        import gnnep_tpu.train.member as member_mod
+
+        store = make_store(16, seed=3)
+        cfg = TrainConfig(batch_size=8, hidden=16, layers=1, heads=2,
+                          ensemble_size=2, epochs=3, verbose=False,
+                          bootstrap=False, feature_jitter_std=0.0,
+                          enable_density_weighting=True,
+                          weight_warmup_epochs=1, knn_refresh=1, knn_k=3,
+                          knn_coverage_audit=True)
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        _, metrics = train_member(
+            setup.store, cfg, mc, setup.transformer, setup.budget, 7,
+            setup.train_idx, setup.val_idx)
+        out = capsys.readouterr().out
+        assert "Coverage audit" in out and "missing=0" in out
+        assert np.isfinite(metrics.get("mae", np.nan))
+
+        # a weight map missing train ids must abort activation, not skew
+        # the loss with silent default weights (train.py:1874-1903)
+        real = member_mod.compute_knn_weights
+
+        def broken(*a, **kw):
+            w = real(*a, **kw)
+            w.pop(sorted(w)[0])
+            return w
+
+        orig = member_mod.compute_knn_weights
+        member_mod.compute_knn_weights = broken
+        try:
+            _, metrics = train_member(
+                setup.store, cfg, mc, setup.transformer, setup.budget, 7,
+                setup.train_idx, setup.val_idx)
+        finally:
+            member_mod.compute_knn_weights = orig
+        out = capsys.readouterr().out
+        assert "Coverage failure" in out
+        assert np.isfinite(metrics.get("mae", np.nan))
