@@ -89,7 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "columnar arena pipeline loads in-process (batch "
                         "assembly is pure slicing + async device_put)")
     p.add_argument("--save-embeddings", action="store_true")
-    p.add_argument("--member-parallel", choices=["sequential", "vmap"],
+    p.add_argument("--member-parallel",
+                   choices=["sequential", "vmap", "shard"],
                    default="sequential")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32")

@@ -50,8 +50,10 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
                      budget: BatchBudget, floor: float):
     batches = epoch_batches(store, indices, budget, shuffle=False)
     means, stds, targets = [], [], None
+    from ..train.loop import oneshot_config
+
     for params, cfg in zip(ensemble.members, ensemble.cfgs):
-        forward = make_forward(cfg, floor)
+        forward = make_forward(oneshot_config(cfg), floor)
         mean_z, sigma_z, y, _ = collect_predictions(forward, params, batches)
         means.append(mean_z)
         stds.append(sigma_z)

@@ -78,8 +78,10 @@ class Ensemble:
         member_means, member_vars = [], []
         order = None
         ys = None
+        from ..train.loop import oneshot_config
+
         for params, cfg in zip(self.members, self.cfgs):
-            forward = make_forward(cfg, min_logvar_floor)
+            forward = make_forward(oneshot_config(cfg), min_logvar_floor)
             mean_z, sigma_z, y, sample_idx = collect_predictions(forward, params, batches)
             member_means.append(mean_z)
             member_vars.append(sigma_z ** 2)

@@ -158,8 +158,6 @@ def transformer_conv_table(
         kv = gather_rows(proj[:, hidden:3 * hidden], src)
         q_dst = None if use_attn else gather_rows(q, dst)
 
-    from .pallas.csr_attention import fusable
-
     if use_attn:
         scale_t = None
         if use_dropout:
@@ -190,7 +188,7 @@ def transformer_conv_table(
 
     import numpy as _np
 
-    use_fused = fused and lane_ok and fusable(n, src.shape[0],
+    use_fused = fused and lane_ok and _sum_ok(n, src.shape[0],
                                               in_edges.shape[1],
                                               hidden=hidden, win64=win64)
     if use_fused:

@@ -1,12 +1,21 @@
-"""Member-parallel ensemble training via vmap over a stacked parameter axis.
+"""Member-parallel ensemble training: vmap (one device) or shard_map (one
+member per device).
 
 The reference trains its 5 members strictly sequentially
 (`/root/reference/scripts/train.py:2052-2095`). On TPU the members are
 embarrassingly parallel: with homogeneous architectures we stack parameters
-along a leading member axis and run ONE jitted step that vmaps loss+grad
-across members, each member consuming its own bootstrap batch stream. One
-compilation, M× arithmetic intensity — this is the ensemble-axis parallelism
-called for by the north star (SURVEY.md §2g).
+along a leading member axis and run ONE jitted step across members, each
+member consuming its own bootstrap batch stream — the ensemble-axis
+parallelism called for by the north star (SURVEY.md §2g). Two executions of
+the same driver:
+
+- ``vmap``: members batched on ONE device (M× arithmetic intensity). vmapping
+  `pallas_call` is unsupported, so this mode downgrades `conv_impl='fused'`
+  to the XLA table path.
+- ``shard``: a `Mesh(("member",))` places one member per device via
+  `shard_map`; each device runs the full LOCAL train step — including the
+  fused Pallas kernels — with zero cross-member communication. This is the
+  pod-scale mode: 5 members train simultaneously at single-member step time.
 
 Early stopping runs per-member on the host: a member whose patience has
 expired keeps computing (lock-step) but its parameter snapshot is frozen, so
@@ -15,6 +24,7 @@ slowest member, not the sum.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
@@ -38,18 +48,27 @@ def _unstack_tree(tree, m: int):
     return [jax.tree.map(lambda x, i=i: np.asarray(x[i]), tree) for i in range(m)]
 
 
-def train_members_vmapped(setup, cfg: TrainConfig
+def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
                           ) -> Tuple[List[Dict], List[AlignnConfig]]:
     if cfg.member_hiddens is not None and len(set(cfg.member_hiddens)) > 1:
-        raise ValueError("vmap member-parallel training requires homogeneous "
+        raise ValueError(f"{mode} member-parallel training requires homogeneous "
                          "hidden sizes; use member_parallel='sequential'.")
     if cfg.enable_density_weighting:
-        raise ValueError("KNN density weighting is not supported in vmap mode; "
-                         "use member_parallel='sequential'.")
+        raise ValueError(f"KNN density weighting is not supported in {mode} "
+                         "mode; use member_parallel='sequential'.")
     from ..train.ensemble import model_config  # late import (cycle)
 
     s = setup.store
     m = cfg.ensemble_size
+    mesh = None
+    if mode == "shard":
+        devices = jax.devices()
+        if m > len(devices):
+            raise ValueError(
+                f"member_parallel='shard' places one member per device: "
+                f"{m} members > {len(devices)} devices. Use 'vmap' or "
+                "'sequential'.")
+        mesh = jax.sharding.Mesh(np.array(devices[:m]), ("member",))
     num_folds = len(setup.folds)
     full_train = set(setup.train_idx)
     hidden = cfg.member_hiddens[0] if cfg.member_hiddens else cfg.hidden
@@ -58,15 +77,16 @@ def train_members_vmapped(setup, cfg: TrainConfig
     dropouts = [float(cfg.member_override(cfg.member_dropouts, i, cfg.dropout))
                 for i in range(m)]
     if len(set(dropouts)) > 1:
-        raise ValueError("vmap mode currently requires a shared dropout rate; "
+        raise ValueError(f"{mode} mode currently requires a shared dropout rate; "
                          "use member_parallel='sequential' for per-member dropout.")
     lrs = [float(cfg.member_override(cfg.member_lrs, i, cfg.lr)) for i in range(m)]
 
     mc = model_config(cfg, s, hidden=hidden, dropout=dropouts[0],
                       budget=setup.budget)
-    if mc.conv_impl == "fused":
+    if mc.conv_impl == "fused" and mode == "vmap":
         # vmapping pallas_call across the member axis is not supported;
-        # the XLA table path vmaps cleanly
+        # the XLA table path vmaps cleanly. (shard mode keeps the fused
+        # kernels: each device runs a full local step.)
         import dataclasses as _dc
 
         mc = _dc.replace(mc, conv_impl="table")
@@ -104,9 +124,8 @@ def train_members_vmapped(setup, cfg: TrainConfig
         stats = jnp.array([sample_loss.sum(), batch.graph_mask.sum()])
         return grads, stats
 
-    @jax.jit
-    def stacked_step(params, opt_state, batches, rngs, lr_vec):
-        grads, stats = jax.vmap(one_member_grads)(params, batches, rngs)
+    def _stacked_body(params, opt_state, batches, rngs, lr_vec, *, member_fn):
+        grads, stats = member_fn(params, batches, rngs)
         updates, opt_state = adam.update(grads, opt_state, params)
         wd = hyper.weight_decay
 
@@ -120,6 +139,37 @@ def train_members_vmapped(setup, cfg: TrainConfig
             lambda u, p, ms: apply_leaf(u, p, ms), updates, params,
             jax.tree.map(lambda b: jnp.asarray(b), smask))
         return params, opt_state, stats
+
+    if mode == "vmap":
+        stacked_step = jax.jit(partial(_stacked_body,
+                                       member_fn=jax.vmap(one_member_grads)))
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        # one member per device: the WHOLE stacked step runs under shard_map
+        # with every stacked leaf split on the member axis, so each device
+        # executes a plain local (size-1) step — Pallas kernels included —
+        # with no cross-member communication at all
+        def local_grads(params, batches, rngs):
+            sq = lambda t: jax.tree.map(lambda x: x[0], t)
+            g, st = one_member_grads(sq(params), sq(batches), rngs[0])
+            ex = lambda t: jax.tree.map(lambda x: x[None], t)
+            return ex(g), st[None]
+
+        def sharded_body(params, opt_state, batches, rngs, lr_vec):
+            return _stacked_body(params, opt_state, batches, rngs, lr_vec,
+                                 member_fn=local_grads)
+
+        spec = P("member")
+        # Adam state carries a scalar step count — replicated, not sharded
+        opt_spec = jax.tree.map(
+            lambda x: spec if np.ndim(x) > 0 else P(), opt_state)
+        stacked_step = jax.jit(shard_map(
+            sharded_body, mesh=mesh,
+            in_specs=(spec, opt_spec, spec, spec, spec),
+            out_specs=(spec, opt_spec, spec),
+            check_rep=False))
 
     # per-member data streams (bootstrap + fold assignment, as sequential)
     member_train_idx: List[List[int]] = []

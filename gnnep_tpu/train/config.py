@@ -87,7 +87,9 @@ class TrainConfig:
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints
-    member_parallel: str = "sequential"  # 'sequential' | 'vmap'
+    member_parallel: str = "sequential"  # 'sequential' | 'vmap' (one device,
+                                         # table conv) | 'shard' (one member
+                                         # per device, fused kernels)
     # device-side inner loop: run K optimizer steps per dispatch via
     # lax.scan over stacked batches (host dispatch + per-step metric
     # readback otherwise gate throughput on remote runtimes); the epoch's

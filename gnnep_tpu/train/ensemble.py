@@ -131,9 +131,10 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
     members: List[Dict] = []
     model_cfgs: List[AlignnConfig] = []
 
-    if cfg.member_parallel == "vmap":
+    if cfg.member_parallel in ("vmap", "shard"):
         from ..parallel.ensemble_vmap import train_members_vmapped
-        members, model_cfgs = train_members_vmapped(setup, cfg)
+        members, model_cfgs = train_members_vmapped(setup, cfg,
+                                                    mode=cfg.member_parallel)
         for i, (params, mc) in enumerate(zip(members, model_cfgs)):
             save_member(save_dir / f"model_{i}.npz", params, mc)
     else:

@@ -19,6 +19,7 @@ baked into the step closure.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
@@ -203,12 +204,27 @@ def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
     return step
 
 
+def _key_floats(arr) -> Tuple[float, ...]:
+    return tuple(float(x) for x in np.asarray(arr).ravel())
+
+
 def make_train_step(cfg: AlignnConfig, hyper: TrainHyper,
                     log_means: np.ndarray, log_stds: np.ndarray):
-    """Build a jitted (params, adam_state, batch, rng, lr_mean, lr_sigma) step."""
+    """Build a jitted (params, adam_state, batch, rng, lr_mean, lr_sigma) step.
+
+    Memoized on (cfg, hyper, transform constants): sequential ensemble
+    members with identical configs share one jit cache instead of
+    re-tracing/re-compiling the same step per member."""
+    return _cached_train_step(cfg, hyper, _key_floats(log_means),
+                              _key_floats(log_stds))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_train_step(cfg: AlignnConfig, hyper: TrainHyper,
+                       means_t: Tuple[float, ...], stds_t: Tuple[float, ...]):
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-    mu = jnp.asarray(log_means, dtype=jnp.float32)
-    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    mu = jnp.asarray(means_t, dtype=jnp.float32)
+    sd = jnp.asarray(stds_t, dtype=jnp.float32)
     body = _make_step_body(cfg, hyper, adam, mu, sd)
     step = partial(jax.jit, donate_argnums=(0, 1))(body)
 
@@ -233,10 +249,19 @@ def make_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
     The TPU-idiomatic training loop: per-step host dispatch (especially
     through remote runtimes) otherwise gates the issue rate and idles the
     chip between steps. Per-step RNG keys are derived on device by folding
-    the step index into `rng`; metrics come back stacked [K]."""
+    the step index into `rng`; metrics come back stacked [K].
+    Memoized like `make_train_step`."""
+    return _cached_scan_train_step(cfg, hyper, _key_floats(log_means),
+                                   _key_floats(log_stds))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
+                            means_t: Tuple[float, ...],
+                            stds_t: Tuple[float, ...]):
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-    mu = jnp.asarray(log_means, dtype=jnp.float32)
-    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    mu = jnp.asarray(means_t, dtype=jnp.float32)
+    sd = jnp.asarray(stds_t, dtype=jnp.float32)
     body = _make_step_body(cfg, hyper, adam, mu, sd)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -260,8 +285,25 @@ def make_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
     return multi_step, init_opt
 
 
+def oneshot_config(cfg: AlignnConfig) -> AlignnConfig:
+    """Config variant for one-shot evaluation/inference forwards: roll the
+    layers into a lax.scan. The ~20 % slower step is dwarfed by the ~5×
+    compile-time cut on the remote-compile runtime, and the two paths are
+    numerically identical (test_scan_layers_matches_unrolled)."""
+    if cfg.layers > 1 and not getattr(cfg, "scan_layers", False):
+        return dataclasses.replace(cfg, scan_layers=True)
+    return cfg
+
+
+@functools.lru_cache(maxsize=64)
 def make_forward(cfg: AlignnConfig, floor: float = MIN_LOGVAR_FLOOR):
-    """Jitted eval forward → (mean_z, logvar) with the floor applied."""
+    """Jitted eval forward → (mean_z, logvar) with the floor applied.
+
+    Memoized on (cfg, floor): every caller that loops over ensemble members
+    or collects multiple splits shares ONE jit cache per architecture —
+    a fresh `@jax.jit` object per member used to recompile the identical
+    program each time (~70 s each on the remote-compile runtime; evaluate
+    spent 280 of its 315 s there)."""
 
     @jax.jit
     def forward(params, batch):

@@ -195,9 +195,16 @@ class TestFusedAggregate:
         # degree so large no block size fits VMEM
         assert not fusable(256, 1 << 20, 4096, block_n=128)
 
-    def test_model_fused_vs_table(self, monkeypatch):
-        """End-to-end model parity: conv_impl='fused' vs 'table'."""
+    @pytest.mark.parametrize("ladder", ["eproj", "attn", "logits"])
+    def test_model_fused_vs_table(self, monkeypatch, ladder):
+        """End-to-end model parity: conv_impl='fused' vs 'table' at every
+        rung of the fused-kernel ladder — eproj (in-kernel edge projection),
+        csr_attention (kv+e boundary), and the external-logits aggregate."""
         monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")  # CPU downgrades otherwise
+        if ladder != "eproj":
+            monkeypatch.setenv("GNNEP_ATTN_EPROJ", "0")
+        if ladder == "logits":
+            monkeypatch.setenv("GNNEP_ATTN_FUSED", "0")
         import sys
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from synthetic import make_store

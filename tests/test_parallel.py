@@ -178,3 +178,43 @@ class TestVmapEnsemble:
         summary = run_training(cfg, store)
         assert (tmp_path / "model_1.npz").exists()
         assert "test_stats" in summary
+
+    def test_shard_mode_matches_vmap(self, tmp_path):
+        """member_parallel='shard' (one member per mesh device via
+        shard_map) trains the same members as 'vmap' — identical seeds,
+        streams, and update math, different execution."""
+        store = make_store(24, seed=5)
+        # one epoch: the two executions are semantically identical but the
+        # GEMM accumulation orders differ (batched vs per-device), and that
+        # float noise compounds through Adam across epochs
+        base = dict(batch_size=24, epochs=1, hidden=16, layers=1, heads=2,
+                    ensemble_size=2, seed=42, val_frac=0.15, calib_frac=0.15,
+                    test_frac=0.15, bootstrap=False, feature_jitter_std=0.0,
+                    verbose=False)
+        cfg_s = TrainConfig(save_dir=str(tmp_path / "shard"),
+                            member_parallel="shard", **base)
+        cfg_v = TrainConfig(save_dir=str(tmp_path / "vmap"),
+                            member_parallel="vmap", **base)
+        run_training(cfg_s, store)
+        run_training(cfg_v, store)
+        from gnnep_tpu.train.artifacts import load_member
+
+        for i in range(2):
+            ps, _ = load_member(tmp_path / "shard" / f"model_{i}.npz")
+            pv, _ = load_member(tmp_path / "vmap" / f"model_{i}.npz")
+            # tolerance set by the Adam step size: near-zero gradients are
+            # sign-unstable under different accumulation orders, moving a
+            # first step by up to ~2·lr (6e-4); a member/device ROUTING bug
+            # would produce O(1) mismatches
+            for a, b in zip(jax.tree.leaves(ps), jax.tree.leaves(pv)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0.05, atol=1e-3)
+
+    def test_shard_mode_too_many_members(self):
+        store = make_store(12, seed=5)
+        cfg = TrainConfig(batch_size=12, epochs=1, hidden=16, layers=1,
+                          heads=2, ensemble_size=9, seed=42,
+                          bootstrap=False, verbose=False,
+                          member_parallel="shard")
+        with pytest.raises(ValueError, match="one member per device"):
+            run_training(cfg, store)
