@@ -87,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-workers", type=int, default=0,
                    help="Accepted for reference-CLI compatibility; the "
                         "columnar arena pipeline loads in-process (batch "
-                        "assembly is pure slicing + async device_put)")
+                        "assembly is pure slicing + async device_put). "
+                        "See --pack-workers for assembly threads.")
+    p.add_argument("--pack-workers", type=int, default=4,
+                   help="Threads for epoch batch assembly (1 = serial)")
     p.add_argument("--save-embeddings", action="store_true")
     p.add_argument("--member-parallel",
                    choices=["sequential", "vmap", "shard"],
@@ -158,7 +161,7 @@ def config_from_args(args) -> TrainConfig:
         knn_coverage_max_batches=args.knn_coverage_max_batches,
         save_embeddings=args.save_embeddings,
         conv_impl=args.conv_impl, scan_layers=args.scan_layers,
-        prng_impl=args.prng_impl,
+        prng_impl=args.prng_impl, pack_workers=args.pack_workers,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile_dir=args.profile_dir,
         member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,

@@ -23,10 +23,12 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
+from .. import native as _native
 from .store import GraphStore
 
 
@@ -198,13 +200,16 @@ class BatchBudget:
 
 
 def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
-                         cap: int, pad_slot: int):
+                         cap: int, pad_slot: int,
+                         order: Optional[np.ndarray] = None):
     """Dense incoming table for one arena.
 
     Returns (table [n_rows, cap] i32, table_mask [n_rows, cap] f32,
     pos [len(dst)] i32) where `pos[e]` is edge e's flat slot in the table
     (padded entries point at row n_rows-1's last column, which is always a
-    masked slot by the dummy-row convention).
+    masked slot by the dummy-row convention). `order` is an optional
+    precomputed stable key-sort permutation of the FULL arena (shared with
+    `src_csr_index` for the outgoing tables).
     """
     e_total = dst.shape[0]
     table = np.full((n_rows, cap), pad_slot, dtype=np.int32)
@@ -214,9 +219,18 @@ def build_incoming_table(dst: np.ndarray, mask: np.ndarray, n_rows: int,
     real = np.nonzero(mask > 0)[0]
     if real.size:
         d = dst[real]
-        order = np.argsort(d, kind="stable")
-        ds, es = d[order], real[order]
-        first = np.searchsorted(ds, ds)
+        if order is not None:
+            es = order[mask[order] > 0].astype(np.int64)
+            ds = dst[es]
+        elif bool(np.all(d[1:] >= d[:-1])):  # arena is CSR-sorted already
+            ds, es = d, real
+        else:
+            o = np.argsort(d, kind="stable")
+            ds, es = d[o], real[o]
+        # first occurrence per run, O(n) (a searchsorted(ds, ds) here was a
+        # measurable share of host packing)
+        starts = np.flatnonzero(np.concatenate(([True], ds[1:] != ds[:-1])))
+        first = np.repeat(starts, np.diff(np.append(starts, ds.size)))
         cum = np.arange(ds.size) - first
         overflow = int(cum.max(initial=0))
         if overflow >= cap:
@@ -245,6 +259,9 @@ def plan_dilution(counts: np.ndarray, bound: int, cap_rows: int,
     interior padding rows. None if the remap needs ≥ cap_rows − 1 rows (the
     last row stays reserved for the dummy target).
     """
+    native = _native.plan_dilution_native(counts, bound, cap_rows, group)
+    if native is not NotImplemented:
+        return native
     n_real = counts.shape[0]
     new = np.empty(n_real, np.int64)
     pos = 0
@@ -394,24 +411,36 @@ def _csr_sort(dst: np.ndarray, cap: int) -> np.ndarray:
     return np.argsort(dst, kind="stable").astype(np.int64)
 
 
+def _nondecreasing(a: np.ndarray) -> bool:
+    return bool(np.all(a[1:] >= a[:-1])) if a.size > 1 else True
+
+
 def apply_csr_sort(edge_src, edge_dst, edge_attr, edge_mask,
                    lg_src, lg_dst, lg_attr, lg_mask):
     """CSR-sort both arenas by aggregation target, remapping the line
-    graph's bond references through the edge permutation."""
+    graph's bond references through the edge permutation.
+
+    Fast path: GraphStore canonicalizes each graph to dst-sorted order, so
+    the assembled arenas (per-graph slices at increasing offsets, padding
+    at the tail) are already globally sorted — both permutations reduce to
+    an O(n) sortedness check."""
     Ep, Lp = edge_src.shape[0], lg_src.shape[0]
-    edge_perm = _csr_sort(edge_dst, Ep)
-    inv_edge = np.empty(Ep, np.int32)
-    inv_edge[edge_perm] = np.arange(Ep, dtype=np.int32)
-    edge_src = edge_src[edge_perm]
-    edge_dst = edge_dst[edge_perm]
-    edge_attr = edge_attr[edge_perm]
-    edge_mask = edge_mask[edge_perm]
-    lg_src = inv_edge[lg_src]
-    lg_dst = inv_edge[lg_dst]
-    lg_perm = _csr_sort(lg_dst, Lp)
+    if not _nondecreasing(edge_dst):
+        edge_perm = _csr_sort(edge_dst, Ep)
+        inv_edge = np.empty(Ep, np.int32)
+        inv_edge[edge_perm] = np.arange(Ep, dtype=np.int32)
+        edge_src = edge_src[edge_perm]
+        edge_dst = edge_dst[edge_perm]
+        edge_attr = edge_attr[edge_perm]
+        edge_mask = edge_mask[edge_perm]
+        lg_src = inv_edge[lg_src]
+        lg_dst = inv_edge[lg_dst]
+    if not _nondecreasing(lg_dst):
+        lg_perm = _csr_sort(lg_dst, Lp)
+        lg_src, lg_dst = lg_src[lg_perm], lg_dst[lg_perm]
+        lg_attr, lg_mask = lg_attr[lg_perm], lg_mask[lg_perm]
     return (edge_src, edge_dst, edge_attr, edge_mask,
-            lg_src[lg_perm], lg_dst[lg_perm], lg_attr[lg_perm],
-            lg_mask[lg_perm])
+            lg_src, lg_dst, lg_attr, lg_mask)
 
 
 class BatchPacker:
@@ -424,6 +453,34 @@ class BatchPacker:
     def __init__(self, store: GraphStore, budget: BatchBudget):
         self.store = store
         self.budget = budget
+
+    def plan_groups(self, indices: Sequence[int]) -> List[List[int]]:
+        """Greedy capacity partition of `indices` into batch groups —
+        the cheap counting phase of `pack`, pre-dilution."""
+        b = self.budget
+        groups: List[List[int]] = []
+        cur: List[int] = []
+        n_used, e_used, l_used = 0, 0, 0
+        for raw in indices:
+            i = int(raw)
+            n, e, l = self.store.counts(i)
+            if n > b.n_nodes - 1 or e > b.n_edges - 1 or l > b.n_lg_edges:
+                raise ValueError(
+                    f"Graph {i} (nodes={n}, edges={e}, lg={l}) exceeds batch budget {b}; "
+                    "re-plan with a larger quantile/slack.")
+            if cur and (len(cur) + 1 > b.n_graphs or n_used + n > b.n_nodes - 1
+                        or e_used + e > b.n_edges - 1
+                        or l_used + l > b.n_lg_edges):
+                groups.append(cur)
+                cur = []
+                n_used = e_used = l_used = 0
+            cur.append(i)
+            n_used += n
+            e_used += e
+            l_used += l
+        if cur:
+            groups.append(cur)
+        return groups
 
     def pack(self, indices: Sequence[int],
              weights: Optional[np.ndarray] = None,
@@ -458,6 +515,29 @@ class BatchPacker:
             while cur:
                 batch, cur = self._assemble_fitting(cur, weights)
                 yield batch
+
+    def pack_parallel(self, indices: Sequence[int],
+                      weights: Optional[np.ndarray] = None,
+                      workers: int = 4) -> List[GraphBatch]:
+        """Assemble an epoch's batches on a thread pool (the numpy-heavy
+        assembly releases the GIL). Semantics differ from `pack` in one
+        documented way: graphs deferred by dilution overflow are repacked at
+        the END of the epoch rather than into the immediately following
+        batch — every graph still appears exactly once."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: List[GraphBatch] = []
+        todo = [int(i) for i in indices]
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            while todo:
+                groups = self.plan_groups(todo)
+                results = list(ex.map(
+                    lambda g: self._assemble_fitting(g, weights), groups))
+                todo = []
+                for batch, leftover in results:
+                    out.append(batch)
+                    todo.extend(leftover)
+        return out
 
     def _assemble_fitting(self, cur: List[int], weights):
         """Assemble `cur`, deferring tail graphs while dilution overflows.
@@ -554,12 +634,13 @@ class BatchPacker:
             edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)
         lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
             lg_dst, lg_mask, Ep, b.max_lg_in_degree, Lp - 1)
-        node_ot, node_ot_mask, _ = build_incoming_table(
-            edge_src, edge_mask, Np, b.max_out_degree, dummy_edge)
-        lg_ot, lg_ot_mask, _ = build_incoming_table(
-            lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1)
         e_order, e_starts = src_csr_index(edge_src, Np)
         l_order, l_starts = src_csr_index(lg_src, Ep)
+        node_ot, node_ot_mask, _ = build_incoming_table(
+            edge_src, edge_mask, Np, b.max_out_degree, dummy_edge,
+            order=e_order)
+        lg_ot, lg_ot_mask, _ = build_incoming_table(
+            lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1, order=l_order)
         # src-side window bounds can't be enforced by dilution (segment
         # sizes are the data's out-degrees) — defer tail graphs instead
         if (b.edge_src_win64
@@ -580,11 +661,22 @@ class BatchPacker:
 
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,
                   *, shuffle: bool, rng: Optional[np.random.Generator] = None,
-                  weights: Optional[np.ndarray] = None) -> List[GraphBatch]:
-    """Materialize one epoch's batches (optionally shuffled)."""
+                  weights: Optional[np.ndarray] = None,
+                  workers: Optional[int] = None) -> List[GraphBatch]:
+    """Materialize one epoch's batches (optionally shuffled).
+
+    `workers` > 1 assembles batches on a thread pool (GNNEP_PACK_WORKERS
+    sets the default; host packing otherwise caps device throughput on fast
+    chips — see PERF.md). Deterministic for fixed inputs; differs from the
+    serial packer only in where dilution-deferred graphs land (epoch tail)."""
     order = np.asarray(list(indices), dtype=np.int64)
     if shuffle:
         if rng is None:
             rng = np.random.default_rng()
         order = order[rng.permutation(order.size)]
-    return list(BatchPacker(store, budget).pack(order, weights=weights))
+    packer = BatchPacker(store, budget)
+    if workers is None:
+        workers = int(os.environ.get("GNNEP_PACK_WORKERS", "0"))
+    if workers > 1 and order.size > 1:
+        return packer.pack_parallel(order, weights=weights, workers=workers)
+    return list(packer.pack(order, weights=weights))

@@ -66,6 +66,35 @@ def load_sample(path: str | Path) -> GraphSample:
         )
 
 
+def _canonical_sample(s: GraphSample) -> GraphSample:
+    """Sort a graph's bond arrays by dst atom and its line-graph arrays by
+    dst bond (stable), remapping LG bond references. Idempotent."""
+    e_sorted = bool(np.all(s.edge_dst[1:] >= s.edge_dst[:-1]))
+    l_sorted = bool(np.all(s.lg_dst[1:] >= s.lg_dst[:-1]))
+    if e_sorted and l_sorted:
+        return s
+    lg_src, lg_dst, lg_attr = s.lg_src, s.lg_dst, s.lg_attr
+    edge_src, edge_dst, edge_attr = s.edge_src, s.edge_dst, s.edge_attr
+    if not e_sorted:
+        perm = np.argsort(edge_dst, kind="stable")
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+        edge_src = edge_src[perm]
+        edge_dst = edge_dst[perm]
+        edge_attr = edge_attr[perm]
+        lg_src = inv[lg_src].astype(np.int32)
+        lg_dst = inv[lg_dst].astype(np.int32)
+        l_sorted = bool(np.all(lg_dst[1:] >= lg_dst[:-1]))
+    if not l_sorted:
+        lperm = np.argsort(lg_dst, kind="stable")
+        lg_src = lg_src[lperm]
+        lg_dst = lg_dst[lperm]
+        lg_attr = lg_attr[lperm]
+    return dataclasses.replace(s, edge_src=edge_src, edge_dst=edge_dst,
+                               edge_attr=edge_attr, lg_src=lg_src,
+                               lg_dst=lg_dst, lg_attr=lg_attr)
+
+
 @dataclasses.dataclass
 class GraphStore:
     """All graphs of a dataset as one columnar arena.
@@ -166,8 +195,14 @@ class GraphStore:
     @classmethod
     def from_samples(cls, samples: Sequence[GraphSample],
                      target_dim: int = 2) -> "GraphStore":
+        """Build the arena; each graph's edge/LG arrays are canonicalized to
+        dst-sorted order first, so batch assembly's global CSR sort becomes
+        a no-op concatenation (offsets grow monotonically across graphs —
+        see `batching.apply_csr_sort`'s sorted fast path). The model is
+        edge-permutation-invariant, so this is an internal layout choice."""
         if not samples:
             raise ValueError("Cannot build a GraphStore from zero samples.")
+        samples = [_canonical_sample(s) for s in samples]
         node_off = np.zeros(len(samples) + 1, dtype=np.int64)
         edge_off = np.zeros(len(samples) + 1, dtype=np.int64)
         lg_off = np.zeros(len(samples) + 1, dtype=np.int64)

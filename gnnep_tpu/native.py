@@ -24,6 +24,7 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
@@ -55,6 +56,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cutoff_neighbors.argtypes = [
             ctypes.c_int64, _f64p, _f64p, ctypes.c_double, _i32p,
             ctypes.c_int64, _i32p, _i32p, _i32p, _f64p, _f64p]
+        lib.plan_dilution.restype = ctypes.c_int64
+        lib.plan_dilution.argtypes = [
+            ctypes.c_int64, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, _i64p]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -122,3 +127,18 @@ def cutoff_neighbors_native(
             return (src[:need].copy(), dst[:need].copy(), img[:need].copy(),
                     dist[:need].copy(), dirs[:need].copy())
         cap = int(need)
+
+
+def plan_dilution_native(counts: np.ndarray, bound: int, cap_rows: int,
+                         group: int = 64):
+    """Native batch-packer dilution planner; returns the new-position array,
+    None if the bound cannot be met (overflow), or NotImplemented when the
+    library is unavailable (caller falls back to the Python loop)."""
+    lib = _load()
+    if lib is None:
+        return NotImplemented
+    c = np.ascontiguousarray(counts, np.int64)
+    new_pos = np.empty(c.shape[0], np.int64)
+    rc = lib.plan_dilution(c.shape[0], c, int(bound), int(cap_rows),
+                           int(group), new_pos)
+    return None if rc < 0 else new_pos

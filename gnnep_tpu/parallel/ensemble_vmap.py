@@ -206,7 +206,8 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
             [lrs[i] * mean_sched(epoch - 1), sigma_base * sigma_sched(epoch - 1)]
             for i in range(m)]).astype(np.float32)
         streams = [epoch_batches(s, member_train_idx[i], setup.budget,
-                                 shuffle=True, rng=shuffle_rngs[i])
+                                 shuffle=True, rng=shuffle_rngs[i],
+                                 workers=getattr(cfg, "pack_workers", 1))
                    for i in range(m)]
         n_steps = min(len(st) for st in streams)
         loss_sums = np.zeros(m)

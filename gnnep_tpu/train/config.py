@@ -84,6 +84,9 @@ class TrainConfig:
                                          # compile, ~20% slower step
     prng_impl: str = "rbg"               # dropout/jitter PRNG: 'rbg' (fast
                                          # on TPU) | 'threefry2x32'
+    pack_workers: int = 4                # threads for epoch batch assembly
+                                         # (host packing otherwise caps fast
+                                         # chips); 1 = serial packer
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints

@@ -199,6 +199,35 @@ def train_member(
 
     t0 = time.time()
     meter = ThroughputMeter()
+
+    # epoch-pipelined packing: epoch N+1's batches assemble on a background
+    # thread while the device trains epoch N (host packing otherwise caps
+    # TPU throughput — see PERF.md). The shuffle permutation is drawn on the
+    # MAIN thread at submit time so the rng stream matches the synchronous
+    # loop exactly; per-sample loss weights are grafted on AFTER packing so
+    # KNN refreshes never block the prefetch.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pack_workers = max(int(getattr(cfg, "pack_workers", 1)), 1)
+    pipeline = ThreadPoolExecutor(max_workers=1)
+
+    def submit_pack():
+        order = np.asarray(effective, dtype=np.int64)
+        order = order[shuffle_rng.permutation(order.size)]
+        return pipeline.submit(epoch_batches, store, order, budget,
+                               shuffle=False, workers=pack_workers)
+
+    def graft_weights(batches, weight_arr):
+        if weight_arr is None:
+            return batches
+        out = []
+        for b in batches:
+            idx = np.asarray(b.sample_index)
+            w = np.where(idx >= 0, weight_arr[np.maximum(idx, 0)], 0.0)
+            out.append(b._replace(weight=w.astype(np.float32)))
+        return out
+
+    next_batches = submit_pack()
     for epoch in range(start_epoch, cfg.epochs + 1):
         trace_ctx = maybe_trace(cfg.profile_dir if epoch == start_epoch
                                 and cfg.profile_dir else None)
@@ -213,8 +242,9 @@ def train_member(
             for gi, w in weights_by_index.items():
                 weight_arr[gi] = w
 
-        batches = epoch_batches(store, effective, budget, shuffle=True,
-                                rng=shuffle_rng, weights=weight_arr)
+        batches = graft_weights(next_batches.result(), weight_arr)
+        if epoch < cfg.epochs:
+            next_batches = submit_pack()
         sums = np.zeros(4)  # loss, graphs, abs_err, sq_err
         logvar_sum = 0.0
         n_el = 0.0
@@ -363,6 +393,7 @@ def train_member(
                           f"samples | mean={np.mean(vals):.3f}, "
                           f"min={np.min(vals):.3f}, max={np.max(vals):.3f}")
 
+    pipeline.shutdown(wait=False, cancel_futures=True)
     if best_params is None:
         best_params = jax.device_get(params)
     if resume_path.exists():  # member finished: resume state no longer needed

@@ -193,4 +193,29 @@ int64_t cutoff_neighbors(
     return count;
 }
 
+// Dilution planner for the batch packer (batching.py:plan_dilution): a
+// monotone target remap honoring a per-aligned-`group` edge bound. Pure
+// integer sequential logic — the Python loop over ~10^4 targets per batch
+// is a measurable share of host packing time. Returns -1 when the remap
+// would overflow `cap_rows - 1` (the reserved dummy row), else 0.
+int64_t plan_dilution(
+    int64_t n_real, const int64_t* counts, int64_t bound, int64_t cap_rows,
+    int64_t group, int64_t* new_pos) {
+  int64_t pos = 0;
+  int64_t acc = 0;
+  for (int64_t t = 0; t < n_real; ++t) {
+    const int64_t c = counts[t];
+    if (acc + c > bound && pos % group) {
+      pos = (pos / group + 1) * group;
+      acc = 0;
+    }
+    if (pos >= cap_rows - 1) return -1;
+    new_pos[t] = pos;
+    acc += c;
+    pos += 1;
+    if (pos % group == 0) acc = 0;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -73,6 +73,43 @@ class TestNativeParity:
             np.testing.assert_allclose(got[2], want[2], rtol=1e-6, atol=1e-7)
             np.testing.assert_allclose(got[3], want[3], rtol=1e-9, atol=1e-12)
 
+    def test_plan_dilution_matches_python(self, rng):
+        from gnnep_tpu import native
+        from gnnep_tpu.data import batching
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        for trial in range(20):
+            n = int(rng.integers(1, 400))
+            counts = rng.integers(0, 30, n).astype(np.int64)
+            bound = int(rng.integers(40, 200))
+            cap = int(rng.integers(n + 2, 2 * n + 130))
+            nat = native.plan_dilution_native(counts, bound, cap)
+            # reference: the pure-Python loop (bypass the native dispatch)
+            pos, acc = 0, 0
+            py = np.empty(n, np.int64)
+            ok = True
+            for t in range(n):
+                c = int(counts[t])
+                if acc + c > bound and pos % 64:
+                    pos = ((pos // 64) + 1) * 64
+                    acc = 0
+                if pos >= cap - 1:
+                    ok = False
+                    break
+                py[t] = pos
+                acc += c
+                pos += 1
+                if pos % 64 == 0:
+                    acc = 0
+            if not ok:
+                assert nat is None, f"trial {trial}: native should overflow"
+            else:
+                assert nat is not None
+                np.testing.assert_array_equal(nat, py)
+
     def test_build_graph_uses_native_consistently(self):
         # end-to-end: the sample built with native kernels equals the one
         # built with the python fallback
