@@ -24,9 +24,16 @@ def scaling_mode(n_devices: int):
     JAX_PLATFORMS=cpu with --xla_force_host_platform_device_count for a
     functional (not performance) check.
     """
+    import os
     import time
 
     import jax
+
+    # a site hook may pre-register the single-chip TPU plugin AND override
+    # JAX_PLATFORMS — honor a CPU request via jax.config too (the same
+    # recipe as tests/conftest.py and __graft_entry__.dryrun_multichip)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.random as jrandom
 
     from gnnep_tpu.models.alignn import init_alignn
@@ -36,7 +43,18 @@ def scaling_mode(n_devices: int):
     from gnnep_tpu.train.loop import TrainHyper, sigma_mask
     from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
 
+    import dataclasses
+
     cfg = flagship_config()
+    n_graphs = 64
+    iters = 10
+    if jax.default_backend() != "tpu":
+        # off-TPU this is a FUNCTIONAL check of the sharded program, not a
+        # performance number — shrink the model and batch so it finishes in
+        # seconds instead of tens of minutes
+        cfg = dataclasses.replace(cfg, hidden=64, layers=2, heads=2)
+        n_graphs = 16
+        iters = 2
     hyper = TrainHyper()
     rng = np.random.default_rng(0)
 
@@ -44,7 +62,7 @@ def scaling_mode(n_devices: int):
         n_edge = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
         n_data = n_dev // n_edge
         mesh = make_mesh(n_data, n_edge, devices=jax.devices()[:n_dev])
-        proto = synthetic_batch(np.random.default_rng(42), n_graphs=64,
+        proto = synthetic_batch(np.random.default_rng(42), n_graphs=n_graphs,
                                 mean_atoms=10, degree=10,
                                 table_cap=32, lg_table_cap=40)
         batches = [proto._replace(
@@ -63,7 +81,6 @@ def scaling_mode(n_devices: int):
                                     3e-4, 3e-4, smask)
         float(loss)
         t0 = time.perf_counter()
-        iters = 10
         for _ in range(iters):
             params, opt, loss, _ = step(params, opt, stacked,
                                         jrandom.PRNGKey(1), 3e-4, 3e-4, smask)
