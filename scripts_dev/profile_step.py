@@ -65,9 +65,7 @@ def main():
         p, o, m = step(p, o, smask, stacked, k, *lrs)
     jax.block_until_ready(m.loss_sum)
     per_step = (time.perf_counter() - t0) / (N * K) * 1e3
-    print(f"scan step: {per_step:.2f} ms/step  "
-          f"({64 * int(np.sum(np.asarray(batch.lg_mask))) / 0:.0f}"
-          if False else f"scan step: {per_step:.2f} ms/step")
+    print(f"scan step: {per_step:.2f} ms/step")
 
     with jax.profiler.trace(out_dir):
         p, o, m = step(p, o, smask, stacked, k, *lrs)
