@@ -109,6 +109,33 @@ def iter_json_documents(path: str) -> Iterable:
     return [Doc(e) for e in entries]
 
 
+_WORKER_CTX: Dict = {}
+
+
+def _init_featurize_worker(out_dir, basis, nn_method, cutoff, mat2vec,
+                           guess_oxidation):
+    _WORKER_CTX.update(out_dir=out_dir, basis=basis, nn_method=nn_method,
+                       cutoff=cutoff, mat2vec=mat2vec,
+                       guess_oxidation=guess_oxidation)
+
+
+def _featurize_one(payload):
+    """Featurize + save one material in a worker process (returns
+    (material_id, neighbor_method, error-or-None))."""
+    mid, structure, formula, y = payload
+    w = _WORKER_CTX
+    try:
+        sample = build_graph(structure, material_id=mid, formula=formula,
+                             y=y, basis=w["basis"], nn_method=w["nn_method"],
+                             cutoff=w["cutoff"], fallback_cutoff=7.5,
+                             mat2vec=w["mat2vec"] or None,
+                             guess_oxidation=w["guess_oxidation"])
+        save_sample(w["out_dir"], sample)
+        return mid, sample.neighbor_method, None
+    except Exception as exc:
+        return mid, "", f"{type(exc).__name__}: {exc}"
+
+
 def fetch_and_build(args) -> None:
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -129,6 +156,7 @@ def fetch_and_build(args) -> None:
 
     expected_node_dim = 6 + (len(next(iter(mat2vec.values()))) if mat2vec else 0)
     saved = skipped = 0
+    pending = []  # payloads for parallel featurization (--fetch-workers > 1)
     for doc in docs:
         mid = str(getattr(doc, "material_id", "unknown")).replace("/", "_")
         out_path = out_dir / f"{mid}.npz"
@@ -156,9 +184,14 @@ def fetch_and_build(args) -> None:
             g_val = _coerce_float(getattr(doc, "shear_modulus", None))
         y = [k_val, g_val] if (k_val is not None and g_val is not None) else None
 
+        formula = str(getattr(doc, "formula_pretty", "") or "")
+        workers = max(int(getattr(args, "fetch_workers", 1) or 1), 1)
+        if workers > 1:
+            pending.append((mid, structure, formula, y))
+            continue
+
         sample = build_graph(
-            structure, material_id=mid,
-            formula=str(getattr(doc, "formula_pretty", "") or ""),
+            structure, material_id=mid, formula=formula,
             y=y, basis=basis, nn_method=args.nn_method, cutoff=args.cutoff,
             fallback_cutoff=7.5, mat2vec=mat2vec or None,
             guess_oxidation=args.guess_oxidation)
@@ -169,6 +202,31 @@ def fetch_and_build(args) -> None:
         saved += 1
         if saved % 200 == 0:
             print(f"  featurized {saved} materials ...")
+
+    if pending:
+        # parallel featurization: CrystalNN/pymatgen analysis is CPU-bound
+        # per material (SURVEY §7 "parallelize on host"); each process writes
+        # its own .npz, so the only serialization is the payload pickle
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = max(int(args.fetch_workers), 1)
+        print(f"Featurizing {len(pending)} materials on {workers} processes")
+        with ProcessPoolExecutor(
+                max_workers=workers,
+                initializer=_init_featurize_worker,
+                initargs=(out_dir, basis, args.nn_method, args.cutoff,
+                          mat2vec, args.guess_oxidation)) as ex:
+            for mid, nn_used, err in ex.map(_featurize_one, pending,
+                                            chunksize=8):
+                if err is not None:
+                    print(f"{mid}: featurization FAILED ({err}); skipping.")
+                    continue
+                if nn_used != args.nn_method:
+                    print(f"{mid}: CrystalNN unavailable/failed; fell back "
+                          "to cutoff neighbors (r=7.5 Å).")
+                saved += 1
+                if saved % 200 == 0:
+                    print(f"  featurized {saved} materials ...")
 
     store = GraphStore.load_dir(out_dir, require_target=False, use_cache=False)
     write_index(out_dir, store)
@@ -193,6 +251,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-all", dest="fetch_all", action="store_false")
     p.add_argument("--page-size", type=int, default=1000)
     p.add_argument("--skip-existing", action="store_true", default=False)
+    p.add_argument("--fetch-workers", type=int, default=1,
+                   help="Parallel featurization processes (CrystalNN/"
+                        "pymatgen analysis is CPU-bound per material)")
     p.add_argument("--guess-oxidation-states", dest="guess_oxidation",
                    action="store_true", default=True)
     p.add_argument("--no-guess-oxidation-states", dest="guess_oxidation",
