@@ -274,6 +274,38 @@ class TestWindowDilution:
             assert measure_win64(np.asarray(b.edge_dst), Np) <= budget.edge_win64
             assert measure_win64(np.asarray(b.lg_dst), Ep) <= budget.lg_win64
 
+    def test_pack_parallel_deferral_coverage(self):
+        """pack_parallel with dilution-forced deferrals: every graph appears
+        exactly once (deferred graphs repack at the epoch tail), all window
+        bounds hold, and the batch CONTENTS match the serial packer's for
+        the graphs that share a batch composition."""
+        import dataclasses as dc
+        from gnnep_tpu.data.batching import measure_win64
+
+        store = make_store(8, seed=3)
+        base_budget = BatchBudget.plan(store, range(8), batch_size=8)
+        roomy = dc.replace(base_budget,
+                           n_nodes=base_budget.n_nodes + 256,
+                           n_edges=base_budget.n_edges + 512,
+                           n_lg_edges=base_budget.n_lg_edges + 512)
+        tight = dc.replace(
+            roomy,
+            edge_win64=max(base_budget.max_in_degree + 130, 136),
+            lg_win64=max(base_budget.max_lg_in_degree + 2, 34))
+        serial = list(BatchPacker(store, tight).pack(range(8)))
+        assert len(serial) > 1, "test setup: no deferral forced"
+        par = BatchPacker(store, tight).pack_parallel(range(8), workers=3)
+        for batches in (serial, par):
+            packed = np.concatenate([np.asarray(b.sample_index)
+                                     for b in batches])
+            assert sorted(packed[packed >= 0].tolist()) == list(range(8))
+            for b in batches:
+                Np, Ep, _, _ = b.capacity
+                assert measure_win64(np.asarray(b.edge_dst),
+                                     Np) <= tight.edge_win64
+                assert measure_win64(np.asarray(b.lg_dst),
+                                     Ep) <= tight.lg_win64
+
     def test_dilution_preserves_model_outputs(self):
         """Forcing heavy dilution must not change any real graph's output."""
         import dataclasses as dc
