@@ -630,17 +630,30 @@ class BatchPacker:
             if b.lg_win64:
                 assert measure_win64(lg_dst, Ep) <= b.lg_win64
 
-        node_tab, node_tab_mask, edge_pos = build_incoming_table(
-            edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)
-        lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
-            lg_dst, lg_mask, Ep, b.max_lg_in_degree, Lp - 1)
-        e_order, e_starts = src_csr_index(edge_src, Np)
-        l_order, l_starts = src_csr_index(lg_src, Ep)
-        node_ot, node_ot_mask, _ = build_incoming_table(
-            edge_src, edge_mask, Np, b.max_out_degree, dummy_edge,
-            order=e_order)
-        lg_ot, lg_ot_mask, _ = build_incoming_table(
-            lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1, order=l_order)
+        native = _native.build_batch_tables_native(
+            edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask, Np,
+            b.max_in_degree, b.max_lg_in_degree,
+            b.max_out_degree, b.max_lg_out_degree)
+        if native is not None:
+            (node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
+             node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+             e_order, e_starts, l_order, l_starts, e_rp, l_rp) = native
+        else:
+            # no toolchain, or a dense-table capacity overflow — the Python
+            # path raises the full in-degree diagnostic in the latter case
+            node_tab, node_tab_mask, edge_pos = build_incoming_table(
+                edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)
+            lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
+                lg_dst, lg_mask, Ep, b.max_lg_in_degree, Lp - 1)
+            e_order, e_starts = src_csr_index(edge_src, Np)
+            l_order, l_starts = src_csr_index(lg_src, Ep)
+            node_ot, node_ot_mask, _ = build_incoming_table(
+                edge_src, edge_mask, Np, b.max_out_degree, dummy_edge,
+                order=e_order)
+            lg_ot, lg_ot_mask, _ = build_incoming_table(
+                lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1,
+                order=l_order)
+            e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
         # src-side window bounds can't be enforced by dilution (segment
         # sizes are the data's out-degrees) — defer tail graphs instead
         if (b.edge_src_win64
@@ -649,7 +662,6 @@ class BatchPacker:
         if (b.lg_src_win64
                 and measure_seg_win64(l_starts, Lp) > b.lg_src_win64):
             raise DilutionOverflow()
-        e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
                           globals_, sg_num, y, graph_mask, weight, sample_index,

@@ -60,6 +60,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_dilution.argtypes = [
             ctypes.c_int64, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, _i64p]
+        lib.build_batch_tables.restype = ctypes.c_int64
+        lib.build_batch_tables.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _i32p, _i32p, _f32p, _i32p, _i32p, _f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _i32p, _f32p, _i32p, _i32p, _f32p, _i32p,
+            _i32p, _f32p, _i32p, _f32p,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -127,6 +135,58 @@ def cutoff_neighbors_native(
             return (src[:need].copy(), dst[:need].copy(), img[:need].copy(),
                     dist[:need].copy(), dirs[:need].copy())
         cap = int(need)
+
+
+def build_batch_tables_native(
+    edge_src: np.ndarray, edge_dst: np.ndarray, edge_mask: np.ndarray,
+    lg_src: np.ndarray, lg_dst: np.ndarray, lg_mask: np.ndarray,
+    n_nodes: int, cap_in_a: int, cap_in_l: int, cap_out_a: int,
+    cap_out_l: int):
+    """Whole-batch table builder (see graphops.cpp:build_batch_tables).
+
+    Returns the 16-tuple (node_tab, node_tab_mask, edge_pos, lg_tab,
+    lg_tab_mask, lg_pos, node_ot, node_ot_mask, lg_ot, lg_ot_mask, e_order,
+    e_starts, l_order, l_starts, e_rp, l_rp), or None when the library is
+    unavailable or a dense-table capacity overflows (caller falls back to
+    the Python path, which raises the full diagnostic)."""
+    lib = _load()
+    if lib is None:
+        return None
+    Np = int(n_nodes)
+    Ep, Lp = int(edge_src.shape[0]), int(lg_src.shape[0])
+    es = np.ascontiguousarray(edge_src, np.int32)
+    ed = np.ascontiguousarray(edge_dst, np.int32)
+    em = np.ascontiguousarray(edge_mask, np.float32)
+    ls = np.ascontiguousarray(lg_src, np.int32)
+    ld = np.ascontiguousarray(lg_dst, np.int32)
+    lm = np.ascontiguousarray(lg_mask, np.float32)
+    node_tab = np.empty((Np, cap_in_a), np.int32)
+    node_tab_mask = np.empty((Np, cap_in_a), np.float32)
+    edge_pos = np.empty(Ep, np.int32)
+    lg_tab = np.empty((Ep, cap_in_l), np.int32)
+    lg_tab_mask = np.empty((Ep, cap_in_l), np.float32)
+    lg_pos = np.empty(Lp, np.int32)
+    node_ot = np.empty((Np, cap_out_a), np.int32)
+    node_ot_mask = np.empty((Np, cap_out_a), np.float32)
+    lg_ot = np.empty((Ep, cap_out_l), np.int32)
+    lg_ot_mask = np.empty((Ep, cap_out_l), np.float32)
+    e_order = np.empty(Ep, np.int32)
+    e_starts = np.empty(Np, np.int32)
+    l_order = np.empty(Lp, np.int32)
+    l_starts = np.empty(Ep, np.int32)
+    e_rp = np.empty(Np + 1, np.int32)
+    l_rp = np.empty(Ep + 1, np.int32)
+    rc = lib.build_batch_tables(
+        Np, Ep, Lp, es, ed, em, ls, ld, lm,
+        int(cap_in_a), int(cap_in_l), int(cap_out_a), int(cap_out_l),
+        node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
+        node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+        e_order, e_starts, l_order, l_starts, e_rp, l_rp)
+    if rc != 0:
+        return None
+    return (node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
+            node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+            e_order, e_starts, l_order, l_starts, e_rp, l_rp)
 
 
 def plan_dilution_native(counts: np.ndarray, bound: int, cap_rows: int,

@@ -218,4 +218,111 @@ int64_t plan_dilution(
   return 0;
 }
 
+// Whole-batch table builder (batching.py:_assemble tail): the four dense
+// incoming/outgoing tables, both src-CSR permutations, and both CSR row
+// pointers in one GIL-released pass. Replaces four stable argsort-based
+// build_incoming_table calls + two argsort/searchsorted pairs + two
+// searchsorted row-pointer builds — ~70 % of host packing time (PERF.md
+// "Host packing pipeline"). All sorts are counting sorts (index values are
+// bounded by the arena capacities) in ascending-index order, which is
+// exactly the stable-argsort order the Python path produces — numerics are
+// bit-identical (tests/test_native.py).
+//
+// Outputs are caller-allocated, uninitialized; this routine fills padding.
+// Returns 0, or 1..4 when a dense-table in-degree exceeds its capacity
+// (node_in / lg_in / node_out / lg_out respectively) — the caller falls
+// back to the Python path for the identical diagnostic.
+int64_t build_batch_tables(
+    int64_t Np, int64_t Ep, int64_t Lp,
+    const int32_t* edge_src, const int32_t* edge_dst, const float* edge_mask,
+    const int32_t* lg_src, const int32_t* lg_dst, const float* lg_mask,
+    int64_t cap_in_a, int64_t cap_in_l, int64_t cap_out_a, int64_t cap_out_l,
+    int32_t* node_tab, float* node_tab_mask, int32_t* edge_pos,
+    int32_t* lg_tab, float* lg_tab_mask, int32_t* lg_pos,
+    int32_t* node_ot, float* node_ot_mask,
+    int32_t* lg_ot, float* lg_ot_mask,
+    int32_t* e_order, int32_t* e_starts,
+    int32_t* l_order, int32_t* l_starts,
+    int32_t* e_rp, int32_t* l_rp) {
+  // one dense table: rows ∈ [0, n_rows), keyed by key[e] over real entries
+  // (mask > 0) in ascending e — the stable per-key order. `pos` (optional)
+  // records each entry's flat table slot.
+  const auto fill_table = [](int64_t n_entries, const int32_t* key,
+                             const float* mask, int64_t n_rows, int64_t cap,
+                             int32_t pad_slot, int32_t* tab, float* tab_mask,
+                             int32_t* pos, std::vector<int32_t>& cnt) -> bool {
+    std::fill(tab, tab + n_rows * cap, pad_slot);
+    std::fill(tab_mask, tab_mask + n_rows * cap, 0.0f);
+    if (pos != nullptr) {
+      const int32_t safe =
+          static_cast<int32_t>((n_rows - 1) * cap + (cap - 1));
+      std::fill(pos, pos + n_entries, safe);
+    }
+    cnt.assign(static_cast<size_t>(n_rows), 0);
+    for (int64_t e = 0; e < n_entries; ++e) {
+      if (mask[e] <= 0.0f) continue;
+      const int64_t r = key[e];
+      const int32_t c = cnt[static_cast<size_t>(r)]++;
+      if (c >= cap) return false;
+      tab[r * cap + c] = static_cast<int32_t>(e);
+      tab_mask[r * cap + c] = 1.0f;
+      if (pos != nullptr) pos[e] = static_cast<int32_t>(r * cap + c);
+    }
+    return true;
+  };
+  // counting sort of the FULL arena by key (values < n_rows): `order` is the
+  // stable argsort permutation, `starts[v]` the first slot with key >= v
+  // (searchsorted-left semantics on the sorted keys).
+  const auto csr_index = [](int64_t n_entries, const int32_t* key,
+                            int64_t n_rows, int32_t* order, int32_t* starts,
+                            std::vector<int64_t>& cnt) {
+    cnt.assign(static_cast<size_t>(n_rows) + 1, 0);
+    for (int64_t e = 0; e < n_entries; ++e) ++cnt[static_cast<size_t>(key[e]) + 1];
+    for (int64_t v = 0; v < n_rows; ++v) cnt[v + 1] += cnt[v];
+    for (int64_t v = 0; v < n_rows; ++v)
+      starts[v] = static_cast<int32_t>(cnt[v]);
+    std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+    for (int64_t e = 0; e < n_entries; ++e)
+      order[cursor[static_cast<size_t>(key[e])]++] = static_cast<int32_t>(e);
+  };
+  // row pointers of an already dst-sorted arena: rp[v] = #entries with
+  // dst < v, v ∈ [0, n_rows] — equals searchsorted(dst, arange(n_rows+1)).
+  const auto row_ptr = [](int64_t n_entries, const int32_t* dst,
+                          int64_t n_rows, int32_t* rp,
+                          std::vector<int64_t>& cnt) {
+    cnt.assign(static_cast<size_t>(n_rows) + 1, 0);
+    for (int64_t e = 0; e < n_entries; ++e) ++cnt[static_cast<size_t>(dst[e]) + 1];
+    int64_t acc = 0;
+    rp[0] = 0;
+    for (int64_t v = 0; v < n_rows; ++v) {
+      acc += cnt[v + 1];
+      rp[v + 1] = static_cast<int32_t>(acc);
+    }
+  };
+
+  std::vector<int32_t> cnt32;
+  std::vector<int64_t> cnt64;
+  if (!fill_table(Ep, edge_dst, edge_mask, Np, cap_in_a,
+                  static_cast<int32_t>(Ep - 1), node_tab, node_tab_mask,
+                  edge_pos, cnt32))
+    return 1;
+  if (!fill_table(Lp, lg_dst, lg_mask, Ep, cap_in_l,
+                  static_cast<int32_t>(Lp - 1), lg_tab, lg_tab_mask,
+                  lg_pos, cnt32))
+    return 2;
+  if (!fill_table(Ep, edge_src, edge_mask, Np, cap_out_a,
+                  static_cast<int32_t>(Ep - 1), node_ot, node_ot_mask,
+                  nullptr, cnt32))
+    return 3;
+  if (!fill_table(Lp, lg_src, lg_mask, Ep, cap_out_l,
+                  static_cast<int32_t>(Lp - 1), lg_ot, lg_ot_mask,
+                  nullptr, cnt32))
+    return 4;
+  csr_index(Ep, edge_src, Np, e_order, e_starts, cnt64);
+  csr_index(Lp, lg_src, Ep, l_order, l_starts, cnt64);
+  row_ptr(Ep, edge_dst, Np, e_rp, cnt64);
+  row_ptr(Lp, lg_dst, Ep, l_rp, cnt64);
+  return 0;
+}
+
 }  // extern "C"

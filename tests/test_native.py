@@ -110,6 +110,59 @@ class TestNativeParity:
                 assert nat is not None
                 np.testing.assert_array_equal(nat, py)
 
+    def test_build_batch_tables_matches_python(self, rng):
+        from gnnep_tpu.data.batching import (build_incoming_table,
+                                             csr_row_ptrs, src_csr_index)
+
+        for trial in range(12):
+            Np = int(rng.integers(4, 160))
+            Ep = int(rng.integers(4, 1500))
+            Lp = int(rng.integers(4, 6000))
+            edge_dst = rng.integers(0, Np, Ep).astype(np.int32)
+            lg_dst = rng.integers(0, Ep, Lp).astype(np.int32)
+            if trial % 2 == 0:   # the packed-arena case: dst-sorted
+                edge_dst = np.sort(edge_dst).astype(np.int32)
+                lg_dst = np.sort(lg_dst).astype(np.int32)
+            edge_src = rng.integers(0, Np, Ep).astype(np.int32)
+            edge_mask = (rng.random(Ep) > 0.2).astype(np.float32)
+            lg_src = rng.integers(0, Ep, Lp).astype(np.int32)
+            lg_mask = (rng.random(Lp) > 0.2).astype(np.float32)
+            caps = [int(np.bincount(k[m > 0], minlength=n).max(initial=0))
+                    + int(rng.integers(0, 3)) or 1
+                    for k, m, n in [(edge_dst, edge_mask, Np),
+                                    (lg_dst, lg_mask, Ep),
+                                    (edge_src, edge_mask, Np),
+                                    (lg_src, lg_mask, Ep)]]
+            out = native.build_batch_tables_native(
+                edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
+                Np, *caps)
+            assert out is not None
+            eo2, es2 = src_csr_index(edge_src, Np)
+            lo2, ls2 = src_csr_index(lg_src, Ep)
+            want = [*build_incoming_table(edge_dst, edge_mask, Np, caps[0], Ep - 1),
+                    *build_incoming_table(lg_dst, lg_mask, Ep, caps[1], Lp - 1),
+                    *build_incoming_table(edge_src, edge_mask, Np, caps[2],
+                                          Ep - 1, order=eo2)[:2],
+                    *build_incoming_table(lg_src, lg_mask, Ep, caps[3],
+                                          Lp - 1, order=lo2)[:2],
+                    eo2, es2, lo2, ls2]
+            for got, ref in zip(out[:14], want):
+                assert got.dtype == ref.dtype
+                np.testing.assert_array_equal(got, ref)
+            if trial % 2 == 0:  # row pointers only defined on sorted arenas
+                erp2, lrp2 = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
+                np.testing.assert_array_equal(out[14], erp2)
+                np.testing.assert_array_equal(out[15], lrp2)
+            # capacity overflow → None (caller falls back to the Python
+            # diagnostic path)
+            real_deg = int(np.bincount(edge_dst[edge_mask > 0],
+                                       minlength=Np).max(initial=0))
+            if real_deg > 1:
+                small = native.build_batch_tables_native(
+                    edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
+                    Np, real_deg - 1, caps[1], caps[2], caps[3])
+                assert small is None
+
     def test_build_graph_uses_native_consistently(self):
         # end-to-end: the sample built with native kernels equals the one
         # built with the python fallback
