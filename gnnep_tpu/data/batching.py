@@ -563,40 +563,55 @@ class BatchPacker:
         dummy_node, dummy_edge = Np - 1, Ep - 1
         f_node, f_edge, f_angle = s.node_dim, s.edge_dim, s.angle_dim
 
-        nodes = np.zeros((Np, f_node), dtype=np.float32)
-        node_graph = np.full(Np, G, dtype=np.int32)
-        edge_src = np.full(Ep, dummy_node, dtype=np.int32)
-        edge_dst = np.full(Ep, dummy_node, dtype=np.int32)
-        edge_attr = np.zeros((Ep, f_edge), dtype=np.float32)
-        edge_mask = np.zeros(Ep, dtype=np.float32)
-        lg_src = np.full(Lp, dummy_edge, dtype=np.int32)
-        lg_dst = np.full(Lp, dummy_edge, dtype=np.int32)
-        lg_attr = np.zeros((Lp, f_angle), dtype=np.float32)
-        lg_mask = np.zeros(Lp, dtype=np.float32)
+        arenas = _native.assemble_arenas_native(
+            s, graph_ids, Np, Ep, Lp, G)
+        if arenas is not None:
+            (nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+             lg_src, lg_dst, lg_attr, lg_mask) = arenas
+            n_cursor = e_cursor = l_cursor = 0
+            for g in graph_ids:
+                n_cursor += int(s.node_off[g + 1] - s.node_off[g])
+                e_cursor += int(s.edge_off[g + 1] - s.edge_off[g])
+                l_cursor += int(s.lg_off[g + 1] - s.lg_off[g])
+        else:
+            nodes = np.zeros((Np, f_node), dtype=np.float32)
+            node_graph = np.full(Np, G, dtype=np.int32)
+            edge_src = np.full(Ep, dummy_node, dtype=np.int32)
+            edge_dst = np.full(Ep, dummy_node, dtype=np.int32)
+            edge_attr = np.zeros((Ep, f_edge), dtype=np.float32)
+            edge_mask = np.zeros(Ep, dtype=np.float32)
+            lg_src = np.full(Lp, dummy_edge, dtype=np.int32)
+            lg_dst = np.full(Lp, dummy_edge, dtype=np.int32)
+            lg_attr = np.zeros((Lp, f_angle), dtype=np.float32)
+            lg_mask = np.zeros(Lp, dtype=np.float32)
+            n_cursor = e_cursor = l_cursor = 0
+            for slot, g in enumerate(graph_ids):
+                n0, n1 = s.node_off[g], s.node_off[g + 1]
+                e0, e1 = s.edge_off[g], s.edge_off[g + 1]
+                l0, l1 = s.lg_off[g], s.lg_off[g + 1]
+                n, e, l = n1 - n0, e1 - e0, l1 - l0
+
+                nodes[n_cursor:n_cursor + n] = s.node_feats[n0:n1]
+                node_graph[n_cursor:n_cursor + n] = slot
+                edge_src[e_cursor:e_cursor + e] = s.edge_src[e0:e1] + n_cursor
+                edge_dst[e_cursor:e_cursor + e] = s.edge_dst[e0:e1] + n_cursor
+                edge_attr[e_cursor:e_cursor + e] = s.edge_attr[e0:e1]
+                edge_mask[e_cursor:e_cursor + e] = 1.0
+                lg_src[l_cursor:l_cursor + l] = s.lg_src[l0:l1] + e_cursor
+                lg_dst[l_cursor:l_cursor + l] = s.lg_dst[l0:l1] + e_cursor
+                lg_attr[l_cursor:l_cursor + l] = s.lg_attr[l0:l1]
+                lg_mask[l_cursor:l_cursor + l] = 1.0
+                n_cursor += n
+                e_cursor += e
+                l_cursor += l
+
         globals_ = np.zeros((G, s.global_scalar_dim), dtype=np.float32)
         sg_num = np.zeros(G, dtype=np.int32)
         y = np.ones((G, s.target_dim), dtype=np.float32)
         graph_mask = np.zeros(G, dtype=np.float32)
         weight = np.zeros(G, dtype=np.float32)
         sample_index = np.full(G, -1, dtype=np.int32)
-
-        n_cursor = e_cursor = l_cursor = 0
         for slot, g in enumerate(graph_ids):
-            n0, n1 = s.node_off[g], s.node_off[g + 1]
-            e0, e1 = s.edge_off[g], s.edge_off[g + 1]
-            l0, l1 = s.lg_off[g], s.lg_off[g + 1]
-            n, e, l = n1 - n0, e1 - e0, l1 - l0
-
-            nodes[n_cursor:n_cursor + n] = s.node_feats[n0:n1]
-            node_graph[n_cursor:n_cursor + n] = slot
-            edge_src[e_cursor:e_cursor + e] = s.edge_src[e0:e1] + n_cursor
-            edge_dst[e_cursor:e_cursor + e] = s.edge_dst[e0:e1] + n_cursor
-            edge_attr[e_cursor:e_cursor + e] = s.edge_attr[e0:e1]
-            edge_mask[e_cursor:e_cursor + e] = 1.0
-            lg_src[l_cursor:l_cursor + l] = s.lg_src[l0:l1] + e_cursor
-            lg_dst[l_cursor:l_cursor + l] = s.lg_dst[l0:l1] + e_cursor
-            lg_attr[l_cursor:l_cursor + l] = s.lg_attr[l0:l1]
-            lg_mask[l_cursor:l_cursor + l] = 1.0
             globals_[slot] = s.global_scalars[g]
             sg_num[slot] = s.sg_num[g]
             yg = s.y[g]
@@ -605,9 +620,6 @@ class BatchPacker:
             graph_mask[slot] = 1.0
             weight[slot] = 1.0 if weights is None else float(weights[g])
             sample_index[slot] = g
-            n_cursor += n
-            e_cursor += e
-            l_cursor += l
 
         # CSR-sort both arenas by aggregation target: segments become
         # contiguous (dense-table gathers coalesce; Pallas kernels window

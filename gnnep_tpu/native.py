@@ -60,6 +60,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_dilution.argtypes = [
             ctypes.c_int64, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, _i64p]
+        lib.assemble_arenas.restype = None
+        lib.assemble_arenas.argtypes = [
+            ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+            _f32p, _i32p, _i32p, _f32p, _i32p, _i32p, _f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _f32p, _i32p, _i32p, _i32p, _f32p, _f32p,
+            _i32p, _i32p, _f32p, _f32p]
         lib.build_batch_tables.restype = ctypes.c_int64
         lib.build_batch_tables.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -135,6 +143,50 @@ def cutoff_neighbors_native(
             return (src[:need].copy(), dst[:need].copy(), img[:need].copy(),
                     dist[:need].copy(), dirs[:need].copy())
         cap = int(need)
+
+
+def assemble_arenas_native(store, graph_ids, Np: int, Ep: int, Lp: int,
+                           graph_pad: int):
+    """Fill the padded batch arenas from the columnar store in one
+    GIL-released pass (see graphops.cpp:assemble_arenas). Returns the
+    10-tuple (nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+    lg_src, lg_dst, lg_attr, lg_mask) or None when the library is
+    unavailable. Requires the store's canonical (dst-sorted) layout — the
+    caller's sortedness check still guards the assembled arenas."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(graph_ids, np.int64)
+    f_node = int(store.node_feats.shape[1])
+    f_edge = int(store.edge_attr.shape[1])
+    f_angle = int(store.lg_attr.shape[1])
+    nodes = np.empty((Np, f_node), np.float32)
+    node_graph = np.empty(Np, np.int32)
+    edge_src = np.empty(Ep, np.int32)
+    edge_dst = np.empty(Ep, np.int32)
+    edge_attr = np.empty((Ep, f_edge), np.float32)
+    edge_mask = np.empty(Ep, np.float32)
+    lg_src = np.empty(Lp, np.int32)
+    lg_dst = np.empty(Lp, np.int32)
+    lg_attr = np.empty((Lp, f_angle), np.float32)
+    lg_mask = np.empty(Lp, np.float32)
+    lib.assemble_arenas(
+        ids.shape[0], ids,
+        np.ascontiguousarray(store.node_off, np.int64),
+        np.ascontiguousarray(store.edge_off, np.int64),
+        np.ascontiguousarray(store.lg_off, np.int64),
+        np.ascontiguousarray(store.node_feats, np.float32),
+        np.ascontiguousarray(store.edge_src, np.int32),
+        np.ascontiguousarray(store.edge_dst, np.int32),
+        np.ascontiguousarray(store.edge_attr, np.float32),
+        np.ascontiguousarray(store.lg_src, np.int32),
+        np.ascontiguousarray(store.lg_dst, np.int32),
+        np.ascontiguousarray(store.lg_attr, np.float32),
+        f_node, f_edge, f_angle, int(Np), int(Ep), int(Lp), int(graph_pad),
+        nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+        lg_src, lg_dst, lg_attr, lg_mask)
+    return (nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
+            lg_src, lg_dst, lg_attr, lg_mask)
 
 
 def build_batch_tables_native(

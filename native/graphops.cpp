@@ -218,6 +218,65 @@ int64_t plan_dilution(
   return 0;
 }
 
+// Arena assembly (batching.py:_assemble head): initialize the padded
+// node/edge/line-graph arenas and copy each selected graph's columnar
+// slices in with index offsets applied. The store keeps graphs in
+// canonical dst-sorted order, so the concatenation is globally CSR-sorted
+// by construction. Complements build_batch_tables below — together they
+// form the native whole-batch assembler (PERF.md roadmap).
+void assemble_arenas(
+    int64_t n_sel, const int64_t* graph_ids,
+    const int64_t* node_off, const int64_t* edge_off, const int64_t* lg_off,
+    const float* s_nodes, const int32_t* s_esrc, const int32_t* s_edst,
+    const float* s_eattr, const int32_t* s_lsrc, const int32_t* s_ldst,
+    const float* s_lattr,
+    int64_t f_node, int64_t f_edge, int64_t f_angle,
+    int64_t Np, int64_t Ep, int64_t Lp, int32_t graph_pad,
+    float* nodes, int32_t* node_graph, int32_t* edge_src, int32_t* edge_dst,
+    float* edge_attr, float* edge_mask, int32_t* lg_src, int32_t* lg_dst,
+    float* lg_attr, float* lg_mask) {
+  const int32_t dummy_node = static_cast<int32_t>(Np - 1);
+  const int32_t dummy_edge = static_cast<int32_t>(Ep - 1);
+  std::memset(nodes, 0, sizeof(float) * Np * f_node);
+  std::fill(node_graph, node_graph + Np, graph_pad);
+  std::fill(edge_src, edge_src + Ep, dummy_node);
+  std::fill(edge_dst, edge_dst + Ep, dummy_node);
+  std::memset(edge_attr, 0, sizeof(float) * Ep * f_edge);
+  std::memset(edge_mask, 0, sizeof(float) * Ep);
+  std::fill(lg_src, lg_src + Lp, dummy_edge);
+  std::fill(lg_dst, lg_dst + Lp, dummy_edge);
+  std::memset(lg_attr, 0, sizeof(float) * Lp * f_angle);
+  std::memset(lg_mask, 0, sizeof(float) * Lp);
+  int64_t nc = 0, ec = 0, lc = 0;
+  for (int64_t slot = 0; slot < n_sel; ++slot) {
+    const int64_t g = graph_ids[slot];
+    const int64_t n0 = node_off[g], n = node_off[g + 1] - n0;
+    const int64_t e0 = edge_off[g], e = edge_off[g + 1] - e0;
+    const int64_t l0 = lg_off[g], l = lg_off[g + 1] - l0;
+    std::memcpy(nodes + nc * f_node, s_nodes + n0 * f_node,
+                sizeof(float) * n * f_node);
+    std::fill(node_graph + nc, node_graph + nc + n,
+              static_cast<int32_t>(slot));
+    for (int64_t t = 0; t < e; ++t) {
+      edge_src[ec + t] = s_esrc[e0 + t] + static_cast<int32_t>(nc);
+      edge_dst[ec + t] = s_edst[e0 + t] + static_cast<int32_t>(nc);
+    }
+    std::memcpy(edge_attr + ec * f_edge, s_eattr + e0 * f_edge,
+                sizeof(float) * e * f_edge);
+    std::fill(edge_mask + ec, edge_mask + ec + e, 1.0f);
+    for (int64_t t = 0; t < l; ++t) {
+      lg_src[lc + t] = s_lsrc[l0 + t] + static_cast<int32_t>(ec);
+      lg_dst[lc + t] = s_ldst[l0 + t] + static_cast<int32_t>(ec);
+    }
+    std::memcpy(lg_attr + lc * f_angle, s_lattr + l0 * f_angle,
+                sizeof(float) * l * f_angle);
+    std::fill(lg_mask + lc, lg_mask + lc + l, 1.0f);
+    nc += n;
+    ec += e;
+    lc += l;
+  }
+}
+
 // Whole-batch table builder (batching.py:_assemble tail): the four dense
 // incoming/outgoing tables, both src-CSR permutations, and both CSR row
 // pointers in one GIL-released pass. Replaces four stable argsort-based

@@ -163,6 +163,29 @@ class TestNativeParity:
                     Np, real_deg - 1, caps[1], caps[2], caps[3])
                 assert small is None
 
+    def test_assemble_arenas_matches_python(self, rng):
+        # whole-batch packing with the native assembler equals the pure
+        # Python packer bit-for-bit on every GraphBatch field
+        import synthetic as synth
+        from gnnep_tpu.data.batching import BatchBudget, BatchPacker
+
+        store = synth.make_store(n=12, seed=11)
+        idx = list(range(12))
+        budget = BatchBudget.plan(store, idx, 4)
+        nat = list(BatchPacker(store, budget).pack(idx))
+        lib, failed = native._lib, native._lib_failed
+        try:
+            native._lib, native._lib_failed = None, True
+            py = list(BatchPacker(store, budget).pack(idx))
+        finally:
+            native._lib, native._lib_failed = lib, failed
+        assert len(nat) == len(py) and len(nat) > 0
+        for bn, bp in zip(nat, py):
+            for name in bn._fields:
+                a, b = getattr(bn, name), getattr(bp, name)
+                assert a.dtype == b.dtype and a.shape == b.shape, name
+                np.testing.assert_array_equal(a, b, err_msg=name)
+
     def test_build_graph_uses_native_consistently(self):
         # end-to-end: the sample built with native kernels equals the one
         # built with the python fallback
