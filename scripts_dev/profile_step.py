@@ -7,9 +7,15 @@ import dataclasses
 import glob
 import gzip
 import json
+import os
 import sys
 import time
 from collections import defaultdict
+
+# repo-root import WITHOUT PYTHONPATH: any PYTHONPATH value (even an empty
+# directory) breaks the tunneled TPU plugin's backend registration in this
+# environment — see PERF.md "Measurement discipline"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
