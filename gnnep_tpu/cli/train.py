@@ -101,6 +101,17 @@ def build_parser() -> argparse.ArgumentParser:
                    default="table",
                    help="Graph-conv aggregation path: dense table (XLA), "
                         "fused Pallas kernel, or COO segment ops")
+    # env vars act only as CLI defaults here — the chosen values live in
+    # TrainConfig/AlignnConfig (no os.environ reads inside ops/)
+    import os as _os
+    p.add_argument("--no-attn-fused", dest="attn_fused", action="store_false",
+                   default=_os.environ.get("GNNEP_ATTN_FUSED", "1") != "0",
+                   help="conv-impl=fused: revert from fully fused attention "
+                        "to the external-logits aggregate boundary")
+    p.add_argument("--no-attn-eproj", dest="attn_eproj", action="store_false",
+                   default=_os.environ.get("GNNEP_ATTN_EPROJ", "1") != "0",
+                   help="conv-impl=fused: revert from in-kernel edge "
+                        "projection to the kv+e boundary")
     p.add_argument("--prng-impl", choices=["rbg", "threefry2x32"],
                    default="rbg",
                    help="Dropout/jitter PRNG: rbg generates masks cheaper "
@@ -161,6 +172,7 @@ def config_from_args(args) -> TrainConfig:
         knn_coverage_max_batches=args.knn_coverage_max_batches,
         save_embeddings=args.save_embeddings,
         conv_impl=args.conv_impl, scan_layers=args.scan_layers,
+        attn_fused=args.attn_fused, attn_eproj=args.attn_eproj,
         prng_impl=args.prng_impl, pack_workers=args.pack_workers,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile_dir=args.profile_dir,

@@ -67,6 +67,17 @@ class AlignnConfig:
     # compile-bound iteration. Numerically identical either way: both paths
     # derive each layer's 4 dropout keys with one split(rng, 5)
     scan_layers: bool = False
+    # Fused-kernel ladder (conv_impl='fused' only). Numerics-affecting code
+    # paths are config state, not ambient env vars, so a checkpoint evaluated
+    # elsewhere takes the same path it trained with:
+    #   attn_fused — fully fused attention (q·k SDDMM in-kernel); off =
+    #     external-logits aggregate boundary
+    #   attn_eproj — in-kernel edge projection; off = kv+e boundary
+    #   force_fused — keep Pallas kernels active off-TPU (interpret mode);
+    #     testing knob, otherwise non-TPU backends downgrade to 'table'
+    attn_fused: bool = True
+    attn_eproj: bool = True
+    force_fused: bool = False
 
     def __post_init__(self):
         if self.heads <= 0:
@@ -157,11 +168,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
 
         # fused checkpoints remain loadable off-TPU: interpret-mode Pallas is
         # far slower than the XLA table path, so downgrade transparently
-        # (GNNEP_FORCE_FUSED=1 keeps the kernel active for off-TPU testing)
-        import os
-
+        # (cfg.force_fused keeps the kernel active for off-TPU testing)
         fused = cfg.conv_impl == "fused" and (
-            jax.default_backend() == "tpu" or os.environ.get("GNNEP_FORCE_FUSED"))
+            jax.default_backend() == "tpu" or cfg.force_fused)
 
         def lg_conv(p, state, feats, rng):
             return transformer_conv_table(
@@ -172,7 +181,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 heads=cfg.heads, edge_mask=batch.lg_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused,
                 win64=cfg.lg_win64, src_win64=cfg.lg_src_win64,
-                row_ptr=getattr(batch, "lg_row_ptr", None))
+                row_ptr=getattr(batch, "lg_row_ptr", None),
+                attn_fused=cfg.attn_fused, attn_eproj=cfg.attn_eproj,
+                force_fused=cfg.force_fused)
 
         def atom_conv(p, state, feats, rng):
             return transformer_conv_table(
@@ -183,7 +194,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 heads=cfg.heads, edge_mask=batch.edge_mask,
                 dropout_rate=drop, dropout_rng=rng, fused=fused,
                 win64=cfg.edge_win64, src_win64=cfg.edge_src_win64,
-                row_ptr=getattr(batch, "edge_row_ptr", None))
+                row_ptr=getattr(batch, "edge_row_ptr", None),
+                attn_fused=cfg.attn_fused, attn_eproj=cfg.attn_eproj,
+                force_fused=cfg.force_fused)
     else:
         def lg_conv(p, state, feats, rng):
             return transformer_conv(

@@ -145,6 +145,35 @@ def cutoff_neighbors_native(
         cap = int(need)
 
 
+def _store_columns(store):
+    """Canonicalize the store's columns for the C ABI exactly once per store.
+
+    A per-batch `np.ascontiguousarray` over entire columns silently copies
+    the whole dataset on every call if any column deviates from the
+    canonical dtype/contiguity (e.g. int64 edge indices, a non-contiguous
+    view) — which can make the native path slower than the Python slicing
+    it replaces. The canonical tuple is cached on the store instance; cheap
+    identity checks keep the fast path allocation-free."""
+    cached = getattr(store, "_native_cols", None)
+    if cached is not None:
+        return cached
+    cols = (np.ascontiguousarray(store.node_off, np.int64),
+            np.ascontiguousarray(store.edge_off, np.int64),
+            np.ascontiguousarray(store.lg_off, np.int64),
+            np.ascontiguousarray(store.node_feats, np.float32),
+            np.ascontiguousarray(store.edge_src, np.int32),
+            np.ascontiguousarray(store.edge_dst, np.int32),
+            np.ascontiguousarray(store.edge_attr, np.float32),
+            np.ascontiguousarray(store.lg_src, np.int32),
+            np.ascontiguousarray(store.lg_dst, np.int32),
+            np.ascontiguousarray(store.lg_attr, np.float32))
+    try:
+        store._native_cols = cols
+    except AttributeError:  # slotted/frozen store: recompute per call
+        pass
+    return cols
+
+
 def assemble_arenas_native(store, graph_ids, Np: int, Ep: int, Lp: int,
                            graph_pad: int):
     """Fill the padded batch arenas from the columnar store in one
@@ -157,9 +186,18 @@ def assemble_arenas_native(store, graph_ids, Np: int, Ep: int, Lp: int,
     if lib is None:
         return None
     ids = np.ascontiguousarray(graph_ids, np.int64)
-    f_node = int(store.node_feats.shape[1])
-    f_edge = int(store.edge_attr.shape[1])
-    f_angle = int(store.lg_attr.shape[1])
+    (node_off, edge_off, lg_off, node_feats, s_edge_src, s_edge_dst,
+     s_edge_attr, s_lg_src, s_lg_dst, s_lg_attr) = _store_columns(store)
+    # fail-loud parity with the Python path: an out-of-budget graph_ids list
+    # must fall back to the raising numpy assembly, not memcpy past the
+    # caller-allocated arenas
+    if (int(np.sum(node_off[ids + 1] - node_off[ids])) > Np
+            or int(np.sum(edge_off[ids + 1] - edge_off[ids])) > Ep
+            or int(np.sum(lg_off[ids + 1] - lg_off[ids])) > Lp):
+        return None
+    f_node = int(node_feats.shape[1])
+    f_edge = int(s_edge_attr.shape[1])
+    f_angle = int(s_lg_attr.shape[1])
     nodes = np.empty((Np, f_node), np.float32)
     node_graph = np.empty(Np, np.int32)
     edge_src = np.empty(Ep, np.int32)
@@ -171,17 +209,9 @@ def assemble_arenas_native(store, graph_ids, Np: int, Ep: int, Lp: int,
     lg_attr = np.empty((Lp, f_angle), np.float32)
     lg_mask = np.empty(Lp, np.float32)
     lib.assemble_arenas(
-        ids.shape[0], ids,
-        np.ascontiguousarray(store.node_off, np.int64),
-        np.ascontiguousarray(store.edge_off, np.int64),
-        np.ascontiguousarray(store.lg_off, np.int64),
-        np.ascontiguousarray(store.node_feats, np.float32),
-        np.ascontiguousarray(store.edge_src, np.int32),
-        np.ascontiguousarray(store.edge_dst, np.int32),
-        np.ascontiguousarray(store.edge_attr, np.float32),
-        np.ascontiguousarray(store.lg_src, np.int32),
-        np.ascontiguousarray(store.lg_dst, np.int32),
-        np.ascontiguousarray(store.lg_attr, np.float32),
+        ids.shape[0], ids, node_off, edge_off, lg_off,
+        node_feats, s_edge_src, s_edge_dst, s_edge_attr,
+        s_lg_src, s_lg_dst, s_lg_attr,
         f_node, f_edge, f_angle, int(Np), int(Ep), int(Lp), int(graph_pad),
         nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
         lg_src, lg_dst, lg_attr, lg_mask)

@@ -80,6 +80,9 @@ def transformer_conv_table(
     win64: int = 0,
     src_win64: int = 0,  # row bound per 64 segments of the SRC-sorted arena
     row_ptr: Optional[jnp.ndarray] = None,  # [N+1] CSR pointers of dst
+    attn_fused: bool = True,   # fully fused attention (q·k SDDMM in-kernel)
+    attn_eproj: bool = True,   # in-kernel edge projection
+    force_fused: bool = False,  # keep kernels active off-TPU (interpret mode)
 ) -> jnp.ndarray:
     n = x.shape[0]
     hidden = params.w_query.shape[1]
@@ -113,26 +116,21 @@ def transformer_conv_table(
     # so small test configs keep kernel coverage while hardware runs with
     # unaligned hidden/ch fall back to the dense-table path
     lane_ok = _interp or (hidden % 128 == 0 and ch % 64 == 0)
-    fuse_gathers = fused and lane_ok and (
-        not _interp or bool(__import__("os").environ.get("GNNEP_FORCE_FUSED")))
+    fuse_gathers = fused and lane_ok and (not _interp or force_fused)
     # fully fused attention (q·k SDDMM in-kernel): no q gather, no [E, heads]
     # logits tensor, no edge-mask stream — padded edges (dst = dummy) are
     # excluded from real rows by CSR membership alone. Default since the
     # kernels got win64 window bounds + bf16 windows + double-buffered DMA
     # (12.2 vs 13.3 ms/step against the external-logits boundary — see
-    # PERF.md); GNNEP_ATTN_FUSED=0 reverts to the external-logits path.
-    use_attn = (fused and lane_ok
-                and __import__("os").environ.get("GNNEP_ATTN_FUSED", "1")
-                != "0"
+    # PERF.md); attn_fused=False reverts to the external-logits path.
+    use_attn = (fused and lane_ok and attn_fused
                 and attn_fusable(n, e_total, in_edges.shape[1],
                                  hidden=hidden, win64=win64))
     # one level deeper: the edge projection e = edge_attr·W_e and the k/v
     # adds move in-kernel too — no [E, H] e tensor, no k_j/v_j slice_add
     # round trip, backward emits dkv/d(edge_attr)/dW_e directly
-    # (GNNEP_ATTN_EPROJ=0 reverts to the kv+e boundary)
-    use_eproj = (use_attn
-                 and __import__("os").environ.get("GNNEP_ATTN_EPROJ", "1")
-                 != "0"
+    # (attn_eproj=False reverts to the kv+e boundary)
+    use_eproj = (use_attn and attn_eproj
                  and (_interp or edge_attr.shape[1] % 128 == 0)
                  and attn_eproj_fusable(
                      n, e_total, in_edges.shape[1], hidden=hidden,

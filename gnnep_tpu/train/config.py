@@ -80,6 +80,8 @@ class TrainConfig:
 
     # framework extensions (no reference analogue)
     conv_impl: str = "table"             # 'table' | 'fused' (Pallas) | 'coo'
+    attn_fused: bool = True              # fused-kernel ladder (conv_impl
+    attn_eproj: bool = True              # 'fused'): see AlignnConfig
     scan_layers: bool = False            # lax.scan over layers: ~5× faster
                                          # compile, ~20% slower step
     prng_impl: str = "rbg"               # dropout/jitter PRNG: 'rbg' (fast

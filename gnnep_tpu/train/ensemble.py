@@ -90,6 +90,7 @@ def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] =
         target_dim=store.target_dim, hidden=h, layers=cfg.layers, heads=cfg.heads,
         dropout=float(dropout if dropout is not None else cfg.dropout),
         conv_impl=cfg.conv_impl, scan_layers=cfg.scan_layers,
+        attn_fused=cfg.attn_fused, attn_eproj=cfg.attn_eproj,
         # packer-enforced window bounds shrink the Pallas kernels' VMEM
         # windows (the packer dilutes dense batches to honor them)
         edge_win64=budget.edge_win64 if budget else 0,

@@ -344,7 +344,13 @@ def train_member(
                           and (last_snapshot_epoch is None
                                or epoch - last_snapshot_epoch >= cfg.knn_refresh)))
             if should:
-                snap = epoch_batches(store, effective, budget, shuffle=False)
+                # Snapshot UNIQUE train indices: `effective` is the bootstrap
+                # resample with duplicates, and duplicated embeddings sit at
+                # distance 0 of each other, inflating KNN density (hence
+                # down-weighting) for multiply-drawn samples. The reference
+                # snapshots the train set once (train.py:930-1010).
+                snap_ids = sorted({int(g) for g in effective})
+                snap = epoch_batches(store, snap_ids, budget, shuffle=False)
                 weights_by_index = compute_knn_weights(
                     model_cfg, params, snap, store,
                     k=cfg.knn_k, eps=cfg.knn_eps, alpha=cfg.knn_alpha,

@@ -48,6 +48,45 @@ class TestKnnWeights:
             setup.train_idx, setup.val_idx)
         assert np.isfinite(metrics.get("mae", np.nan))
 
+    def test_snapshot_invariant_to_bootstrap_duplication(self):
+        """The KNN embedding snapshot must cover UNIQUE train indices: the
+        bootstrap resample contains duplicates, and duplicated embeddings at
+        distance 0 inflate density (hence down-weighting) for multiply-drawn
+        samples. The reference snapshots the train set once
+        (train.py:930-1010)."""
+        import gnnep_tpu.train.member as member_mod
+
+        store = make_store(16, seed=3)
+        cfg = TrainConfig(batch_size=8, hidden=16, layers=1, heads=2,
+                          ensemble_size=2, epochs=3, verbose=False,
+                          bootstrap=True, bootstrap_ratio=2.0,
+                          feature_jitter_std=0.0,
+                          enable_density_weighting=True,
+                          weight_warmup_epochs=1, knn_refresh=1, knn_k=3)
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        seen = []
+        real = member_mod.compute_knn_weights
+
+        def spy(model_cfg, params, snapshot_batches, st, **kw):
+            batches = list(snapshot_batches)
+            ids = np.concatenate([
+                np.asarray(b.sample_index)[np.asarray(b.graph_mask) > 0]
+                for b in batches])
+            seen.append(ids)
+            return real(model_cfg, params, iter(batches), st, **kw)
+
+        member_mod.compute_knn_weights = spy
+        try:
+            train_member(setup.store, cfg, mc, setup.transformer,
+                         setup.budget, 7, setup.train_idx, setup.val_idx)
+        finally:
+            member_mod.compute_knn_weights = real
+        assert seen, "density weighting never snapshotted"
+        for ids in seen:
+            assert len(ids) == len(np.unique(ids)), \
+                "snapshot contains bootstrap duplicates"
+
     def test_coverage_audit_passes_and_failure_skips_activation(self, capsys):
         import gnnep_tpu.train.member as member_mod
 

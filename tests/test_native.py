@@ -186,6 +186,26 @@ class TestNativeParity:
                 assert a.dtype == b.dtype and a.shape == b.shape, name
                 np.testing.assert_array_equal(a, b, err_msg=name)
 
+    def test_assemble_arenas_out_of_budget_falls_back(self):
+        # fail-loud parity with the Python path: graphs that exceed the
+        # arena budgets must return None (caller falls back to the raising
+        # numpy assembly) instead of memcpy-ing past the allocated arenas
+        import synthetic as synth
+
+        store = synth.make_store(n=6, seed=5)
+        ids = list(range(6))
+        n_tot = int(store.node_off[-1])
+        e_tot = int(store.edge_off[-1])
+        l_tot = int(store.lg_off[-1])
+        ok = native.assemble_arenas_native(store, ids, n_tot + 8,
+                                           e_tot + 8, l_tot + 8, 8)
+        assert ok is not None
+        for Np, Ep, Lp in [(n_tot - 1, e_tot + 8, l_tot + 8),
+                           (n_tot + 8, e_tot - 1, l_tot + 8),
+                           (n_tot + 8, e_tot + 8, l_tot - 1)]:
+            assert native.assemble_arenas_native(store, ids, Np, Ep, Lp,
+                                                 8) is None
+
     def test_build_graph_uses_native_consistently(self):
         # end-to-end: the sample built with native kernels equals the one
         # built with the python fallback

@@ -196,15 +196,10 @@ class TestFusedAggregate:
         assert not fusable(256, 1 << 20, 4096, block_n=128)
 
     @pytest.mark.parametrize("ladder", ["eproj", "attn", "logits"])
-    def test_model_fused_vs_table(self, monkeypatch, ladder):
+    def test_model_fused_vs_table(self, ladder):
         """End-to-end model parity: conv_impl='fused' vs 'table' at every
         rung of the fused-kernel ladder — eproj (in-kernel edge projection),
         csr_attention (kv+e boundary), and the external-logits aggregate."""
-        monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")  # CPU downgrades otherwise
-        if ladder != "eproj":
-            monkeypatch.setenv("GNNEP_ATTN_EPROJ", "0")
-        if ladder == "logits":
-            monkeypatch.setenv("GNNEP_ATTN_FUSED", "0")
         import sys
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from synthetic import make_store
@@ -222,7 +217,9 @@ class TestFusedAggregate:
                     angle_dim=store.angle_dim,
                     global_dim=store.global_scalar_dim + 230,
                     target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0)
-        cfg_f = AlignnConfig(**base, conv_impl="fused")
+        cfg_f = AlignnConfig(**base, conv_impl="fused", force_fused=True,
+                             attn_eproj=(ladder == "eproj"),
+                             attn_fused=(ladder != "logits"))
         cfg_t = AlignnConfig(**base, conv_impl="table")
         params = init_alignn(jax.random.PRNGKey(0), cfg_f)
         mf, lf = alignn_apply(params, cfg_f, batch)
@@ -583,12 +580,10 @@ class TestWindowedSegmentSum:
         g5 = np.asarray(jax.grad(loss_ord_b)(jnp.asarray(x)))
         np.testing.assert_allclose(g5[:-1], g4[:-1], rtol=1e-4, atol=1e-5)
 
-    def test_model_grad_parity_fused_gathers(self, monkeypatch):
+    def test_model_grad_parity_fused_gathers(self):
         """Full-model gradient parity: fused (kernel + CSR-gather VJPs) vs
         the plain table path — with the fully fused attention boundary
         active so the csr_attention kernels get model-level coverage."""
-        monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")
-        monkeypatch.setenv("GNNEP_ATTN_FUSED", "1")
         import sys
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from synthetic import make_store
@@ -604,7 +599,8 @@ class TestWindowedSegmentSum:
                     angle_dim=store.angle_dim,
                     global_dim=store.global_scalar_dim + 230,
                     target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0)
-        cfg_f = AlignnConfig(**base, conv_impl="fused")
+        cfg_f = AlignnConfig(**base, conv_impl="fused", force_fused=True,
+                             attn_fused=True)
         cfg_t = AlignnConfig(**base, conv_impl="table")
         params = init_alignn(jax.random.PRNGKey(0), cfg_f)
 
@@ -618,14 +614,12 @@ class TestWindowedSegmentSum:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-4)
 
-    def test_attn_fused_on_diluted_batch(self, monkeypatch):
+    def test_attn_fused_on_diluted_batch(self):
         """Interior padding rows (dilution relocates padding bonds into real
         atoms' CSR segments with forward-filled dst) must NOT contribute to
         the in-kernel-softmax attention path: the kernels take an explicit
         pre-softmax edge-mask stream, since CSR membership alone cannot
         exclude them. Regression: attn-fused ≡ table on a diluted batch."""
-        monkeypatch.setenv("GNNEP_FORCE_FUSED", "1")
-        monkeypatch.setenv("GNNEP_ATTN_FUSED", "1")
         import sys
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from synthetic import make_store
@@ -655,7 +649,8 @@ class TestWindowedSegmentSum:
                     global_dim=store.global_scalar_dim + 230,
                     target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0,
                     edge_win64=96, lg_win64=160)
-        cfg_f = AlignnConfig(**base, conv_impl="fused")
+        cfg_f = AlignnConfig(**base, conv_impl="fused", force_fused=True,
+                             attn_fused=True)
         cfg_t = AlignnConfig(**base, conv_impl="table")
         params = init_alignn(jax.random.PRNGKey(0), cfg_f)
         mf, lf = alignn_apply(params, cfg_f, batch)
