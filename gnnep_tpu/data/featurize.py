@@ -275,7 +275,9 @@ def build_graph(
     sg = spacegroup_number(structure) if sg_num is None else int(sg_num)
 
     reduced = reduced_formula if reduced_formula is not None else structure.reduced_formula() if n else ""
-    proto = prototype if prototype is not None else (structure.anonymized_formula() if n else "")
+    # reference prototype cascade (fetch.py:159-186): StructureMatcher
+    # get_structure_type when pymatgen exposes it, else anonymized formula
+    proto = prototype if prototype is not None else (structure.prototype_label() if n else "")
 
     return GraphSample(
         material_id=str(material_id),

@@ -19,6 +19,62 @@ from ..elements import element_props
 
 _AMU_PER_A3_TO_G_PER_CM3 = 1.66053906660  # 1 amu/Å³ in g/cm³
 
+# pymatgen Composition.special_formulas (peroxides and diatomic gases)
+_SPECIAL_FORMULAS = {
+    "LiO": "Li2O2", "NaO": "Na2O2", "KO": "K2O2", "HO": "H2O2", "CsO": "Cs2O2",
+    "RbO": "Rb2O2", "O": "O2", "N": "N2", "F": "F2", "Cl": "Cl2", "H": "H2",
+}
+
+
+def _pymatgen_composition():
+    """pymatgen's Composition class when importable, else None (the native
+    implementations below reproduce its formula strings byte-for-byte)."""
+    try:
+        from pymatgen.core import Composition
+        return Composition
+    except Exception:
+        return None
+
+
+def _en_of(symbol: str) -> float:
+    return float(element_props(symbol).en)
+
+
+def _formula_double_format(amt: float) -> str:
+    """pymatgen formula_double_format(ignore_ones=True): 1 → '', ints bare."""
+    if amt == 1:
+        return ""
+    if abs(amt - int(amt)) < 1e-8:
+        return str(int(amt))
+    return str(round(amt, 8))
+
+
+def _reduce_formula(sym_amt):
+    """pymatgen `reduce_formula` parity: (formula string, reduction factor).
+
+    Elements sorted by (Pauling EN, symbol); integer GCD reduction; the two
+    most electronegative elements form a parenthesized polyanion when their
+    EN gap is < 1.65 and the pair itself reduces (e.g. Fe2(SO4)3). Missing
+    EN maps to 0.0 (pymatgen yields NaN there — only affects noble-gas
+    compositions, absent from elasticity data)."""
+    syms = sorted(sym_amt, key=lambda s: (_en_of(s), s))
+    syms = [s for s in syms if abs(sym_amt[s]) >= 1e-8]
+    factor = 1
+    if all(int(i) == i for i in sym_amt.values()):
+        factor = abs(math.gcd(*(int(i) for i in sym_amt.values())))
+    polyanion = []
+    if len(syms) >= 3 and _en_of(syms[-1]) - _en_of(syms[-2]) < 1.65:
+        poly_sym_amt = {syms[i]: sym_amt[syms[i]] / factor for i in [-2, -1]}
+        poly_form, poly_factor = _reduce_formula(poly_sym_amt)
+        if poly_factor != 1:
+            polyanion.append(f"({poly_form}){poly_factor}")
+    syms = syms[: len(syms) - 2 if polyanion else len(syms)]
+    parts = []
+    for s in syms:
+        parts.append(s)
+        parts.append(_formula_double_format(sym_amt[s] / factor))
+    return "".join([*parts, *polyanion]), factor
+
 
 @dataclasses.dataclass(frozen=True)
 class Lattice:
@@ -131,31 +187,77 @@ class Structure:
         return out
 
     def reduced_formula(self) -> str:
-        """Alphabetized reduced formula, e.g. Fe2O3 (integer-GCD reduction)."""
+        """Electronegativity-ordered reduced formula, e.g. 'NaCl', 'Fe2(SO4)3'.
+
+        Byte-identical to pymatgen's `Composition.reduced_formula` (the
+        reference's group-key ingredient, fetch.py:159-186): elements sorted
+        by (Pauling EN, symbol), integer-GCD reduction, polyanion grouping
+        when the last two elements are within 1.65 EN of each other, and the
+        peroxide/diatomic special cases. Defers to pymatgen when importable
+        so key strings (hence train/test splits) match a reference run."""
         comp = self.composition
-        counts = list(comp.values())
-        g = counts[0]
-        for c in counts[1:]:
-            g = math.gcd(g, c)
-        parts = []
-        for sym in sorted(comp):
-            n = comp[sym] // g
-            parts.append(sym + (str(n) if n > 1 else ""))
-        return "".join(parts)
+        if not comp:
+            return ""
+        pmg = _pymatgen_composition()
+        if pmg is not None:
+            try:
+                return str(pmg(comp).reduced_formula)
+            except Exception:
+                pass
+        formula, factor = _reduce_formula({k: float(v) for k, v in comp.items()})
+        if formula in _SPECIAL_FORMULAS:
+            formula = _SPECIAL_FORMULAS[formula]
+        return formula
 
     def anonymized_formula(self) -> str:
-        """ABC-style prototype label, e.g. AB2 (sorted by count then assigned letters)."""
-        counts = sorted(self.composition.values())
-        g = counts[0]
-        for c in counts[1:]:
-            g = math.gcd(g, c)
-        letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        """ABC-style prototype label, e.g. 'AB2C4' for spinel.
+
+        Byte-identical to pymatgen's `Composition.anonymized_formula`:
+        amounts GCD-reduced, sorted ascending, then labelled A, B, C, …
+        (zip with the uppercase alphabet — compositions beyond 26 elements
+        truncate exactly as pymatgen does)."""
+        comp = self.composition
+        if not comp:
+            return ""
+        pmg = _pymatgen_composition()
+        if pmg is not None:
+            try:
+                return str(pmg(comp).anonymized_formula)
+            except Exception:
+                pass
+        counts = [float(c) for c in comp.values()]
+        g = math.gcd(*(int(c) for c in counts))
+        amounts = sorted(c / g for c in counts)
         parts = []
-        for i, c in enumerate(counts):
-            n = c // g
-            letter = letters[i % 26] * (1 + i // 26)
-            parts.append(letter + (str(n) if n > 1 else ""))
+        for letter, amt in zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ", amounts):
+            if amt == 1:
+                amt_str = ""
+            elif abs(amt % 1) < 1e-8:
+                amt_str = str(int(amt))
+            else:
+                amt_str = str(amt)
+            parts.append(f"{letter}{amt_str}")
         return "".join(parts)
+
+    def prototype_label(self) -> str:
+        """Reference prototype cascade (fetch.py:159-186): pymatgen
+        `StructureMatcher.get_structure_type` when it exists (it does not in
+        modern pymatgen — the reference guards with a callable check), else
+        the anonymized formula."""
+        try:
+            from pymatgen.analysis.structure_matcher import StructureMatcher
+            from pymatgen.core import Structure as PmgStructure
+
+            matcher = StructureMatcher(primitive_cell=True, scale=True,
+                                       attempt_supercell=False)
+            get_type = getattr(matcher, "get_structure_type", None)
+            if callable(get_type):
+                val = get_type(PmgStructure.from_dict(self.as_dict()))
+                if val:
+                    return str(val)
+        except Exception:
+            pass
+        return self.anonymized_formula()
 
     # -- serialization ------------------------------------------------------
 

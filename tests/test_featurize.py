@@ -60,6 +60,35 @@ class TestStructure:
         assert s.reduced_formula() == "FeO3"
         assert s.anonymized_formula() == "AB3"
 
+    def test_formulas_pymatgen_convention_golden(self):
+        """Group-key strings must be byte-identical to pymatgen's
+        `Composition.reduced_formula`/`anonymized_formula` (the reference's
+        group-key ingredients, fetch.py:159-186) so splits on identical data
+        match a reference run. Golden strings pinned from pymatgen."""
+        def formulas(species):
+            s = cubic(4.0, species, np.zeros((len(species), 3)))
+            return s.reduced_formula(), s.anonymized_formula()
+
+        # electronegativity ordering, NOT alphabetical: Na (0.93) < Cl (3.16)
+        assert formulas(["Cl", "Na"]) == ("NaCl", "AB")
+        assert formulas(["Na", "Cl", "Na", "Cl"]) == ("NaCl", "AB")
+        # Fe (1.83) < O (3.44)
+        assert formulas(["Fe", "Fe", "O", "O", "O"]) == ("Fe2O3", "A2B3")
+        # spinel MgAl2O4: Mg (1.31) < Al (1.61) < O (3.44); EN(O)-EN(Al)
+        # = 1.83 >= 1.65 so no polyanion grouping
+        assert formulas(["O"] * 4 + ["Al"] * 2 + ["Mg"]) == ("MgAl2O4", "AB2C4")
+        # polyanion grouping: EN(O)-EN(S) = 0.86 < 1.65 and the (S,O) pair
+        # reduces 3:12 -> (SO4)3
+        assert formulas(["Fe"] * 2 + ["S"] * 3 + ["O"] * 12) == ("Fe2(SO4)3",
+                                                                 "A2B3C12")
+        # polyanion pair that does NOT reduce stays inline (CaCO3)
+        assert formulas(["Ca", "C", "O", "O", "O"]) == ("CaCO3", "ABC3")
+        # peroxide special case: NaO -> Na2O2
+        assert formulas(["Na", "O", "Na", "O"]) == ("Na2O2", "AB")
+        # diatomic special case
+        assert formulas(["O", "O"]) == ("O2", "A")
+        assert formulas(["H", "O", "H"]) == ("H2O", "AB2")
+
 
 class TestNeighbors:
     def test_simple_cubic_coordination(self):
