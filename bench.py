@@ -16,9 +16,41 @@ import time
 import numpy as np
 
 
+def _flagship_batch_and_cfg(n_graphs: int, conv_impl: str, rng_seed: int = 42):
+    """Flagship config + one synthetic batch with its measured win64 bounds."""
+    import dataclasses
+
+    import numpy as np
+
+    from gnnep_tpu.data.batching import measure_seg_win64, measure_win64
+    from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
+
+    cfg = dataclasses.replace(flagship_config(), conv_impl=conv_impl)
+    batch = synthetic_batch(np.random.default_rng(rng_seed),
+                            n_graphs=n_graphs, mean_atoms=10, degree=10)
+
+    def _r32(x):
+        return ((x + 31) // 32) * 32
+
+    cfg = dataclasses.replace(
+        cfg,
+        edge_win64=_r32(measure_win64(np.asarray(batch.edge_dst),
+                                      batch.nodes.shape[0])),
+        lg_win64=_r32(measure_win64(np.asarray(batch.lg_dst),
+                                    batch.edge_src.shape[0])),
+        edge_src_win64=_r32(measure_seg_win64(
+            np.asarray(batch.edge_src_starts), batch.edge_src.shape[0])),
+        lg_src_win64=_r32(measure_seg_win64(
+            np.asarray(batch.lg_src_starts), batch.lg_src.shape[0])))
+    return cfg, batch
+
+
 def scaling_mode(n_devices: int):
-    """Multi-chip scaling harness: edges/s on a (data × edge) mesh vs one
-    device, reporting scaling efficiency (north-star target ≥ 85 %).
+    """Multi-chip scaling harness on the graph-aligned production path:
+    edges/s on a (data × edge) mesh vs one device, reporting scaling
+    efficiency (north-star target ≥ 85 %). Each device slot consumes a
+    complete fused-kernel sub-batch; the only collective is the per-step
+    gradient psum, so efficiency measures the all-reduce cost alone.
 
     On a pod slice run under `jax.distributed`; on a dev box use
     JAX_PLATFORMS=cpu with --xla_force_host_platform_device_count for a
@@ -38,45 +70,38 @@ def scaling_mode(n_devices: int):
 
     from gnnep_tpu.models.alignn import init_alignn
     from gnnep_tpu.parallel.mesh import make_mesh
-    from gnnep_tpu.parallel.train_step import (make_sharded_train_step,
+    from gnnep_tpu.parallel.train_step import (make_aligned_train_step,
                                                stack_for_mesh)
     from gnnep_tpu.train.loop import TrainHyper, sigma_mask
-    from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
 
     import dataclasses
 
-    cfg = flagship_config()
-    n_graphs = 64
-    iters = 10
-    if jax.default_backend() != "tpu":
-        # off-TPU this is a FUNCTIONAL check of the sharded program, not a
-        # performance number — shrink the model and batch so it finishes in
-        # seconds instead of tens of minutes
-        cfg = dataclasses.replace(cfg, hidden=64, layers=2, heads=2)
-        n_graphs = 16
-        iters = 2
-    hyper = TrainHyper()
+    on_tpu = jax.default_backend() == "tpu"
+    conv_impl = "fused" if on_tpu else "table"
+    n_graphs = 64 if on_tpu else 8
+    iters = 10 if on_tpu else 2
+    hyper = TrainHyper(compute_dtype="bfloat16" if on_tpu else "float32")
     rng = np.random.default_rng(0)
 
     def run(n_dev: int) -> float:
         n_edge = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
         n_data = n_dev // n_edge
         mesh = make_mesh(n_data, n_edge, devices=jax.devices()[:n_dev])
-        proto = synthetic_batch(np.random.default_rng(42), n_graphs=n_graphs,
-                                mean_atoms=10, degree=10,
-                                table_cap=32, lg_table_cap=40)
+        cfg, proto = _flagship_batch_and_cfg(n_graphs, conv_impl)
+        if not on_tpu:  # functional check only: shrink the model
+            cfg = dataclasses.replace(cfg, hidden=64, layers=2, heads=2)
         batches = [proto._replace(
             nodes=rng.normal(size=proto.nodes.shape).astype(np.float32),
             edge_attr=rng.normal(size=proto.edge_attr.shape).astype(np.float32))
-            for _ in range(n_data)]
+            for _ in range(n_dev)]
         edges = sum(float(np.asarray(b.edge_mask).sum()
                           + np.asarray(b.lg_mask).sum()) for b in batches)
-        step, init_opt = make_sharded_train_step(
+        step, init_opt = make_aligned_train_step(
             mesh, cfg, hyper, np.array([4.32, 3.56]), np.array([0.91, 0.94]))
         params = init_alignn(jrandom.PRNGKey(0), cfg)
         opt = init_opt(params)
         smask = sigma_mask(params)
-        stacked = stack_for_mesh(batches, n_data)
+        stacked = stack_for_mesh(batches, n_dev)
         params, opt, loss, _ = step(params, opt, stacked, jrandom.PRNGKey(1),
                                     3e-4, 3e-4, smask)
         float(loss)
@@ -96,7 +121,78 @@ def scaling_mode(n_devices: int):
         "unit": f"fraction (1->{n_devices} devices)",
         "vs_baseline": round(eff / 0.85, 4),
         "detail": {"edges_per_sec_1dev": round(base, 1),
-                   "edges_per_sec_ndev": round(scaled, 1)},
+                   "edges_per_sec_ndev": round(scaled, 1),
+                   "formulation": "graph-aligned", "conv_impl": conv_impl},
+    }))
+
+
+def sharded_parity_mode():
+    """VERDICT r1 done-criterion: on the real chip, the 1-device
+    Mesh((1,1)) graph-aligned sharded step must be within ~15 % of the
+    unsharded fused step (it runs the identical fused-kernel program plus a
+    1-participant psum)."""
+    import time
+
+    import jax
+    import jax.random as jrandom
+
+    from gnnep_tpu.models.alignn import init_alignn
+    from gnnep_tpu.parallel.mesh import make_mesh
+    from gnnep_tpu.parallel.train_step import (make_aligned_train_step,
+                                               stack_for_mesh)
+    from gnnep_tpu.train.loop import TrainHyper, make_train_step, sigma_mask
+
+    on_tpu = jax.default_backend() == "tpu"
+    conv_impl = "fused" if on_tpu else "table"
+    cfg, batch = _flagship_batch_and_cfg(64 if on_tpu else 8, conv_impl)
+    hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
+                       compute_dtype="bfloat16" if on_tpu else "float32")
+    mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
+    params = init_alignn(jrandom.PRNGKey(0), cfg)
+    smask = sigma_mask(params)
+    iters = 30 if on_tpu else 2
+
+    def time_loop(fn, *state):
+        for _ in range(2):
+            state = fn(*state)
+        jax.block_until_ready(state[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = fn(*state)
+        jax.block_until_ready(state[0])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    # unsharded fused step
+    step_u, init_u = make_train_step(cfg, hyper, mu, sd)
+    key = jrandom.PRNGKey(1)
+
+    def run_u(params, opt):
+        p, o, _ = step_u(params, opt, smask, batch, key, 3e-4, 3e-4)
+        return p, o
+
+    ms_unsharded = time_loop(run_u, params, init_u(params))
+
+    # Mesh((1,1)) aligned sharded step on the same batch
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    step_s, init_s = make_aligned_train_step(mesh, cfg, hyper, mu, sd)
+    stacked = stack_for_mesh([batch], 1)
+
+    def run_s(params, opt):
+        p, o, _, _ = step_s(params, opt, stacked, key, 3e-4, 3e-4, smask)
+        return p, o
+
+    params = init_alignn(jrandom.PRNGKey(0), cfg)
+    ms_sharded = time_loop(run_s, params, init_s(params))
+
+    overhead = ms_sharded / ms_unsharded - 1.0
+    print(json.dumps({
+        "metric": "aligned_sharded_step_overhead_1dev",
+        "value": round(overhead, 4),
+        "unit": "fraction vs unsharded fused step",
+        "vs_baseline": round(0.15 / max(overhead, 1e-4), 2),
+        "detail": {"ms_unsharded": round(ms_unsharded, 3),
+                   "ms_sharded_1x1": round(ms_sharded, 3),
+                   "conv_impl": conv_impl},
     }))
 
 
@@ -112,30 +208,14 @@ def main():
 
     conv_impl = os.environ.get("BENCH_IMPL", "fused")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    cfg = dataclasses.replace(flagship_config(), conv_impl=conv_impl)
     hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
                        compute_dtype=dtype)
-    rng = np.random.default_rng(0)
     n_graphs = int(os.environ.get("BENCH_GRAPHS", 64))
-    batch = synthetic_batch(rng, n_graphs=n_graphs, mean_atoms=10, degree=10)
+    # batch with seed 0 + measured per-64-target window bounds (smaller
+    # VMEM windows in the fused kernels)
+    cfg, batch = _flagship_batch_and_cfg(n_graphs, conv_impl, rng_seed=0)
     edges_per_step = float(np.asarray(batch.edge_mask).sum()
                            + np.asarray(batch.lg_mask).sum())
-    # exact per-64-target window bounds of this batch → smaller VMEM windows
-    from gnnep_tpu.data.batching import measure_seg_win64, measure_win64
-
-    def _r32(x):
-        return ((x + 31) // 32) * 32
-
-    cfg = dataclasses.replace(
-        cfg,
-        edge_win64=_r32(measure_win64(np.asarray(batch.edge_dst),
-                                      batch.nodes.shape[0])),
-        lg_win64=_r32(measure_win64(np.asarray(batch.lg_dst),
-                                    batch.edge_src.shape[0])),
-        edge_src_win64=_r32(measure_seg_win64(
-            np.asarray(batch.edge_src_starts), batch.edge_src.shape[0])),
-        lg_src_win64=_r32(measure_seg_win64(
-            np.asarray(batch.lg_src_starts), batch.lg_src.shape[0])))
     batch = jax.device_put(batch, dev)
 
     params = init_alignn(jax.random.PRNGKey(0), cfg)
@@ -226,5 +306,7 @@ if __name__ == "__main__":
         idx = sys.argv.index("--scaling")
         n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 8
         scaling_mode(n)
+    elif "--sharded-parity" in sys.argv:
+        sharded_parity_mode()
     else:
         main()

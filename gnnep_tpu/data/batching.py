@@ -683,6 +683,82 @@ class BatchPacker:
                           e_order, e_starts, l_order, l_starts, e_rp, l_rp)
 
 
+def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
+    """Re-pad a list of GraphBatches to shared (max) arena capacities.
+
+    The single source of the dummy-slot pad-fill conventions for mixed-budget
+    batches (used by `__graft_entry__.dryrun_multichip` and anything else
+    stacking batches from different budgets): core arenas are extended with
+    inert rows (dst → the new dummy slot, masks 0), then the dense tables,
+    src-CSR orders/starts, and row pointers are RE-DERIVED from the padded
+    arenas with the same helpers the packer uses — no second hand-written
+    copy of the table conventions to drift. Dense-table widths are the maxima
+    across the inputs. CSR sortedness is preserved (appended rows carry the
+    largest dst).
+    """
+    batches = list(batches)
+    if not batches:
+        return []
+    Np = max(np.asarray(b.nodes).shape[0] for b in batches)
+    Ep = max(np.asarray(b.edge_src).shape[0] for b in batches)
+    Lp = max(np.asarray(b.lg_src).shape[0] for b in batches)
+    G = max(np.asarray(b.y).shape[0] for b in batches)
+    da = max(np.asarray(b.node_in_edges).shape[1] for b in batches)
+    dl = max(np.asarray(b.lg_in_edges).shape[1] for b in batches)
+    doa = max(np.asarray(b.node_out_edges).shape[1] for b in batches)
+    dol = max(np.asarray(b.lg_out_edges).shape[1] for b in batches)
+
+    def grow(arr, n_rows, fill):
+        arr = np.asarray(arr)
+        pad = n_rows - arr.shape[0]
+        if pad <= 0:
+            return arr
+        tail = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+        return np.concatenate([arr, tail], axis=0)
+
+    out: List[GraphBatch] = []
+    for b in batches:
+        g_old = np.asarray(b.y).shape[0]
+        node_graph = np.asarray(b.node_graph).copy()
+        node_graph[node_graph == g_old] = G    # padding nodes pool to slot G
+        edge_src = grow(b.edge_src, Ep, Np - 1)
+        edge_dst = grow(b.edge_dst, Ep, Np - 1)
+        edge_mask = grow(b.edge_mask, Ep, 0.0)
+        lg_src = grow(b.lg_src, Lp, Ep - 1)
+        lg_dst = grow(b.lg_dst, Lp, Ep - 1)
+        lg_mask = grow(b.lg_mask, Lp, 0.0)
+        node_tab, node_tab_mask, edge_pos = build_incoming_table(
+            edge_dst, edge_mask, Np, da, Ep - 1)
+        lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
+            lg_dst, lg_mask, Ep, dl, Lp - 1)
+        e_order, e_starts = src_csr_index(edge_src, Np)
+        l_order, l_starts = src_csr_index(lg_src, Ep)
+        node_ot, node_ot_mask, _ = build_incoming_table(
+            edge_src, edge_mask, Np, doa, Ep - 1, order=e_order)
+        lg_ot, lg_ot_mask, _ = build_incoming_table(
+            lg_src, lg_mask, Ep, dol, Lp - 1, order=l_order)
+        e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
+        out.append(GraphBatch(
+            nodes=grow(b.nodes, Np, 0.0), node_graph=grow(node_graph, Np, G),
+            edge_src=edge_src, edge_dst=edge_dst,
+            edge_attr=grow(b.edge_attr, Ep, 0.0), edge_mask=edge_mask,
+            lg_src=lg_src, lg_dst=lg_dst, lg_attr=grow(b.lg_attr, Lp, 0.0),
+            lg_mask=lg_mask,
+            globals_=grow(b.globals_, G, 0.0), sg_num=grow(b.sg_num, G, 0),
+            y=grow(b.y, G, 1.0), graph_mask=grow(b.graph_mask, G, 0.0),
+            weight=grow(b.weight, G, 0.0),
+            sample_index=grow(b.sample_index, G, -1),
+            node_in_edges=node_tab, node_in_mask=node_tab_mask,
+            edge_table_pos=edge_pos,
+            lg_in_edges=lg_tab, lg_in_mask=lg_tab_mask, lg_table_pos=lg_pos,
+            node_out_edges=node_ot, node_out_mask=node_ot_mask,
+            lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask,
+            edge_src_order=e_order, edge_src_starts=e_starts,
+            lg_src_order=l_order, lg_src_starts=l_starts,
+            edge_row_ptr=e_rp, lg_row_ptr=l_rp))
+    return out
+
+
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,
                   *, shuffle: bool, rng: Optional[np.random.Generator] = None,
                   weights: Optional[np.ndarray] = None,

@@ -50,11 +50,14 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
                      budget: BatchBudget, floor: float):
     batches = epoch_batches(store, indices, budget, shuffle=False)
     means, stds, targets = [], [], None
+    from ..parallel.train_step import collect_predictions_auto
     from ..train.loop import oneshot_config
 
     for params, cfg in zip(ensemble.members, ensemble.cfgs):
-        forward = make_forward(oneshot_config(cfg), floor)
-        mean_z, sigma_z, y, _ = collect_predictions(forward, params, batches)
+        # multi-device when available: batches fan out over a flat mesh via
+        # the graph-aligned forward; single-device otherwise (identical math)
+        mean_z, sigma_z, y, _ = collect_predictions_auto(
+            oneshot_config(cfg), floor, params, batches)
         means.append(mean_z)
         stds.append(sigma_z)
         targets = y

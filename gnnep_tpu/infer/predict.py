@@ -78,11 +78,13 @@ class Ensemble:
         member_means, member_vars = [], []
         order = None
         ys = None
+        from ..parallel.train_step import collect_predictions_auto
         from ..train.loop import oneshot_config
 
         for params, cfg in zip(self.members, self.cfgs):
-            forward = make_forward(oneshot_config(cfg), min_logvar_floor)
-            mean_z, sigma_z, y, sample_idx = collect_predictions(forward, params, batches)
+            # multi-device when available (graph-aligned forward fan-out)
+            mean_z, sigma_z, y, sample_idx = collect_predictions_auto(
+                oneshot_config(cfg), min_logvar_floor, params, batches)
             member_means.append(mean_z)
             member_vars.append(sigma_z ** 2)
             order, ys = sample_idx, y

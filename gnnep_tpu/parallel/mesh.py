@@ -41,17 +41,18 @@ def init_distributed(coordinator: Optional[str] = None,
     """Initialize the multi-host JAX runtime (DCN-connected hosts).
 
     On managed TPU pods the arguments auto-detect; on bare hosts pass the
-    coordinator address explicitly. Safe to call when already initialized.
+    coordinator address explicitly. Idempotent: a second call is a no-op
+    (checked via `jax.distributed.is_initialized`, not exception-message
+    string matching). Exercised end-to-end by the 2-process localhost test
+    (tests/test_multihost.py) and the pod runbook in ARCHITECTURE.md.
     """
     import jax
 
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except RuntimeError as exc:  # already initialized
-        if "already" not in str(exc).lower():
-            raise
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def make_multihost_mesh(n_edge: int = 1) -> Mesh:

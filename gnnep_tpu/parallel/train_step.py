@@ -1,18 +1,30 @@
-"""Multi-chip training step: data parallelism × edge partitioning via shard_map.
+"""Multi-chip training steps: data parallelism × edge partitioning via shard_map.
 
-One jitted step over a `Mesh(("data", "edge"))`:
-- each data-rank consumes its own padded `GraphBatch`; edge/LG arenas are
-  additionally split across the edge axis (see `edge_shard.py`)
-- the loss is computed in sum form per device; gradients are `psum` across
-  the edge axis (partial-edge contributions) and across the data axis, then
-  normalized by the global real-graph count — exactly the single-device
-  mean-loss gradient
-- the AdamW update runs replicated (identical on every device), so params
-  and optimizer state never need resharding
+Two formulations over a `Mesh(("data", "edge"))`:
 
-Batch staging: `stack_for_mesh` stacks D per-rank batches into leading-axis-D
-arrays; shard_map's in_specs place graph/node arenas on the data axis only
-and edge/LG arenas on (data, edge).
+1. **Graph-aligned (production fast path)** — `make_aligned_train_step`.
+   The packed batch is block-diagonal, so partitioning its edge/LG arenas at
+   graph boundaries is the min-cut edge partition (cut = 0): each device
+   consumes a complete CSR sub-arena (own dense tables, row pointers, win64
+   bounds) and runs the unmodified fused-kernel forward; the only
+   collective is one fused grads+loss+count psum per step. Per-chip
+   throughput equals the single-device fused step by construction.
+
+2. **General edge-sharded (giant-graph fallback)** —
+   `make_sharded_train_step`. Edge/LG arenas split mid-segment across the
+   edge axis with replicated states and per-conv pmax/psum combines (see
+   `edge_shard.py`) — the COO formulation that stays correct when a single
+   graph's edges exceed one chip. Slower per chip; use only when a graph
+   cannot be packed whole.
+
+Both compute sum-form losses per device, psum gradients, and normalize by
+the global real-graph count — exactly the single-device mean-loss gradient.
+The AdamW update runs replicated, so params and optimizer state never need
+resharding.
+
+Batch staging: `stack_for_mesh(batches, n_slots)` stacks per-rank batches
+into a leading-axis super-batch (n_slots = D for the general formulation's
+data ranks, D·E sub-batch slots for the aligned one).
 """
 from __future__ import annotations
 
@@ -171,6 +183,179 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         return sharded(params, opt_state, batch, rng, lr_mean, lr_sigma, smask)
 
     return step, (lambda params: adam.init(params))
+
+
+def aligned_pspecs() -> GraphBatch:
+    """PartitionSpecs for the graph-aligned layout: every field of the
+    [D·E, ...]-stacked super-batch shards jointly over (data, edge)."""
+    both = P((DATA_AXIS, EDGE_AXIS))
+    return GraphBatch(**{f: both for f in GraphBatch._fields})
+
+
+def make_aligned_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
+                            log_means: np.ndarray, log_stds: np.ndarray):
+    """Graph-aligned multi-chip train step — the production fast path.
+
+    A packed batch is a block-diagonal graph, so partitioning its edge and
+    line-graph arenas AT GRAPH BOUNDARIES is the min-cut edge partition
+    (cut = 0): every aggregation segment is rank-local, each rank's shard is
+    a complete dst-sorted CSR sub-arena carrying its own dense tables, row
+    pointers, and win64 bounds, and the fused Pallas kernels run unmodified
+    inside shard_map. The per-layer boundary exchange of the general
+    formulation (`edge_shard.py`, for graphs larger than a chip) is empty by
+    construction — the only collectives are ONE fused grads+loss+count psum
+    per step over the whole mesh, so per-chip throughput equals the
+    single-device fused step and scaling efficiency is communication-bound
+    only by the gradient all-reduce.
+
+    The mesh's (data × edge) grid is consumed as a flat pool of D·E
+    sub-batch slots; stack sub-batches with `stack_for_mesh(batches, D·E)`.
+    Gradients are normalized by the GLOBAL real-graph count — exactly the
+    single-device mean-loss gradient over the union batch.
+    """
+    from ..train.loop import _cast_for_compute
+
+    adam = optax.scale_by_adam()
+    mu = jnp.asarray(log_means, dtype=jnp.float32)
+    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    specs = aligned_pspecs()
+    dtype = jnp.bfloat16 if hyper.compute_dtype == "bfloat16" else jnp.float32
+
+    def local_loss(params, batch, rng):
+        """Sum-form loss on this device's sub-batch (standard forward)."""
+        kd = rng
+        if hyper.feature_jitter_std > 0.0 and rng is not None:
+            rng, kx, kg, kd = jax.random.split(rng, 4)
+            batch = batch._replace(
+                nodes=batch.nodes + hyper.feature_jitter_std
+                * jax.random.normal(kx, batch.nodes.shape),
+                globals_=batch.globals_ + hyper.feature_jitter_std
+                * jax.random.normal(kg, batch.globals_.shape))
+        from ..models.alignn import alignn_apply
+
+        c_params, c_batch = _cast_for_compute(params, batch, dtype)
+        mean, logvar = alignn_apply(c_params, cfg, c_batch, train=True, rng=kd)
+        mean = mean.astype(jnp.float32)
+        logvar = jnp.maximum(logvar.astype(jnp.float32),
+                             hyper.min_logvar_floor)
+        y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
+        diff = mean - y_z
+        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * batch.weight[:, None]
+        sample_loss = nll.mean(axis=1) * batch.graph_mask
+        loss_sum = sample_loss.sum()
+        if hyper.log_sigma_l2 > 0.0:
+            ls2 = ((0.5 * logvar) ** 2
+                   * batch.graph_mask[:, None]).sum() / y_z.shape[1]
+            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
+        return loss_sum, (sample_loss.sum(), batch.graph_mask.sum())
+
+    def device_step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
+        batch = jax.tree.map(lambda x: x[0], batch)   # local block size 1
+        rng = jax.random.fold_in(rng,
+                                 jax.lax.axis_index((DATA_AXIS, EDGE_AXIS)))
+        (_, (loss_sum, n_local)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, batch, rng)
+        # one fused all-reduce: grads + loss + count ride a single psum
+        grads, loss_total, n_global = jax.lax.psum(
+            (grads, loss_sum, n_local), (DATA_AXIS, EDGE_AXIS))
+        n_global = jnp.maximum(n_global, 1.0)
+        grads = jax.tree.map(lambda g: g / n_global, grads)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = adam.update(grads, opt_state, params)
+        wd = hyper.weight_decay
+
+        def apply_leaf(u, p, is_sigma):
+            lr = jnp.where(is_sigma, lr_sigma, lr_mean)
+            return p - lr * (u + wd * p)
+
+        params = jax.tree.map(apply_leaf, updates, params,
+                              jax.tree.map(jnp.asarray, smask))
+        return params, opt_state, loss_total / n_global, n_global
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), specs, P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
+        return sharded(params, opt_state, batch, rng, lr_mean, lr_sigma, smask)
+
+    return step, (lambda params: adam.init(params))
+
+
+def make_aligned_forward(mesh, cfg: AlignnConfig, floor: float):
+    """Jitted multi-chip eval forward over a [D·E, ...]-stacked super-batch
+    of graph-aligned sub-batches → ([D·E, G, T] mean, [D·E, G, T] logvar).
+    Each device runs the standard (fused-kernel) forward on its slot."""
+    from ..models.alignn import alignn_apply
+
+    specs = aligned_pspecs()
+    both = P((DATA_AXIS, EDGE_AXIS))
+
+    def device_fwd(params, batch):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        mean, logvar = alignn_apply(params, cfg, batch, train=False)
+        return mean[None], jnp.maximum(logvar, floor)[None]
+
+    sharded = shard_map(device_fwd, mesh=mesh,
+                        in_specs=(P(), specs),
+                        out_specs=(both, both),
+                        check_rep=False)
+    return jax.jit(sharded)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_aligned_forward(cfg: AlignnConfig, floor: float, n_devices: int):
+    import jax as _jax
+
+    mesh = None
+    from .mesh import make_mesh
+
+    mesh = make_mesh(n_devices, 1, devices=_jax.devices()[:n_devices])
+    return make_aligned_forward(mesh, cfg, floor), n_devices
+
+
+def collect_predictions_auto(cfg: AlignnConfig, floor: float, params, batches):
+    """Multi-device drop-in for `train.loop.collect_predictions`.
+
+    With one visible device (or a single batch) this is exactly the
+    single-device path; with D devices, batches run D-at-a-time through the
+    graph-aligned forward (`make_aligned_forward`) over a flat (D, 1) mesh —
+    each device executes the standard fused/table forward on one complete
+    sub-batch, so results are bit-comparable to the single-device loop.
+    Returns (mean_z [N,T], sigma_z [N,T], y [N,T], sample_index [N]) over
+    real graphs, in batch order.
+    """
+    import jax as _jax
+
+    from ..train.loop import collect_predictions, make_forward
+
+    batches = list(batches)
+    n_dev = len(_jax.devices())
+    if n_dev <= 1 or len(batches) <= 1:
+        return collect_predictions(make_forward(cfg, floor), params, batches)
+    fwd, n_dev = _cached_aligned_forward(cfg, floor, n_dev)
+    means, sigmas, ys, idxs = [], [], [], []
+    for at in range(0, len(batches), n_dev):
+        group = batches[at:at + n_dev]
+        mean, logvar = fwd(params, stack_for_mesh(group, n_dev))
+        mean = np.asarray(mean)
+        sigma = np.sqrt(np.exp(np.asarray(logvar)))
+        for d, b in enumerate(group):
+            mask = np.asarray(b.graph_mask) > 0
+            means.append(mean[d][mask])
+            sigmas.append(sigma[d][mask])
+            ys.append(np.asarray(b.y)[mask])
+            idxs.append(np.asarray(b.sample_index)[mask])
+    return (np.concatenate(means), np.concatenate(sigmas),
+            np.concatenate(ys), np.concatenate(idxs))
 
 
 def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float):

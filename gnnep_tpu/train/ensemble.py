@@ -101,11 +101,14 @@ def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] =
 
 def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
                      batches, floor: float):
-    """Member forwards → ([M,N,T] means, [M,N,T] vars, [N,T] targets)."""
+    """Member forwards → ([M,N,T] means, [M,N,T] vars, [N,T] targets).
+    Fans out over all visible devices via the graph-aligned forward."""
+    from ..parallel.train_step import collect_predictions_auto
+
     means, variances, targets = [], [], None
     for params, mc in zip(members, model_cfgs):
-        forward = make_forward(mc, floor)
-        mean_z, sigma_z, y, _ = collect_predictions(forward, params, batches)
+        mean_z, sigma_z, y, _ = collect_predictions_auto(mc, floor, params,
+                                                         batches)
         means.append(mean_z)
         variances.append(sigma_z ** 2)
         targets = y

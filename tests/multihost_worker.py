@@ -1,0 +1,94 @@
+"""Worker for the 2-process jax.distributed localhost test.
+
+Spawned by tests/test_multihost.py with argv = (coordinator_port,
+process_id). Each process brings 4 virtual CPU devices, so the global mesh
+is 8 devices over 2 hosts: init_distributed + make_multihost_mesh(n_edge=2)
+→ Mesh(4×2) with the edge axis inside each process's local (ICI-analogue)
+domain. The worker then runs one jitted global computation over the mesh
+(psum-style reduction of a process-sharded array) and one graph-aligned
+training step with per-process sub-batches, proving the multi-host code
+path compiles and executes — not just that the helpers import.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from gnnep_tpu.parallel.mesh import init_distributed, make_multihost_mesh
+
+    init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+    init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)  # idempotent
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.local_device_count() == 4
+    assert len(jax.devices()) == 8
+
+    mesh = make_multihost_mesh(n_edge=2)
+    assert mesh.devices.shape == (4, 2), mesh.devices.shape
+
+    # one global all-device reduction over the mesh: each device contributes
+    # its (data_rank + edge_rank); the replicated sum must match on all hosts
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data", "edge"))
+    grid = np.arange(8, dtype=np.float32).reshape(4, 2)
+    arr = jax.make_array_from_callback(
+        (4, 2), sharding, lambda idx: grid[idx])
+    total = float(jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr))
+    assert total == float(grid.sum()), total
+
+    # one graph-aligned training step across both processes: every global
+    # device slot consumes one sub-batch (process-local data), the gradient
+    # psum crosses the process (DCN-analogue) boundary
+    from gnnep_tpu.data.batching import equalize_batches
+    from gnnep_tpu.models.alignn import AlignnConfig, init_alignn
+    from gnnep_tpu.parallel.train_step import (aligned_pspecs,
+                                               make_aligned_train_step,
+                                               stack_for_mesh)
+    from gnnep_tpu.train.loop import TrainHyper, sigma_mask
+    from gnnep_tpu.utils.synth import synthetic_batch
+
+    cfg = AlignnConfig(node_dim=8, edge_dim=6, angle_dim=5, global_dim=289,
+                       target_dim=2, hidden=16, layers=1, heads=2, dropout=0.0)
+    hyper = TrainHyper(feature_jitter_std=0.0)
+    params = init_alignn(jax.random.PRNGKey(0), cfg)
+    smask = sigma_mask(params)
+    rng = np.random.default_rng(0)  # same stream on both hosts
+    subs = equalize_batches([
+        synthetic_batch(rng, n_graphs=2, mean_atoms=4, degree=3, node_dim=8,
+                        edge_dim=6, angle_dim=5, global_dim=59,
+                        table_cap=16, lg_table_cap=16) for _ in range(8)])
+    step, init_opt = make_aligned_train_step(
+        mesh, cfg, hyper, np.array([4.32, 3.56]), np.array([0.91, 0.94]))
+    host_stacked = stack_for_mesh(subs, 8)
+    # globalize the host-stacked super-batch: both processes hold the full
+    # (identical) array, so each just donates its addressable shards
+    def globalize(x, spec):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    specs = aligned_pspecs()
+    stacked = jax.tree.map(globalize, host_stacked, specs)
+    params, _, loss, n = step(params, init_opt(params), stacked,
+                              jax.random.PRNGKey(1), 3e-4, 3e-4, smask)
+    # outputs are replicated; read this process's addressable replica
+    loss = float(np.asarray(loss.addressable_data(0)))
+    n = float(np.asarray(n.addressable_data(0)))
+    assert np.isfinite(loss), loss
+    assert n == sum(float(np.asarray(b.graph_mask).sum()) for b in subs), n
+    print(f"MULTIHOST OK pid={pid} loss={loss:.4f} graphs={int(n)}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,9 @@ import pytest
 from gnnep_tpu.data.batching import BatchBudget, BatchPacker, epoch_batches
 from gnnep_tpu.models.alignn import AlignnConfig, alignn_apply, init_alignn
 from gnnep_tpu.parallel.mesh import make_mesh
-from gnnep_tpu.parallel.train_step import (make_sharded_forward,
+from gnnep_tpu.parallel.train_step import (make_aligned_forward,
+                                           make_aligned_train_step,
+                                           make_sharded_forward,
                                            make_sharded_train_step,
                                            stack_for_mesh)
 from gnnep_tpu.train.config import TrainConfig
@@ -163,6 +165,149 @@ class TestShardedTrainStep:
         assert float(n) == float(np.asarray(batches[0].graph_mask).sum())
         assert np.isfinite(float(loss))
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(got))
+
+
+class TestAlignedStep:
+    """Graph-aligned edge partitioning (the production fast path): every
+    device runs the standard fused/table forward on a complete sub-batch;
+    the only collective is the grads+loss+count psum."""
+
+    def test_forward_matches_single_device(self):
+        store, cfg, setup, mc = _setup(n=24, batch_size=3)
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        mesh = make_mesh(2, 4)
+        fwd = make_aligned_forward(mesh, mc, floor=-2.9)
+        got_mean, got_logvar = fwd(params, stack_for_mesh(batches[:8], 8))
+        for d, b in enumerate(batches[:8]):
+            want_mean, want_logvar = alignn_apply(params, mc, b)
+            np.testing.assert_allclose(np.asarray(got_mean)[d],
+                                       np.asarray(want_mean),
+                                       rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(got_logvar)[d],
+                                       np.maximum(np.asarray(want_logvar),
+                                                  -2.9),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_matches_global_gradient_step(self):
+        """One aligned step over 8 sub-batches on a 2×4 mesh == the
+        single-device global-mean-loss gradient over their union."""
+        store, cfg, setup, mc = _setup(n=24, batch_size=3)
+        hyper = TrainHyper(feature_jitter_std=0.0, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(2), mc)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:8]
+        assert len(batches) >= 2
+        mu = jnp.asarray(setup.transformer.means, dtype=jnp.float32)
+        sd = jnp.asarray(setup.transformer.stds, dtype=jnp.float32)
+
+        def total_loss(p):
+            loss_sum = 0.0
+            count = 0.0
+            for b in batches:
+                mean, logvar = alignn_apply(p, mc, b)
+                logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+                y_z = (jnp.log(jnp.maximum(b.y, 1e-12)) - mu) / sd
+                nll = 0.5 * (logvar + (mean - y_z) ** 2 / jnp.exp(logvar))
+                nll = nll * b.weight[:, None]
+                loss_sum += (nll.mean(axis=1) * b.graph_mask).sum()
+                loss_sum += hyper.log_sigma_l2 * ((0.5 * logvar) ** 2
+                                                  * b.graph_mask[:, None]
+                                                  ).sum() / 2.0
+                count += b.graph_mask.sum()
+            return loss_sum / count
+
+        want_grads = jax.grad(total_loss)(params)
+
+        from gnnep_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+        from gnnep_tpu.parallel.train_step import aligned_pspecs
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(2, 4)
+
+        def device_grads(p, batch):
+            batch = jax.tree.map(lambda x: x[0], batch)
+
+            def local_loss(pp):
+                mean, logvar = alignn_apply(pp, mc, batch)
+                logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+                y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
+                nll = 0.5 * (logvar + (mean - y_z) ** 2 / jnp.exp(logvar))
+                loss = (nll.mean(axis=1) * batch.graph_mask).sum()
+                loss += hyper.log_sigma_l2 * ((0.5 * logvar) ** 2
+                                              * batch.graph_mask[:, None]
+                                              ).sum() / 2.0
+                return loss
+
+            g = jax.grad(local_loss)(p)
+            g, n = jax.lax.psum((g, batch.graph_mask.sum()),
+                                (DATA_AXIS, EDGE_AXIS))
+            return jax.tree.map(lambda x: x / n, g)
+
+        got_grads = jax.jit(shard_map(
+            device_grads, mesh=mesh, in_specs=(P(), aligned_pspecs()),
+            out_specs=P(), check_rep=False))(params,
+                                             stack_for_mesh(batches, 8))
+        for w, g in zip(jax.tree.leaves(want_grads),
+                        jax.tree.leaves(got_grads)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-3, atol=1e-6)
+
+        # the full jitted aligned step runs and counts graphs correctly
+        step, init_opt = make_aligned_train_step(mesh, mc, hyper,
+                                                 setup.transformer.means,
+                                                 setup.transformer.stds)
+        got, _, loss, n = step(params, init_opt(params),
+                               stack_for_mesh(batches, 8),
+                               jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        assert float(n) == sum(float(np.asarray(b.graph_mask).sum())
+                               for b in batches)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(got))
+
+    def test_pad_slots_contribute_nothing(self):
+        """Fewer sub-batches than mesh slots: padded slots are inert."""
+        store, cfg, setup, mc = _setup(n=16, batch_size=4)
+        hyper = TrainHyper(feature_jitter_std=0.0)
+        params = init_alignn(jax.random.PRNGKey(3), mc)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:2]
+        mesh = make_mesh(2, 4)
+        step, init_opt = make_aligned_train_step(mesh, mc, hyper,
+                                                 setup.transformer.means,
+                                                 setup.transformer.stds)
+        got, _, loss, n = step(params, init_opt(params),
+                               stack_for_mesh(batches, 8),
+                               jax.random.PRNGKey(0), 3e-4, 3e-4, smask)
+        assert float(n) == sum(float(np.asarray(b.graph_mask).sum())
+                               for b in batches)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(got))
+
+
+class TestCollectPredictionsAuto:
+    def test_matches_single_device_loop(self):
+        """Multi-device collection (graph-aligned forward fan-out) returns
+        exactly what the single-device loop returns, in the same order."""
+        from gnnep_tpu.parallel.train_step import collect_predictions_auto
+        from gnnep_tpu.train.loop import collect_predictions, make_forward
+
+        store, cfg, setup, mc = _setup(n=24, batch_size=3)
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        assert len(batches) > 1
+        want = collect_predictions(make_forward(mc, -2.9), params, batches)
+        got = collect_predictions_auto(mc, -2.9, params, batches)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.slow
