@@ -130,7 +130,9 @@ def sharded_parity_mode():
     """VERDICT r1 done-criterion: on the real chip, the 1-device
     Mesh((1,1)) graph-aligned sharded step must be within ~15 % of the
     unsharded fused step (it runs the identical fused-kernel program plus a
-    1-participant psum)."""
+    1-participant psum). Both sides run as scan-over-K-steps programs so
+    the measurement is device time, not the dispatch tunnel (PERF.md
+    measurement discipline)."""
     import time
 
     import jax
@@ -138,51 +140,68 @@ def sharded_parity_mode():
 
     from gnnep_tpu.models.alignn import init_alignn
     from gnnep_tpu.parallel.mesh import make_mesh
-    from gnnep_tpu.parallel.train_step import (make_aligned_train_step,
+    from gnnep_tpu.parallel.train_step import (make_aligned_scan_step,
                                                stack_for_mesh)
-    from gnnep_tpu.train.loop import TrainHyper, make_train_step, sigma_mask
+    from gnnep_tpu.train.loop import (TrainHyper, make_scan_train_step,
+                                      prng_key, sigma_mask)
 
     on_tpu = jax.default_backend() == "tpu"
     conv_impl = "fused" if on_tpu else "table"
-    cfg, batch = _flagship_batch_and_cfg(64 if on_tpu else 8, conv_impl)
+    cfg, batch = _flagship_batch_and_cfg(64 if on_tpu else 8, conv_impl,
+                                         rng_seed=0)
     hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
                        compute_dtype="bfloat16" if on_tpu else "float32")
     mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
-    params = init_alignn(jrandom.PRNGKey(0), cfg)
-    smask = sigma_mask(params)
-    iters = 30 if on_tpu else 2
+    smask = None
+    scan_k = 30 if on_tpu else 2
+    n_disp = 3 if on_tpu else 1
+    dev = jax.devices()[0]
 
-    def time_loop(fn, *state):
-        for _ in range(2):
-            state = fn(*state)
+    def bcast(x, extra=()):  # [K, ...] stacked copies, materialized
+        return np.broadcast_to(np.asarray(x),
+                               (scan_k,) + tuple(extra)
+                               + np.asarray(x).shape).copy()
+
+    def time_program(run, params, opt_state):
+        key = prng_key(1, "rbg")
+        state = (params, opt_state)
+        for _ in range(2):  # compile + donated-aliasing recompile
+            key, k = jax.random.split(key)
+            state = run(state, k)
         jax.block_until_ready(state[0])
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state = fn(*state)
+        for _ in range(n_disp):
+            key, k = jax.random.split(key)
+            state = run(state, k)
         jax.block_until_ready(state[0])
-        return (time.perf_counter() - t0) / iters * 1e3
+        return (time.perf_counter() - t0) / (n_disp * scan_k) * 1e3
 
-    # unsharded fused step
-    step_u, init_u = make_train_step(cfg, hyper, mu, sd)
-    key = jrandom.PRNGKey(1)
+    # unsharded fused scan program
+    params = init_alignn(jrandom.PRNGKey(0), cfg)
+    smask = sigma_mask(params)
+    multi_u, init_u = make_scan_train_step(cfg, hyper, mu, sd)
+    stacked_u = jax.device_put(jax.tree.map(bcast, batch), dev)
 
-    def run_u(params, opt):
-        p, o, _ = step_u(params, opt, smask, batch, key, 3e-4, 3e-4)
+    def run_u(state, k):
+        p, o, _ = multi_u(state[0], state[1], smask, stacked_u, k, 3e-4, 3e-4)
         return p, o
 
-    ms_unsharded = time_loop(run_u, params, init_u(params))
+    ms_unsharded = time_program(run_u, params, init_u(params))
 
-    # Mesh((1,1)) aligned sharded step on the same batch
+    # Mesh((1,1)) aligned sharded scan program on the same batch
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
-    step_s, init_s = make_aligned_train_step(mesh, cfg, hyper, mu, sd)
-    stacked = stack_for_mesh([batch], 1)
+    multi_s, init_s = make_aligned_scan_step(mesh, cfg, hyper, mu, sd)
+    one = stack_for_mesh([batch], 1)
+    stacked_s = jax.device_put(
+        jax.tree.map(lambda x: bcast(x[0], extra=(1,)), one), dev)
 
-    def run_s(params, opt):
-        p, o, _, _ = step_s(params, opt, stacked, key, 3e-4, 3e-4, smask)
+    def run_s(state, k):
+        p, o, _, _ = multi_s(state[0], state[1], stacked_s, k, 3e-4, 3e-4,
+                             smask)
         return p, o
 
     params = init_alignn(jrandom.PRNGKey(0), cfg)
-    ms_sharded = time_loop(run_s, params, init_s(params))
+    ms_sharded = time_program(run_s, params, init_s(params))
 
     overhead = ms_sharded / ms_unsharded - 1.0
     print(json.dumps({
@@ -192,7 +211,7 @@ def sharded_parity_mode():
         "vs_baseline": round(0.15 / max(overhead, 1e-4), 2),
         "detail": {"ms_unsharded": round(ms_unsharded, 3),
                    "ms_sharded_1x1": round(ms_sharded, 3),
-                   "conv_impl": conv_impl},
+                   "conv_impl": conv_impl, "scan_steps": scan_k},
     }))
 
 

@@ -194,6 +194,15 @@ def aligned_pspecs() -> GraphBatch:
 
 def make_aligned_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                             log_means: np.ndarray, log_stds: np.ndarray):
+    """Graph-aligned multi-chip train step → (step, init_opt). See
+    `_aligned_parts` for the design notes."""
+    step, init_opt, _, _ = _aligned_parts(mesh, cfg, hyper, log_means,
+                                          log_stds)
+    return step, init_opt
+
+
+def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
+                   log_means: np.ndarray, log_stds: np.ndarray):
     """Graph-aligned multi-chip train step — the production fast path.
 
     A packed batch is a block-diagonal graph, so partitioning its edge and
@@ -249,30 +258,43 @@ def make_aligned_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
             loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
         return loss_sum, (sample_loss.sum(), batch.graph_mask.sum())
 
-    def device_step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
-        batch = jax.tree.map(lambda x: x[0], batch)   # local block size 1
-        rng = jax.random.fold_in(rng,
-                                 jax.lax.axis_index((DATA_AXIS, EDGE_AXIS)))
+    from jax.flatten_util import ravel_pytree
+
+    def device_body(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
+        """One optimizer step on an already-local sub-batch (inside
+        shard_map). Same flat-vector clip/Adam/update tail as the
+        single-device step (see train/loop._make_step_body)."""
         (_, (loss_sum, n_local)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, batch, rng)
         # one fused all-reduce: grads + loss + count ride a single psum
         grads, loss_total, n_global = jax.lax.psum(
             (grads, loss_sum, n_local), (DATA_AXIS, EDGE_AXIS))
         n_global = jnp.maximum(n_global, 1.0)
-        grads = jax.tree.map(lambda g: g / n_global, grads)
-        gnorm = optax.global_norm(grads)
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(params)
+        sigma_flat, _ = ravel_pytree(
+            jax.tree.map(lambda p, m: jnp.broadcast_to(jnp.asarray(m), p.shape),
+                         params, smask))
+        flat_g = flat_g / n_global
+        gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
         scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
-        grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = adam.update(grads, opt_state, params)
-        wd = hyper.weight_decay
-
-        def apply_leaf(u, p, is_sigma):
-            lr = jnp.where(is_sigma, lr_sigma, lr_mean)
-            return p - lr * (u + wd * p)
-
-        params = jax.tree.map(apply_leaf, updates, params,
-                              jax.tree.map(jnp.asarray, smask))
+        flat_g = flat_g * scale
+        if hyper.optimizer == "adam":
+            flat_g = flat_g + hyper.weight_decay * flat_p
+            wd = 0.0
+        else:
+            wd = hyper.weight_decay
+        updates, opt_state = adam.update(flat_g, opt_state, flat_p)
+        lr = jnp.where(sigma_flat, lr_sigma, lr_mean)
+        params = unravel(flat_p - lr * (updates + wd * flat_p))
         return params, opt_state, loss_total / n_global, n_global
+
+    def device_step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
+        batch = jax.tree.map(lambda x: x[0], batch)   # local block size 1
+        rng = jax.random.fold_in(rng,
+                                 jax.lax.axis_index((DATA_AXIS, EDGE_AXIS)))
+        return device_body(params, opt_state, batch, rng, lr_mean, lr_sigma,
+                           smask)
 
     sharded = shard_map(
         device_step, mesh=mesh,
@@ -284,7 +306,54 @@ def make_aligned_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     def step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
         return sharded(params, opt_state, batch, rng, lr_mean, lr_sigma, smask)
 
-    return step, (lambda params: adam.init(params))
+    def init_opt(params):
+        return adam.init(ravel_pytree(params)[0])
+
+    return step, init_opt, device_body, specs
+
+
+def make_aligned_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
+                           log_means: np.ndarray, log_stds: np.ndarray):
+    """Scan-over-steps variant of the aligned step: ONE jitted program runs
+    K optimizer steps over a [K, D·E, ...]-stacked super-batch pytree
+    (lax.scan inside shard_map). The multi-chip analogue of
+    `train.loop.make_scan_train_step` — the host leaves the inner loop, so
+    timings measure the chips, not the dispatch tunnel."""
+    _, init_opt, device_body, specs = _aligned_parts(
+        mesh, cfg, hyper, log_means, log_stds)
+    # leading K axis is unsharded; per-field slot axis sharding shifts right
+    scan_specs = jax.tree.map(lambda s: P(None, *s), specs)
+
+    def device_multi(params, opt_state, stacked, rng, lr_mean, lr_sigma,
+                     smask):
+        local = jax.tree.map(lambda x: x[:, 0], stacked)   # [K, ...]
+        n_steps = jax.tree.leaves(local)[0].shape[0]
+        rng = jax.random.fold_in(rng,
+                                 jax.lax.axis_index((DATA_AXIS, EDGE_AXIS)))
+        keys = jax.random.split(rng, n_steps)
+
+        def f(carry, xs):
+            p, o = carry
+            b, k = xs
+            p, o, loss, n = device_body(p, o, b, k, lr_mean, lr_sigma, smask)
+            return (p, o), (loss, n)
+
+        (params, opt_state), (losses, ns) = jax.lax.scan(
+            f, (params, opt_state), (local, keys))
+        return params, opt_state, losses, ns
+
+    sharded = shard_map(
+        device_multi, mesh=mesh,
+        in_specs=(P(), P(), scan_specs, P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi(params, opt_state, stacked, rng, lr_mean, lr_sigma, smask):
+        return sharded(params, opt_state, stacked, rng, lr_mean, lr_sigma,
+                       smask)
+
+    return multi, init_opt
 
 
 def make_aligned_forward(mesh, cfg: AlignnConfig, floor: float):

@@ -157,7 +157,18 @@ def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
 def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
                     mu: jnp.ndarray, sd: jnp.ndarray):
     """The (unjitted) train-step body shared by the single-step and
-    scan-over-steps entry points."""
+    scan-over-steps entry points.
+
+    The clip/Adam/update tail runs on ONE raveled parameter vector: the
+    per-leaf formulation issued ~8 tiny ops × ~50 leaves × (clip + adam +
+    update) per step, and at flagship scale that op-dispatch overhead —
+    not FLOPs (the whole parameter set is ~4.6 MB) — was a measurable
+    slice of the 9.5 ms step (PERF.md "GEMMs/optimizer ~5.8 ms across 3k
+    ops"). Elementwise math is position-identical to the per-leaf form;
+    only reduction order inside the global norm differs. `opt_state` is
+    therefore Adam state over the flat vector.
+    """
+    from jax.flatten_util import ravel_pytree
 
     def step(params, opt_state, smask, batch, rng, lr_mean, lr_sigma):
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
@@ -169,23 +180,23 @@ def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
 
         (_, (mean, logvar, sample_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        gnorm = optax.global_norm(grads)
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(params)
+        # trace-time constant: per-position sigma-group membership
+        sigma_flat, _ = ravel_pytree(
+            jax.tree.map(lambda p, m: jnp.broadcast_to(jnp.asarray(m), p.shape),
+                         params, smask))
+        gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
         scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
-        grads = jax.tree.map(lambda g: g * scale, grads)
+        flat_g = flat_g * scale
         if hyper.optimizer == "adam":      # coupled L2: decay enters the moments
-            grads = jax.tree.map(lambda g, p: g + hyper.weight_decay * p,
-                                 grads, params)
+            flat_g = flat_g + hyper.weight_decay * flat_p
             wd = 0.0
         else:                              # AdamW: decoupled decay at the update
             wd = hyper.weight_decay
-        updates, opt_state = adam.update(grads, opt_state, params)
-
-        def apply_leaf(u, p, is_sigma):
-            lr = jnp.where(is_sigma, lr_sigma, lr_mean)
-            return p - lr * (u + wd * p)
-
-        params = jax.tree.map(apply_leaf, updates, params,
-                              jax.tree.map(jnp.asarray, smask))
+        updates, opt_state = adam.update(flat_g, opt_state, flat_p)
+        lr = jnp.where(sigma_flat, lr_sigma, lr_mean)
+        params = unravel(flat_p - lr * (updates + wd * flat_p))
 
         pred = jnp.exp(mean * sd + mu)
         err = (pred - batch.y) * batch.graph_mask[:, None]
@@ -229,7 +240,9 @@ def _cached_train_step(cfg: AlignnConfig, hyper: TrainHyper,
     step = partial(jax.jit, donate_argnums=(0, 1))(body)
 
     def init_opt(params):
-        return adam.init(params)
+        from jax.flatten_util import ravel_pytree
+
+        return adam.init(ravel_pytree(params)[0])
 
     return step, init_opt
 
@@ -280,7 +293,9 @@ def _cached_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
         return params, opt_state, ms
 
     def init_opt(params):
-        return adam.init(params)
+        from jax.flatten_util import ravel_pytree
+
+        return adam.init(ravel_pytree(params)[0])
 
     return multi_step, init_opt
 
