@@ -175,8 +175,22 @@ def diversity_metrics(member_means_z: np.ndarray, member_stds_z: np.ndarray,
         denom_w = M ** 2 * (n_items ** 3 - n_items)
         kendall_w = float(12.0 * np.sum((rank_sums - mean_rs) ** 2) / denom_w) \
             if denom_w > 0 else float("nan")
+        # reference-convention value alongside (evaluate.py:926-936):
+        # ranks within each item's member column, W over per-member rank
+        # sums — emitted under its own key so metrics.json consumers
+        # comparing against reference outputs get a like-for-like number
+        order_r = np.argsort(flat, axis=0)
+        ranks_r = np.empty_like(order_r, dtype=float)
+        ranks_r[order_r, np.arange(n_items)] = \
+            np.arange(1, M + 1, dtype=float)[:, None]
+        rank_sums_r = ranks_r.sum(axis=1)
+        mean_rs_r = n_items * (M + 1) / 2.0
+        denom_r = M ** 2 * (n_items ** 3 - n_items)
+        kendall_w_ref = float(12.0 * np.sum((rank_sums_r - mean_rs_r) ** 2)
+                              / denom_r) if denom_r > 0 else float("nan")
     else:
         kendall_w = float("nan")
+        kendall_w_ref = float("nan")
 
     corr = np.corrcoef(flat) if M > 1 else np.ones((1, 1))
     return {
@@ -199,6 +213,7 @@ def diversity_metrics(member_means_z: np.ndarray, member_stds_z: np.ndarray,
         "q_statistic_mean": float(np.nanmean(qs)) if qs else float("nan"),
         "double_fault_mean": float(np.nanmean(dfs)) if dfs else float("nan"),
         "kendall_w": kendall_w,
+        "kendall_w_reference_convention": kendall_w_ref,
         "member_correlation_matrix": corr,
         "member_preds_orig": member_preds,
     }

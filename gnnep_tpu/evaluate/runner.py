@@ -215,6 +215,7 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
             "q_statistic_mean": div["q_statistic_mean"],
             "double_fault_mean": div["double_fault_mean"],
             "kendall_w": div["kendall_w"],
+            "kendall_w_reference_convention": div["kendall_w_reference_convention"],
             "member_correlation_matrix": div["member_correlation_matrix"].tolist(),
         },
         "per_target": {},
