@@ -239,8 +239,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "(CGCNN-style edges, line-graph angles, VRH targets)")
     p.add_argument("--out-dir", default=os.path.join("data", "mp_gnn"))
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--nn-method", choices=["crystalnn", "cutoff"],
-                   default="crystalnn")
+    p.add_argument("--nn-method", default="crystalnn",
+                   help="crystalnn (reference default; falls back to a "
+                        "7.5 A cutoff without pymatgen), cutoff, or "
+                        "knn[<k>] — k-nearest with shell ties (ALIGNN "
+                        "convention; CrystalNN-grade coordination on "
+                        "pymatgen-less hosts)")
     p.add_argument("--cutoff", type=float, default=5.0)
     p.add_argument("--api-key", default=None)
     p.add_argument("--rbf-n", type=int, default=32)

@@ -84,6 +84,98 @@ def cutoff_neighbors(structure: Structure, cutoff: float) -> List[Edge]:
     return edges
 
 
+def _radius_candidates(
+    structure: Structure, cutoff: float,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All (src, dst, image, dist) pairs with 0 < dist <= cutoff, as arrays.
+
+    Shared candidate machinery for `cutoff_neighbors` and `knn_neighbors`;
+    uses the native C kernel when available, numpy otherwise.
+    """
+    n = len(structure)
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros((0, 3), np.int64), np.zeros(0, np.float64))
+    if n == 0:
+        return empty
+    mat = structure.lattice.matrix
+    fracs = structure.frac_coords
+    reps = _image_ranges(mat, cutoff)
+
+    from .. import native as _native
+
+    nat = _native.cutoff_neighbors_native(fracs, mat, cutoff, reps)
+    if nat is not None:
+        src, dst, img, dist, _ = nat
+        return (src.astype(np.int64), dst.astype(np.int64),
+                img.astype(np.int64), dist)
+
+    images = np.array(list(itertools.product(
+        range(-reps[0], reps[0] + 1),
+        range(-reps[1], reps[1] + 1),
+        range(-reps[2], reps[2] + 1))), dtype=np.int64)  # [M, 3]
+    cand_frac = fracs[None, :, :] + images[:, None, :].astype(np.float64)
+    cand_cart = cand_frac.reshape(-1, 3) @ mat
+    cart = structure.cart_coords
+    srcs, dsts, imgs, dists = [], [], [], []
+    eps = 1e-8
+    for i in range(n):
+        d = np.linalg.norm(cand_cart - cart[i], axis=1)
+        hit = np.nonzero((d > eps) & (d <= cutoff))[0]
+        m, j = np.divmod(hit, n)
+        srcs.append(np.full(hit.shape, i, np.int64))
+        dsts.append(j.astype(np.int64))
+        imgs.append(images[m])
+        dists.append(d[hit])
+    if not srcs:
+        return empty
+    return (np.concatenate(srcs), np.concatenate(dsts),
+            np.concatenate(imgs, axis=0), np.concatenate(dists))
+
+
+def knn_neighbors(structure: Structure, k: int = 12,
+                  init_cutoff: float = 4.0,
+                  max_cutoff: float = 25.0) -> List[Edge]:
+    """k-nearest periodic neighbors per atom, keeping distance-shell ties.
+
+    The ALIGNN graph convention (k=12 nearest neighbors, ties at the k-th
+    distance included so symmetric coordination shells are never split) and
+    a CrystalNN-grade coordination statistic for hosts without pymatgen:
+    the reference's CrystalNN bonded sets (fetch.py:221-238) have median
+    coordination ~12 on MP, while its 7.5 Å fixed-radius fallback explodes
+    to 50+ neighbors on dense metals (and the line graph grows as the
+    square of coordination). Deterministic: candidates are ranked by
+    (rounded distance, j, image); output keeps `cutoff_neighbors`' per-src
+    (j, image) canonical ordering.
+    """
+    n = len(structure)
+    if n == 0:
+        return []
+    cutoff = float(init_cutoff)
+    while True:
+        src, dst, img, dist = _radius_candidates(structure, cutoff)
+        counts = np.bincount(src, minlength=n) if src.size else \
+            np.zeros(n, np.int64)
+        if counts.min(initial=0) >= k or cutoff >= max_cutoff:
+            break
+        cutoff *= 1.6
+    edges: List[Edge] = []
+    qd = np.round(dist, 10)
+    for i in range(n):
+        sel = np.nonzero(src == i)[0]
+        if sel.size == 0:
+            continue
+        order = sel[np.lexsort((img[sel, 2], img[sel, 1], img[sel, 0],
+                                dst[sel], qd[sel]))]
+        kk = min(k, order.size)
+        shell_d = qd[order[kk - 1]]
+        take = order[qd[order] <= shell_d + 1e-8]
+        ent = sorted((int(dst[t]),
+                      (int(img[t, 0]), int(img[t, 1]), int(img[t, 2])))
+                     for t in take)
+        edges.extend((i, j, im) for j, im in ent)
+    return edges
+
+
 def shortest_image(structure: Structure, i: int, j: int) -> Tuple[int, int, int]:
     """Lattice translation mapping j to its nearest periodic copy w.r.t. i."""
     mat = structure.lattice.matrix
@@ -137,7 +229,9 @@ def find_edges(structure: Structure, method: str, cutoff: float,
 
     'crystalnn' attempts pymatgen CrystalNN and falls back to a fixed-radius
     list at `fallback_cutoff` on any failure (including pymatgen being
-    absent), mirroring fetch.py:210-247.
+    absent), mirroring fetch.py:210-247. 'knn' / 'knn<k>' (e.g. 'knn12')
+    selects the k-nearest method — the recommended CrystalNN stand-in on
+    pymatgen-less hosts.
     """
     if method == "crystalnn":
         try:
@@ -147,4 +241,7 @@ def find_edges(structure: Structure, method: str, cutoff: float,
         if edges:
             return edges, "crystalnn"
         return cutoff_neighbors(structure, fallback_cutoff), "cutoff"
+    if method.startswith("knn"):
+        k = int(method[3:]) if method[3:] else 12
+        return knn_neighbors(structure, k=k), method
     return cutoff_neighbors(structure, cutoff), "cutoff"

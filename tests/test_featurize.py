@@ -116,6 +116,50 @@ class TestNeighbors:
             d = np.linalg.norm((s.frac_coords[j] + np.array(im) - s.frac_coords[i]) @ mat)
             assert 1e-8 < d <= cut
 
+    def test_knn_simple_cubic_keeps_shell_ties(self):
+        from gnnep_tpu.data.neighbors import knn_neighbors
+
+        s = cubic(3.0, ["Po"], [[0, 0, 0]])
+        # shells: 6 at a, 12 at a*sqrt(2); the 12th-nearest lands mid-shell,
+        # so the full second shell must be kept (18 edges, never 12)
+        edges = knn_neighbors(s, k=12)
+        assert len(edges) == 18
+        dists = sorted(round(float(np.linalg.norm(np.array(im) @ (np.eye(3) * 3.0))), 6)
+                       for _, _, im in edges)
+        assert dists[:6] == [3.0] * 6
+        assert all(abs(d - 3.0 * np.sqrt(2)) < 1e-6 for d in dists[6:])
+
+    def test_knn_rocksalt_coordination(self):
+        from gnnep_tpu.data.neighbors import knn_neighbors
+
+        s = cubic(4.0, ["Na", "Cl"], [[0, 0, 0], [0.5, 0.5, 0.5]])
+        edges = knn_neighbors(s, k=8)
+        from_na = [e for e in edges if e[0] == 0]
+        # CsCl-type cell: first shell is the 8 opposite-species corners
+        assert len(from_na) == 8 and all(e[1] == 1 for e in from_na)
+
+    def test_knn_adaptive_radius_and_dispatch(self):
+        from gnnep_tpu.data.neighbors import find_edges, knn_neighbors
+
+        # huge cell: initial 4 A radius finds nothing, must auto-grow
+        s = cubic(15.0, ["Po"], [[0, 0, 0]])
+        edges = knn_neighbors(s, k=6)
+        assert len(edges) == 6
+        got, method = find_edges(s, "knn6", cutoff=5.0)
+        assert method == "knn6" and sorted(got) == sorted(edges)
+
+    def test_knn_matches_numpy_fallback(self, monkeypatch):
+        from gnnep_tpu import native
+        from gnnep_tpu.data.neighbors import knn_neighbors
+
+        rng = np.random.default_rng(11)
+        mat = np.eye(3) * 4.5 + rng.normal(0, 0.2, (3, 3))
+        s = Structure(Lattice(mat), ["Fe", "O", "Mg"], rng.random((3, 3)))
+        fast = knn_neighbors(s, k=12)
+        monkeypatch.setattr(native, "cutoff_neighbors_native",
+                            lambda *a, **k: None)
+        assert knn_neighbors(s, k=12) == fast
+
     def test_shortest_image(self):
         s = cubic(3.0, ["Na", "Cl"], [[0.05, 0.05, 0.05], [0.95, 0.95, 0.95]])
         im = shortest_image(s, 0, 1)
