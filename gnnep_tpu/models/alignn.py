@@ -136,17 +136,25 @@ def init_alignn(rng: jax.Array, cfg: AlignnConfig) -> Params:
     return params
 
 
-def _dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
-    if rate <= 0.0 or rng is None:
+def _dropout(x: jnp.ndarray, rate, rng: Optional[jax.Array]) -> jnp.ndarray:
+    # `rate` may be a traced scalar (per-member dropout under vmap/shard
+    # member-parallelism); only a concretely-zero rate skips the mask
+    if rng is None or (isinstance(rate, (int, float)) and rate <= 0.0):
         return x
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype), 0.0)
 
 
 def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
-                  train: bool, rng: Optional[jax.Array]) -> jnp.ndarray:
+                  train: bool, rng: Optional[jax.Array],
+                  dropout_override=None) -> jnp.ndarray:
     """Encoders → interleaved LG/atom convs → pooling → feat_proj. Returns [G, H]."""
-    drop = cfg.dropout if train else 0.0
+    if not train:
+        drop = 0.0
+    elif dropout_override is not None:
+        drop = dropout_override
+    else:
+        drop = cfg.dropout
 
     def next_key():
         nonlocal rng
@@ -261,9 +269,14 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
 
 def alignn_apply(params: Params, cfg: AlignnConfig, batch, *,
                  train: bool = False, rng: Optional[jax.Array] = None,
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward pass → (mean [G,T], logvar [G,T]) in transformed target space."""
-    shared = _shared_trunk(params, cfg, batch, train=train, rng=rng)
+                 dropout_override=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward pass → (mean [G,T], logvar [G,T]) in transformed target space.
+
+    `dropout_override`: optional (possibly traced) scalar replacing
+    cfg.dropout during training — per-member rates under vmap/shard
+    member-parallelism with a single compilation."""
+    shared = _shared_trunk(params, cfg, batch, train=train, rng=rng,
+                           dropout_override=dropout_override)
     mean = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
     logvar = shared @ params["logvar_head"]["w"] + params["logvar_head"]["b"]
     return mean, logvar

@@ -137,7 +137,9 @@ def transformer_conv_table(
                      fe=edge_attr.shape[1], win64=win64,
                      itemsize=jnp.dtype(x.dtype).itemsize))
     e = None if use_eproj else edge_attr @ params.w_edge   # [E, H]
-    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    # rate may be traced (per-member dropout); concrete zero disables
+    use_dropout = dropout_rng is not None and not (
+        isinstance(dropout_rate, (int, float)) and dropout_rate <= 0.0)
     if (fuse_gathers and src_order is not None and src_starts is not None
             and out_edges is not None
             and _sum_ok(src_starts.shape[0], e_total, out_edges.shape[1],

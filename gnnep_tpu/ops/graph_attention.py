@@ -96,7 +96,10 @@ def transformer_conv(
     v_j = gather_rows(v, src) + e
     logits = jnp.sum(gather_rows(q, dst) * k_j, axis=-1) / math.sqrt(ch)  # [E, heads]
     alpha = segment_softmax(logits, dst, n, mask=edge_mask)      # [E, heads]
-    if dropout_rate > 0.0 and dropout_rng is not None:
+    # dropout_rate may be traced (per-member rates); only a concrete zero
+    # skips the mask
+    if dropout_rng is not None and not (
+            isinstance(dropout_rate, (int, float)) and dropout_rate <= 0.0):
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
     msg = segment_sum(alpha[..., None] * v_j, dst, n).reshape(n, hidden)

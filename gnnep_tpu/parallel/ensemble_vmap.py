@@ -72,13 +72,10 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
     num_folds = len(setup.folds)
     full_train = set(setup.train_idx)
     hidden = cfg.member_hiddens[0] if cfg.member_hiddens else cfg.hidden
-    # per-member dropout differs only through the rng-driven masks' rate; a
-    # traced scalar per member keeps one compilation
+    # per-member dropout rides in as a traced [M] vector (one rate per
+    # member slot) so heterogeneous rates still compile exactly once
     dropouts = [float(cfg.member_override(cfg.member_dropouts, i, cfg.dropout))
                 for i in range(m)]
-    if len(set(dropouts)) > 1:
-        raise ValueError(f"{mode} mode currently requires a shared dropout rate; "
-                         "use member_parallel='sequential' for per-member dropout.")
     lrs = [float(cfg.member_override(cfg.member_lrs, i, cfg.lr)) for i in range(m)]
 
     mc = model_config(cfg, s, hidden=hidden, dropout=dropouts[0],
@@ -109,11 +106,12 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
     mu = jnp.asarray(setup.transformer.means, dtype=jnp.float32)
     sd_ = jnp.asarray(setup.transformer.stds, dtype=jnp.float32)
 
-    def one_member_grads(p, batch, rng):
+    def one_member_grads(p, batch, rng, drop_rate):
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd_
 
         def loss_fn(pp):
-            loss, aux = hetero_nll(pp, mc, hyper, batch, y_z, rng, train=True)
+            loss, aux = hetero_nll(pp, mc, hyper, batch, y_z, rng, train=True,
+                                   dropout_override=drop_rate)
             return loss, aux
 
         (_, (mean, logvar, sample_loss)), grads = jax.value_and_grad(
@@ -124,8 +122,9 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
         stats = jnp.array([sample_loss.sum(), batch.graph_mask.sum()])
         return grads, stats
 
-    def _stacked_body(params, opt_state, batches, rngs, lr_vec, *, member_fn):
-        grads, stats = member_fn(params, batches, rngs)
+    def _stacked_body(params, opt_state, batches, rngs, lr_vec, drop_vec, *,
+                      member_fn):
+        grads, stats = member_fn(params, batches, rngs, drop_vec)
         updates, opt_state = adam.update(grads, opt_state, params)
         wd = hyper.weight_decay
 
@@ -151,15 +150,16 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
         # with every stacked leaf split on the member axis, so each device
         # executes a plain local (size-1) step — Pallas kernels included —
         # with no cross-member communication at all
-        def local_grads(params, batches, rngs):
+        def local_grads(params, batches, rngs, drop_vec):
             sq = lambda t: jax.tree.map(lambda x: x[0], t)
-            g, st = one_member_grads(sq(params), sq(batches), rngs[0])
+            g, st = one_member_grads(sq(params), sq(batches), rngs[0],
+                                     drop_vec[0])
             ex = lambda t: jax.tree.map(lambda x: x[None], t)
             return ex(g), st[None]
 
-        def sharded_body(params, opt_state, batches, rngs, lr_vec):
+        def sharded_body(params, opt_state, batches, rngs, lr_vec, drop_vec):
             return _stacked_body(params, opt_state, batches, rngs, lr_vec,
-                                 member_fn=local_grads)
+                                 drop_vec, member_fn=local_grads)
 
         spec = P("member")
         # Adam state carries a scalar step count — replicated, not sharded
@@ -167,7 +167,7 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
             lambda x: spec if np.ndim(x) > 0 else P(), opt_state)
         stacked_step = jax.jit(shard_map(
             sharded_body, mesh=mesh,
-            in_specs=(spec, opt_spec, spec, spec, spec),
+            in_specs=(spec, opt_spec, spec, spec, spec, spec),
             out_specs=(spec, opt_spec, spec),
             check_rep=False))
 
@@ -228,7 +228,8 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
                 step_keys.append(k)
             params, opt_state, stats = stacked_step(
                 params, opt_state, batch_stack, jnp.stack(step_keys),
-                jnp.asarray(lr_vec))
+                jnp.asarray(lr_vec),
+                jnp.asarray(dropouts, dtype=jnp.float32))
             stats = np.asarray(stats)
             loss_sums += stats[:, 0]
             graph_sums += stats[:, 1]

@@ -124,8 +124,13 @@ def sigma_mask(params) -> Any:
 
 
 def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
-               y_z: jnp.ndarray, rng: Optional[jax.Array], train: bool):
-    """Loss + raw stats. `y_z` are log-standardized targets [G, T]."""
+               y_z: jnp.ndarray, rng: Optional[jax.Array], train: bool,
+               dropout_override=None):
+    """Loss + raw stats. `y_z` are log-standardized targets [G, T].
+
+    `dropout_override`: optional (possibly traced) scalar replacing
+    cfg.dropout — lets vmap/shard member-parallelism express per-member
+    dropout rates in one compilation."""
     if train and hyper.feature_jitter_std > 0.0 and rng is not None:
         rng, kx, kg, kd = jax.random.split(rng, 4)
         batch = batch._replace(
@@ -137,7 +142,8 @@ def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
         kd = rng
     dtype = jnp.bfloat16 if hyper.compute_dtype == "bfloat16" else jnp.float32
     c_params, c_batch = _cast_for_compute(params, batch, dtype)
-    mean, logvar = alignn_apply(c_params, cfg, c_batch, train=train, rng=kd)
+    mean, logvar = alignn_apply(c_params, cfg, c_batch, train=train, rng=kd,
+                                dropout_override=dropout_override)
     mean = mean.astype(jnp.float32)
     logvar = logvar.astype(jnp.float32)
     logvar = jnp.maximum(logvar, hyper.min_logvar_floor)

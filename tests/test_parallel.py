@@ -355,6 +355,43 @@ class TestVmapEnsemble:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=0.05, atol=1e-3)
 
+    def test_vmap_per_member_dropout(self, tmp_path):
+        """Heterogeneous member dropout rates ride through vmap mode as a
+        traced [M] rate vector (previously rejected with a ValueError)."""
+        store = make_store(24, seed=5)
+        cfg = TrainConfig(
+            save_dir=str(tmp_path), batch_size=24, epochs=1, hidden=16,
+            layers=1, heads=2, ensemble_size=2, seed=42,
+            member_dropouts=[0.0, 0.4],
+            val_frac=0.15, calib_frac=0.15, test_frac=0.15,
+            bootstrap=False, feature_jitter_std=0.0, verbose=False,
+            member_parallel="vmap")
+        summary = run_training(cfg, store)
+        assert (tmp_path / "model_1.npz").exists()
+        assert "test_stats" in summary
+
+    def test_traced_dropout_matches_static(self):
+        """A traced dropout_override reproduces the static-rate forward
+        bit-for-bit (same rng stream, same mask)."""
+        store, cfg, setup, mc = _setup(n=12, batch_size=4)
+        mc_drop = dataclasses.replace(mc, dropout=0.35)
+        params = init_alignn(jax.random.PRNGKey(0), mc_drop)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        batch = batches[0]
+        rng = jax.random.PRNGKey(7)
+        want = alignn_apply(params, mc_drop, batch, train=True, rng=rng)
+
+        @jax.jit
+        def traced(rate):
+            return alignn_apply(params, mc_drop, batch, train=True, rng=rng,
+                                dropout_override=rate)
+
+        got = traced(jnp.asarray(0.35, jnp.float32))
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6, atol=1e-6)
+
     def test_shard_mode_too_many_members(self):
         store = make_store(12, seed=5)
         cfg = TrainConfig(batch_size=12, epochs=1, hidden=16, layers=1,
