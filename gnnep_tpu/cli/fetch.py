@@ -23,7 +23,7 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 from ..data.featurize import BasisConfig, build_graph, load_mat2vec
-from ..data.store import GraphStore, load_sample, save_sample, write_index
+from ..data.store import load_sample, save_sample, write_index_streaming
 from ..data.structure import Structure
 
 
@@ -228,9 +228,9 @@ def fetch_and_build(args) -> None:
                 if saved % 200 == 0:
                     print(f"  featurized {saved} materials ...")
 
-    store = GraphStore.load_dir(out_dir, require_target=False, use_cache=False)
-    write_index(out_dir, store)
-    print(f"Saved {saved} graphs to {out_dir} (skipped: {skipped})")
+    n_indexed = write_index_streaming(out_dir)
+    print(f"Saved {saved} graphs to {out_dir} "
+          f"(skipped: {skipped}, indexed: {n_indexed})")
 
 
 def build_parser() -> argparse.ArgumentParser:

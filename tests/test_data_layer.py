@@ -60,7 +60,15 @@ class TestStore:
             save_sample(tmp_path, s)
         store3 = GraphStore.load_dir(tmp_path)
         assert store3.n_graphs == 5
-        write_index(tmp_path, store1)
+        write_index(tmp_path, store3)
+        full = (tmp_path / "index.json").read_text()
+        from gnnep_tpu.data.store import write_index_streaming
+
+        n = write_index_streaming(tmp_path)
+        assert n == store3.n_graphs
+        # the streaming builder (never materializes the dataset) must write
+        # a byte-identical manifest
+        assert (tmp_path / "index.json").read_text() == full
         assert (tmp_path / "index.json").exists()
 
     def test_target_filtering(self):
