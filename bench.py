@@ -228,7 +228,8 @@ def main():
     conv_impl = os.environ.get("BENCH_IMPL", "fused")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
-                       compute_dtype=dtype)
+                       compute_dtype=dtype,
+                       flat_opt=os.environ.get("BENCH_FLAT", "0") == "1")
     n_graphs = int(os.environ.get("BENCH_GRAPHS", 64))
     # batch with seed 0 + measured per-64-target window bounds (smaller
     # VMEM windows in the fused kernels)

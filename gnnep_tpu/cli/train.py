@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan-layers", action="store_true",
                    help="Roll the conv layers into one lax.scan: ~5x faster "
                         "compile, ~20%% slower step (good for iteration)")
+    p.add_argument("--flat-opt", action="store_true",
+                   help="Run the clip/Adam/update tail on one raveled "
+                        "parameter vector (fewer ops, but layout "
+                        "relinearization measured slower on TPU; A/B knob)")
     p.add_argument("--scan-steps", type=int, default=8,
                    help="Run K optimizer steps per dispatch as one "
                         "lax.scan program (device-side inner loop; "
@@ -172,6 +176,7 @@ def config_from_args(args) -> TrainConfig:
         knn_coverage_max_batches=args.knn_coverage_max_batches,
         save_embeddings=args.save_embeddings,
         conv_impl=args.conv_impl, scan_layers=args.scan_layers,
+        flat_opt=args.flat_opt,
         attn_fused=args.attn_fused, attn_eproj=args.attn_eproj,
         prng_impl=args.prng_impl, pack_workers=args.pack_workers,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,

@@ -262,31 +262,53 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
 
     def device_body(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
         """One optimizer step on an already-local sub-batch (inside
-        shard_map). Same flat-vector clip/Adam/update tail as the
-        single-device step (see train/loop._make_step_body)."""
+        shard_map). Same clip/Adam/update tail as the single-device step
+        (see train/loop._make_step_body): per-leaf by default, raveled
+        flat-vector under hyper.flat_opt."""
         (_, (loss_sum, n_local)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, batch, rng)
         # one fused all-reduce: grads + loss + count ride a single psum
         grads, loss_total, n_global = jax.lax.psum(
             (grads, loss_sum, n_local), (DATA_AXIS, EDGE_AXIS))
         n_global = jnp.maximum(n_global, 1.0)
-        flat_g, _ = ravel_pytree(grads)
-        flat_p, unravel = ravel_pytree(params)
-        sigma_flat, _ = ravel_pytree(
-            jax.tree.map(lambda p, m: jnp.broadcast_to(jnp.asarray(m), p.shape),
-                         params, smask))
-        flat_g = flat_g / n_global
-        gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
-        scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
-        flat_g = flat_g * scale
-        if hyper.optimizer == "adam":
-            flat_g = flat_g + hyper.weight_decay * flat_p
-            wd = 0.0
+        if hyper.flat_opt:
+            flat_g, _ = ravel_pytree(grads)
+            flat_p, unravel = ravel_pytree(params)
+            sigma_flat, _ = ravel_pytree(
+                jax.tree.map(
+                    lambda p, m: jnp.broadcast_to(jnp.asarray(m), p.shape),
+                    params, smask))
+            flat_g = flat_g / n_global
+            gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
+            scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+            flat_g = flat_g * scale
+            if hyper.optimizer == "adam":
+                flat_g = flat_g + hyper.weight_decay * flat_p
+                wd = 0.0
+            else:
+                wd = hyper.weight_decay
+            updates, opt_state = adam.update(flat_g, opt_state, flat_p)
+            lr = jnp.where(sigma_flat, lr_sigma, lr_mean)
+            params = unravel(flat_p - lr * (updates + wd * flat_p))
         else:
-            wd = hyper.weight_decay
-        updates, opt_state = adam.update(flat_g, opt_state, flat_p)
-        lr = jnp.where(sigma_flat, lr_sigma, lr_mean)
-        params = unravel(flat_p - lr * (updates + wd * flat_p))
+            grads = jax.tree.map(lambda g: g / n_global, grads)
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            if hyper.optimizer == "adam":
+                grads = jax.tree.map(lambda g, p: g + hyper.weight_decay * p,
+                                     grads, params)
+                wd = 0.0
+            else:
+                wd = hyper.weight_decay
+            updates, opt_state = adam.update(grads, opt_state, params)
+
+            def apply_leaf(u, p, is_sigma):
+                lr = jnp.where(is_sigma, lr_sigma, lr_mean)
+                return p - lr * (u + wd * p)
+
+            params = jax.tree.map(apply_leaf, updates, params,
+                                  jax.tree.map(jnp.asarray, smask))
         return params, opt_state, loss_total / n_global, n_global
 
     def device_step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
@@ -307,7 +329,8 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         return sharded(params, opt_state, batch, rng, lr_mean, lr_sigma, smask)
 
     def init_opt(params):
-        return adam.init(ravel_pytree(params)[0])
+        return adam.init(ravel_pytree(params)[0]) if hyper.flat_opt \
+            else adam.init(params)
 
     return step, init_opt, device_body, specs
 

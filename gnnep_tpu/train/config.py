@@ -90,6 +90,7 @@ class TrainConfig:
                                          # (host packing otherwise caps fast
                                          # chips); 1 = serial packer
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
+    flat_opt: bool = False               # raveled optimizer tail (A/B knob)
     checkpoint_every: int = 0            # save mid-training state every N epochs
     resume: bool = False                 # resume member training from checkpoints
     member_parallel: str = "sequential"  # 'sequential' | 'vmap' (one device,

@@ -50,6 +50,12 @@ class TrainHyper:
     # (parameters and optimizer state stay fp32 — the TPU analogue of the
     # reference's AMP autocast, train.py:632-636; no loss scaling needed)
     compute_dtype: str = "float32"
+    # run the clip/Adam/update tail on one raveled parameter vector instead
+    # of per-leaf trees. Fewer HLO ops, but on TPU the ravel/unravel forces
+    # tiled-layout relinearization copies each step, which measured SLOWER
+    # at flagship scale (12.0 vs 9.5 ms/step) — keep False unless an A/B on
+    # the target hardware says otherwise. Changes opt_state's pytree shape.
+    flat_opt: bool = False
 
 
 def _cast_for_compute(params, batch, dtype):
@@ -165,14 +171,13 @@ def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
     """The (unjitted) train-step body shared by the single-step and
     scan-over-steps entry points.
 
-    The clip/Adam/update tail runs on ONE raveled parameter vector: the
-    per-leaf formulation issued ~8 tiny ops × ~50 leaves × (clip + adam +
-    update) per step, and at flagship scale that op-dispatch overhead —
-    not FLOPs (the whole parameter set is ~4.6 MB) — was a measurable
-    slice of the 9.5 ms step (PERF.md "GEMMs/optimizer ~5.8 ms across 3k
-    ops"). Elementwise math is position-identical to the per-leaf form;
-    only reduction order inside the global norm differs. `opt_state` is
-    therefore Adam state over the flat vector.
+    With `hyper.flat_opt` the clip/Adam/update tail runs on ONE raveled
+    parameter vector (fewer HLO ops; elementwise math position-identical,
+    only the reduction order inside the global norm differs, and
+    `opt_state` becomes Adam state over the flat vector). Default is the
+    per-leaf tail: on TPU the ravel/unravel relinearizes every leaf's
+    tiled layout each step, which measured slower (12.0 vs 9.5 ms at
+    flagship scale) despite the op-count win.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -186,23 +191,43 @@ def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
 
         (_, (mean, logvar, sample_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        flat_g, _ = ravel_pytree(grads)
-        flat_p, unravel = ravel_pytree(params)
-        # trace-time constant: per-position sigma-group membership
-        sigma_flat, _ = ravel_pytree(
-            jax.tree.map(lambda p, m: jnp.broadcast_to(jnp.asarray(m), p.shape),
-                         params, smask))
-        gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
-        scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
-        flat_g = flat_g * scale
-        if hyper.optimizer == "adam":      # coupled L2: decay enters the moments
-            flat_g = flat_g + hyper.weight_decay * flat_p
-            wd = 0.0
-        else:                              # AdamW: decoupled decay at the update
-            wd = hyper.weight_decay
-        updates, opt_state = adam.update(flat_g, opt_state, flat_p)
-        lr = jnp.where(sigma_flat, lr_sigma, lr_mean)
-        params = unravel(flat_p - lr * (updates + wd * flat_p))
+        if hyper.flat_opt:
+            flat_g, _ = ravel_pytree(grads)
+            flat_p, unravel = ravel_pytree(params)
+            # trace-time constant: per-position sigma-group membership
+            sigma_flat, _ = ravel_pytree(
+                jax.tree.map(
+                    lambda p, m: jnp.broadcast_to(jnp.asarray(m), p.shape),
+                    params, smask))
+            gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
+            scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+            flat_g = flat_g * scale
+            if hyper.optimizer == "adam":  # coupled L2: decay enters the moments
+                flat_g = flat_g + hyper.weight_decay * flat_p
+                wd = 0.0
+            else:                          # AdamW: decoupled decay at the update
+                wd = hyper.weight_decay
+            updates, opt_state = adam.update(flat_g, opt_state, flat_p)
+            lr = jnp.where(sigma_flat, lr_sigma, lr_mean)
+            params = unravel(flat_p - lr * (updates + wd * flat_p))
+        else:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            if hyper.optimizer == "adam":
+                grads = jax.tree.map(lambda g, p: g + hyper.weight_decay * p,
+                                     grads, params)
+                wd = 0.0
+            else:
+                wd = hyper.weight_decay
+            updates, opt_state = adam.update(grads, opt_state, params)
+
+            def apply_leaf(u, p, is_sigma):
+                lr = jnp.where(is_sigma, lr_sigma, lr_mean)
+                return p - lr * (u + wd * p)
+
+            params = jax.tree.map(apply_leaf, updates, params,
+                                  jax.tree.map(jnp.asarray, smask))
 
         pred = jnp.exp(mean * sd + mu)
         err = (pred - batch.y) * batch.graph_mask[:, None]
@@ -246,6 +271,8 @@ def _cached_train_step(cfg: AlignnConfig, hyper: TrainHyper,
     step = partial(jax.jit, donate_argnums=(0, 1))(body)
 
     def init_opt(params):
+        if not hyper.flat_opt:
+            return adam.init(params)
         from jax.flatten_util import ravel_pytree
 
         return adam.init(ravel_pytree(params)[0])
@@ -299,6 +326,8 @@ def _cached_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
         return params, opt_state, ms
 
     def init_opt(params):
+        if not hyper.flat_opt:
+            return adam.init(params)
         from jax.flatten_util import ravel_pytree
 
         return adam.init(ravel_pytree(params)[0])

@@ -116,7 +116,8 @@ def train_member(
                        feature_jitter_std=cfg.feature_jitter_std,
                        min_logvar_floor=cfg.min_logvar_floor,
                        optimizer=cfg.optimizer,
-                       compute_dtype=cfg.compute_dtype)
+                       compute_dtype=cfg.compute_dtype,
+                       flat_opt=getattr(cfg, "flat_opt", False))
     step, init_opt = make_train_step(model_cfg, hyper,
                                      transformer.means, transformer.stds)
     scan_k = max(int(getattr(cfg, "scan_steps", 0)), 0)
