@@ -47,10 +47,23 @@ def edge_sharded_conv(
     edge_mask: Optional[jnp.ndarray] = None,   # [E_loc]
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    comm_chunks: int = 1,
+    row_post=None,
 ) -> jnp.ndarray:
     """β-gated transformer conv with the edge dimension sharded over
     `axis_name`. Numerically equal to `ops.graph_attention.transformer_conv`
-    on the unsharded arrays (up to float reduction order)."""
+    on the unsharded arrays (up to float reduction order).
+
+    `comm_chunks` > 1 splits the partial-aggregate all-reduce into that
+    many row chunks; everything downstream of the combine (softmax
+    normalization, the β gate, and the caller's `row_post`) is row-local,
+    so XLA can launch chunk c+1's psum while chunk c's postprocessing
+    computes — the comm/compute overlap SURVEY §7 step 7 prescribes for
+    the boundary exchange, realized as a pipelined all-reduce. Outputs are
+    bit-identical for every chunk count (psum of a row slice == row slice
+    of the psum). `row_post(rows, r0, r1)` maps each combined chunk
+    (e.g. LayerNorm + residual) before reassembly.
+    """
     n = x.shape[0]
     hidden = params.w_query.shape[1]
     ch = hidden // heads
@@ -74,41 +87,65 @@ def edge_sharded_conv(
     if edge_mask is not None:
         expd = expd * edge_mask[:, None]
     local_denom = segment_sum(expd, dst, n)
-    local_msg = segment_sum(expd[..., None] * v_j, dst, n)        # [N, heads, ch]
-    # fuse both partial aggregates into one psum
-    stacked = jnp.concatenate([local_msg.reshape(n, hidden),
-                               local_denom], axis=-1)
-    stacked = jax.lax.psum(stacked, axis_name)
-    msg_sum = stacked[:, :hidden].reshape(n, heads, ch)
-    denom = jnp.maximum(stacked[:, hidden:], 1e-16)
 
     if dropout_rate > 0.0 and dropout_rng is not None:
-        # dropout on α must follow normalization; recover α for local edges,
-        # drop, and re-aggregate (training-only path)
+        # dropout on α must follow normalization, so the [N, heads] denom
+        # combine has to complete before α exists; only the α·v aggregate
+        # rides the chunked pipeline (and un-dropped msg partials are never
+        # communicated — the fused-psum formulation sent [N, H] of them
+        # just to discard them here)
+        denom = jnp.maximum(jax.lax.psum(local_denom, axis_name), 1e-16)
         alpha = expd / gather_rows(denom, dst)
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name)),
             1.0 - dropout_rate, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
-        msg = jax.lax.psum(segment_sum(alpha[..., None] * v_j, dst, n),
-                           axis_name).reshape(n, hidden)
-    else:
-        msg = (msg_sum / denom[..., None]).reshape(n, hidden)
+        local_agg = segment_sum(alpha[..., None] * v_j, dst, n
+                                ).reshape(n, hidden)
 
-    r = x @ params.w_skip + params.b_skip
-    beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
-                          @ params.w_beta)
-    return beta * r + (1.0 - beta) * msg
+        def combine(r0, r1):
+            return jax.lax.psum(local_agg[r0:r1], axis_name)
+    else:
+        local_msg = segment_sum(expd[..., None] * v_j, dst, n)  # [N, heads, ch]
+        # fuse both partial aggregates into one (chunked) psum
+        stacked_local = jnp.concatenate([local_msg.reshape(n, hidden),
+                                         local_denom], axis=-1)
+
+        def combine(r0, r1):
+            st = jax.lax.psum(stacked_local[r0:r1], axis_name)
+            dn = jnp.maximum(st[:, hidden:], 1e-16)
+            return (st[:, :hidden].reshape(-1, heads, ch)
+                    / dn[..., None]).reshape(-1, hidden)
+
+    r_full = x @ params.w_skip + params.b_skip
+    n_chunks = max(int(comm_chunks), 1)
+    bounds = [i * n // n_chunks for i in range(n_chunks + 1)]
+    outs = []
+    for c in range(n_chunks):
+        r0, r1 = bounds[c], bounds[c + 1]
+        if r0 == r1:
+            continue
+        msg = combine(r0, r1)
+        rr = r_full[r0:r1]
+        beta = jax.nn.sigmoid(jnp.concatenate([rr, msg, rr - msg], axis=-1)
+                              @ params.w_beta)
+        out = beta * rr + (1.0 - beta) * msg
+        outs.append(row_post(out, r0, r1) if row_post is not None else out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
-                  train: bool = False, rng: Optional[jax.Array] = None
-                  ) -> jnp.ndarray:
+                  train: bool = False, rng: Optional[jax.Array] = None,
+                  comm_chunks: int = 1) -> jnp.ndarray:
     """Edge-sharded equivalent of `models.alignn._shared_trunk`.
 
     `batch` carries node/graph arenas replicated and edge/LG arenas sharded
     on their leading axis. Bond *states* are materialized replicated via an
-    all-gather of the locally-encoded slice.
+    all-gather of the locally-encoded slice. `comm_chunks` > 1 pipelines
+    each conv's all-reduce against its row-local epilogue (LayerNorm,
+    residual, dropout) — see `edge_sharded_conv`; results are
+    chunk-count-invariant (residual dropout masks are drawn full-size and
+    sliced per chunk).
     """
     drop = cfg.dropout if train else 0.0
 
@@ -133,26 +170,42 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
     has_lg = jax.lax.psum(jnp.sum(batch.lg_mask), axis_name) > 0
     has_edges = jax.lax.psum(jnp.sum(batch.edge_mask), axis_name) > 0
 
+    def make_post(block, state, gate, key):
+        """Row-local conv epilogue: LN → residual add with dropout(relu),
+        gated by `gate` (all-padding batches leave the state unchanged).
+        The dropout mask is drawn over the FULL state so outputs do not
+        depend on comm_chunks."""
+        keep = None
+        if drop > 0.0 and key is not None:
+            keep = jax.random.bernoulli(key, 1.0 - drop, state.shape)
+
+        def post(rows, r0, r1):
+            o = _layer_norm(rows, block["ln_scale"], block["ln_bias"])
+            a = jax.nn.relu(o)
+            if keep is not None:
+                a = jnp.where(keep[r0:r1], a / (1.0 - drop), 0.0)
+            return jnp.where(gate, state[r0:r1] + a, state[r0:r1])
+
+        return post
+
     for eb, nb in zip(params["edge_blocks"], params["node_blocks"]):
-        out = edge_sharded_conv(
+        edge_state = edge_sharded_conv(
             eb["conv"], edge_state, batch.lg_src, batch.lg_dst, angle_emb,
             heads=cfg.heads, axis_name=axis_name, edge_mask=batch.lg_mask,
-            dropout_rate=drop, dropout_rng=next_key())
-        out = _layer_norm(out, eb["ln_scale"], eb["ln_bias"])
-        updated = edge_state + _dropout(jax.nn.relu(out), drop, next_key())
-        edge_state = jnp.where(has_lg, updated, edge_state)
+            dropout_rate=drop, dropout_rng=next_key(),
+            comm_chunks=comm_chunks,
+            row_post=make_post(eb, edge_state, has_lg, next_key()))
 
         # atom conv consumes the local slice of projected bond states
         local_rows = jax.lax.dynamic_slice_in_dim(
             edge_state, my_shard * e_local, e_local, axis=0)
         edge_feat = local_rows @ nb["edge_proj_w"] + nb["edge_proj_b"]
-        out = edge_sharded_conv(
+        node_state = edge_sharded_conv(
             nb["conv"], node_state, batch.edge_src, batch.edge_dst, edge_feat,
             heads=cfg.heads, axis_name=axis_name, edge_mask=batch.edge_mask,
-            dropout_rate=drop, dropout_rng=next_key())
-        out = _layer_norm(out, nb["ln_scale"], nb["ln_bias"])
-        updated = node_state + _dropout(jax.nn.relu(out), drop, next_key())
-        node_state = jnp.where(has_edges, updated, node_state)
+            dropout_rate=drop, dropout_rng=next_key(),
+            comm_chunks=comm_chunks,
+            row_post=make_post(nb, node_state, has_edges, next_key()))
 
     n_graphs = batch.y.shape[0]
     pooled = segment_mean(node_state, batch.node_graph, n_graphs + 1)[:n_graphs]
@@ -164,9 +217,10 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
 
 
 def sharded_apply(params: Params, cfg, batch, *, axis_name: str,
-                  train: bool = False, rng: Optional[jax.Array] = None):
+                  train: bool = False, rng: Optional[jax.Array] = None,
+                  comm_chunks: int = 1):
     shared = sharded_trunk(params, cfg, batch, axis_name=axis_name,
-                           train=train, rng=rng)
+                           train=train, rng=rng, comm_chunks=comm_chunks)
     mean = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
     logvar = shared @ params["logvar_head"]["w"] + params["logvar_head"]["b"]
     return mean, logvar

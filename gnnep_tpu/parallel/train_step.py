@@ -113,8 +113,13 @@ def stack_for_mesh(batches: List[GraphBatch], n_data: int) -> GraphBatch:
 
 
 def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
-                            log_means: np.ndarray, log_stds: np.ndarray):
-    """Build the jitted multi-chip train step + optimizer init."""
+                            log_means: np.ndarray, log_stds: np.ndarray,
+                            comm_chunks: int = 4):
+    """Build the jitted multi-chip train step + optimizer init.
+
+    `comm_chunks` pipelines each conv's all-reduce against its row-local
+    epilogue (see edge_shard.edge_sharded_conv) — outputs are
+    chunk-count-invariant, so the default of 4 only changes scheduling."""
     adam = optax.scale_by_adam()
     mu = jnp.asarray(log_means, dtype=jnp.float32)
     sd = jnp.asarray(log_stds, dtype=jnp.float32)
@@ -130,7 +135,8 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                 globals_=batch.globals_ + hyper.feature_jitter_std
                 * jax.random.normal(kg, batch.globals_.shape))
         mean, logvar = sharded_apply(params, cfg, batch, axis_name=EDGE_AXIS,
-                                     train=True, rng=rng)
+                                     train=True, rng=rng,
+                                     comm_chunks=comm_chunks)
         logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
         diff = mean - y_z

@@ -147,6 +147,47 @@ class TestShardedTrainStep:
         assert np.isfinite(float(loss))
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(got))
 
+    def test_comm_chunks_invariance(self):
+        """The pipelined (row-chunked) all-reduce produces the same trunk
+        output as the single-psum formulation, for eval AND for training
+        with dropout active (masks are drawn full-size then sliced)."""
+        import dataclasses
+
+        from gnnep_tpu.parallel.edge_shard import sharded_apply
+        from gnnep_tpu.parallel.mesh import EDGE_AXIS
+        from gnnep_tpu.parallel.train_step import batch_pspecs, stack_for_mesh
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        store, cfg, setup, mc = _setup(n=12, batch_size=4)
+        mc = dataclasses.replace(mc, dropout=0.3)
+        params = init_alignn(jax.random.PRNGKey(3), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:1]
+        mesh = make_mesh(1, 8)
+        stacked = stack_for_mesh(batches, 1)
+
+        def run(chunks, train):
+            def device_fwd(p, batch):
+                batch = jax.tree.map(lambda x: x[0], batch)
+                rng = jax.random.PRNGKey(11) if train else None
+                m, lv = sharded_apply(p, mc, batch, axis_name=EDGE_AXIS,
+                                      train=train, rng=rng,
+                                      comm_chunks=chunks)
+                return m, lv
+
+            return jax.jit(shard_map(
+                device_fwd, mesh=mesh, in_specs=(P(), batch_pspecs()),
+                out_specs=(P(), P()), check_rep=False))(params, stacked)
+
+        for train in (False, True):
+            base = run(1, train)
+            for chunks in (3, 8):
+                got = run(chunks, train)
+                for w, g in zip(base, got):
+                    np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                               rtol=1e-6, atol=1e-6)
+
     def test_pad_rank_contributes_nothing(self):
         """Stacking fewer batches than data ranks: padded rank is inert."""
         store, cfg, setup, mc = _setup(n=16, batch_size=4)
