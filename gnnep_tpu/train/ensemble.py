@@ -242,6 +242,11 @@ def _save_embeddings(save_dir: Path, members, model_cfgs, store, setup) -> None:
 
     from ..models.alignn import alignn_embed
 
+    # ONE jitted embed per distinct member config — a fresh jax.jit wrapper
+    # per (batch, member) recompiled the same program hundreds of times
+    # (minutes per compile through a remote compile service)
+    from .knn_weights import embed_fn
+
     splits = {"train": setup.train_idx, "val": setup.val_idx,
               "calib": setup.calib_idx, "test": setup.test_idx}
     for name, idx in splits.items():
@@ -250,10 +255,8 @@ def _save_embeddings(save_dir: Path, members, model_cfgs, store, setup) -> None:
         batches = epoch_batches(store, idx, setup.budget, shuffle=False)
         accum = []
         for batch in batches:
-            zs = []
-            for params, mc in zip(members, model_cfgs):
-                z = np.asarray(jax.jit(lambda p, b, m=mc: alignn_embed(p, m, b))(params, batch))
-                zs.append(z)
+            zs = [np.asarray(embed_fn(mc)(params, batch))
+                  for params, mc in zip(members, model_cfgs)]
             z_mean = np.mean(zs, axis=0)
             accum.append(z_mean[np.asarray(batch.graph_mask) > 0])
         np.savez(save_dir / f"embeddings_{name}.npz", z=np.concatenate(accum))

@@ -11,17 +11,27 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import functools
+
 import jax
 import numpy as np
 
 from ..models.alignn import AlignnConfig, alignn_embed
 
 
+@functools.lru_cache(maxsize=32)
+def embed_fn(model_cfg: AlignnConfig):
+    """Memoized jitted embedding forward — a fresh `jax.jit(lambda ...)`
+    per call recompiles the same program on every weight refresh (and each
+    compile can take minutes through a remote compile service)."""
+    return jax.jit(lambda params, batch: alignn_embed(params, model_cfg, batch))
+
+
 def compute_knn_weights(model_cfg: AlignnConfig, params, snapshot_batches,
                         store, *, k: int, eps: float, alpha: float, beta: float,
                         clip_min: Optional[float], clip_max: Optional[float]
                         ) -> Dict[int, float]:
-    embed = jax.jit(lambda p, b: alignn_embed(p, model_cfg, b))
+    embed = embed_fn(model_cfg)
     zs: List[np.ndarray] = []
     ys: List[np.ndarray] = []
     idxs: List[np.ndarray] = []
