@@ -26,6 +26,12 @@ def _flagship_batch_and_cfg(n_graphs: int, conv_impl: str, rng_seed: int = 42):
     from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
 
     cfg = dataclasses.replace(flagship_config(), conv_impl=conv_impl)
+    # size overrides (the --functional CI smoke shrinks the model so bench
+    # wiring is exercised on CPU in seconds)
+    for env, field in (("BENCH_HIDDEN", "hidden"), ("BENCH_LAYERS", "layers"),
+                       ("BENCH_HEADS", "heads")):
+        if os.environ.get(env):
+            cfg = dataclasses.replace(cfg, **{field: int(os.environ[env])})
     batch = synthetic_batch(np.random.default_rng(rng_seed),
                             n_graphs=n_graphs, mean_atoms=10, degree=10)
 
@@ -319,6 +325,24 @@ def main():
     }))
 
 
+def functional_mode():
+    """CI smoke: run the full bench path on a tiny model/batch (CPU-safe) so
+    the wiring can't rot between hardware runs. Same code path as main()."""
+    defaults = {"BENCH_GRAPHS": "2", "BENCH_ITERS": "2", "BENCH_SCAN": "2",
+                "BENCH_HIDDEN": "32", "BENCH_LAYERS": "2", "BENCH_HEADS": "2",
+                "BENCH_DTYPE": "float32", "BENCH_IMPL": "table"}
+    for k, v in defaults.items():
+        os.environ.setdefault(k, v)
+    # honor a CPU request even when a site hook pre-registered the TPU
+    # plugin (same recipe as scaling_mode / tests/conftest.py) — the CI
+    # smoke must never grab the shared chip
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -328,5 +352,7 @@ if __name__ == "__main__":
         scaling_mode(n)
     elif "--sharded-parity" in sys.argv:
         sharded_parity_mode()
+    elif "--functional" in sys.argv:
+        functional_mode()
     else:
         main()

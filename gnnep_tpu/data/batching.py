@@ -642,30 +642,12 @@ class BatchPacker:
             if b.lg_win64:
                 assert measure_win64(lg_dst, Ep) <= b.lg_win64
 
-        native = _native.build_batch_tables_native(
-            edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask, Np,
-            b.max_in_degree, b.max_lg_in_degree,
-            b.max_out_degree, b.max_lg_out_degree)
-        if native is not None:
-            (node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
-             node_ot, node_ot_mask, lg_ot, lg_ot_mask,
-             e_order, e_starts, l_order, l_starts, e_rp, l_rp) = native
-        else:
-            # no toolchain, or a dense-table capacity overflow — the Python
-            # path raises the full in-degree diagnostic in the latter case
-            node_tab, node_tab_mask, edge_pos = build_incoming_table(
-                edge_dst, edge_mask, Np, b.max_in_degree, dummy_edge)
-            lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
-                lg_dst, lg_mask, Ep, b.max_lg_in_degree, Lp - 1)
-            e_order, e_starts = src_csr_index(edge_src, Np)
-            l_order, l_starts = src_csr_index(lg_src, Ep)
-            node_ot, node_ot_mask, _ = build_incoming_table(
-                edge_src, edge_mask, Np, b.max_out_degree, dummy_edge,
-                order=e_order)
-            lg_ot, lg_ot_mask, _ = build_incoming_table(
-                lg_src, lg_mask, Ep, b.max_lg_out_degree, Lp - 1,
-                order=l_order)
-            e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
+        (node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
+         node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+         e_order, e_starts, l_order, l_starts, e_rp, l_rp) = build_tables(
+            edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask, Np, Ep,
+            Lp, b.max_in_degree, b.max_lg_in_degree, b.max_out_degree,
+            b.max_lg_out_degree)
         # src-side window bounds can't be enforced by dilution (segment
         # sizes are the data's out-degrees) — defer tail graphs instead
         if (b.edge_src_win64
@@ -681,6 +663,35 @@ class BatchPacker:
                           lg_tab, lg_tab_mask, lg_pos,
                           node_ot, node_ot_mask, lg_ot, lg_ot_mask,
                           e_order, e_starts, l_order, l_starts, e_rp, l_rp)
+
+
+def build_tables(edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
+                 Np: int, Ep: int, Lp: int, cap_in_a: int, cap_in_l: int,
+                 cap_out_a: int, cap_out_l: int):
+    """Dense incoming/outgoing tables + src-CSR index + row pointers for one
+    batch's (already CSR-sorted) arenas — native builder when the compiled
+    library is present, pure-Python fallback otherwise (no toolchain, or a
+    dense-table capacity overflow where the Python path raises the full
+    in-degree diagnostic). Returns the 16-tuple consumed by GraphBatch."""
+    native = _native.build_batch_tables_native(
+        edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask, Np,
+        cap_in_a, cap_in_l, cap_out_a, cap_out_l)
+    if native is not None:
+        return native
+    node_tab, node_tab_mask, edge_pos = build_incoming_table(
+        edge_dst, edge_mask, Np, cap_in_a, Ep - 1)
+    lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
+        lg_dst, lg_mask, Ep, cap_in_l, Lp - 1)
+    e_order, e_starts = src_csr_index(edge_src, Np)
+    l_order, l_starts = src_csr_index(lg_src, Ep)
+    node_ot, node_ot_mask, _ = build_incoming_table(
+        edge_src, edge_mask, Np, cap_out_a, Ep - 1, order=e_order)
+    lg_ot, lg_ot_mask, _ = build_incoming_table(
+        lg_src, lg_mask, Ep, cap_out_l, Lp - 1, order=l_order)
+    e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
+    return (node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
+            node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+            e_order, e_starts, l_order, l_starts, e_rp, l_rp)
 
 
 def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
@@ -727,17 +738,11 @@ def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
         lg_src = grow(b.lg_src, Lp, Ep - 1)
         lg_dst = grow(b.lg_dst, Lp, Ep - 1)
         lg_mask = grow(b.lg_mask, Lp, 0.0)
-        node_tab, node_tab_mask, edge_pos = build_incoming_table(
-            edge_dst, edge_mask, Np, da, Ep - 1)
-        lg_tab, lg_tab_mask, lg_pos = build_incoming_table(
-            lg_dst, lg_mask, Ep, dl, Lp - 1)
-        e_order, e_starts = src_csr_index(edge_src, Np)
-        l_order, l_starts = src_csr_index(lg_src, Ep)
-        node_ot, node_ot_mask, _ = build_incoming_table(
-            edge_src, edge_mask, Np, doa, Ep - 1, order=e_order)
-        lg_ot, lg_ot_mask, _ = build_incoming_table(
-            lg_src, lg_mask, Ep, dol, Lp - 1, order=l_order)
-        e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
+        (node_tab, node_tab_mask, edge_pos, lg_tab, lg_tab_mask, lg_pos,
+         node_ot, node_ot_mask, lg_ot, lg_ot_mask,
+         e_order, e_starts, l_order, l_starts, e_rp, l_rp) = build_tables(
+            edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
+            Np, Ep, Lp, da, dl, doa, dol)
         out.append(GraphBatch(
             nodes=grow(b.nodes, Np, 0.0), node_graph=grow(node_graph, Np, G),
             edge_src=edge_src, edge_dst=edge_dst,
@@ -757,6 +762,40 @@ def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
             lg_src_order=l_order, lg_src_starts=l_starts,
             edge_row_ptr=e_rp, lg_row_ptr=l_rp))
     return out
+
+
+def verify_win64(batches, cfg) -> None:
+    """Assert every batch's measured per-64-group row spans fit the model
+    config's kernel window bounds (any attribute-bearing `cfg` with the four
+    win64 fields works).
+
+    Guards the silent-wrong-output hazard: a fused Pallas kernel whose
+    `win64` VMEM window is smaller than a batch's actual 64-target edge span
+    drops the tail edges without error. Eval/inference paths call this after
+    packing with a fresh budget; pair with `train.loop.reconcile_win64`."""
+    checks = (
+        ("edge_win64", lambda b: measure_win64(np.asarray(b.edge_dst),
+                                               b.nodes.shape[0])),
+        ("lg_win64", lambda b: measure_win64(np.asarray(b.lg_dst),
+                                             b.edge_src.shape[0])),
+        ("edge_src_win64", lambda b: measure_seg_win64(
+            np.asarray(b.edge_src_starts), b.edge_src.shape[0])),
+        ("lg_src_win64", lambda b: measure_seg_win64(
+            np.asarray(b.lg_src_starts), b.lg_src.shape[0])),
+    )
+    for i, b in enumerate(batches):
+        for name, fn in checks:
+            bound = int(getattr(cfg, name, 0) or 0)
+            if not bound:
+                continue
+            got = fn(b)
+            if got > bound:
+                raise ValueError(
+                    f"Batch {i}: measured {name} span {got} exceeds the "
+                    f"active kernel window bound {bound}; the fused kernels "
+                    f"would silently drop edges. Re-pack with a budget whose "
+                    f"bounds cover this data, or reconcile the model config "
+                    f"via train.loop.reconcile_win64.")
 
 
 def epoch_batches(store: GraphStore, indices: Sequence[int], budget: BatchBudget,

@@ -147,6 +147,8 @@ def knn_neighbors(structure: Structure, k: int = 12,
     (rounded distance, j, image); output keeps `cutoff_neighbors`' per-src
     (j, image) canonical ordering.
     """
+    if k < 1:
+        raise ValueError(f"knn neighbor count must be >= 1, got {k}")
     n = len(structure)
     if n == 0:
         return []
@@ -155,7 +157,10 @@ def knn_neighbors(structure: Structure, k: int = 12,
         src, dst, img, dist = _radius_candidates(structure, cutoff)
         counts = np.bincount(src, minlength=n) if src.size else \
             np.zeros(n, np.int64)
-        if counts.min(initial=0) >= k or cutoff >= max_cutoff:
+        # counts has length n >= 1 (bincount minlength), so plain min() is
+        # safe; min(initial=0) would always be 0 and escalate every
+        # structure to max_cutoff, defeating the adaptive radius
+        if counts.min() >= k or cutoff >= max_cutoff:
             break
         cutoff *= 1.6
     edges: List[Edge] = []
@@ -173,7 +178,17 @@ def knn_neighbors(structure: Structure, k: int = 12,
                       (int(img[t, 0]), int(img[t, 1]), int(img[t, 2])))
                      for t in take)
         edges.extend((i, j, im) for j, im in ent)
-    return edges
+    # Symmetrize: per-atom k-NN selection is directed (j can be in i's shell
+    # without i being in j's — common in multi-species/distorted cells), but
+    # both other methods produce symmetric sets and the ALIGNN convention
+    # builds undirected edge data. Add the missing reverse (j, i, -image)
+    # edges, then re-canonicalize to the per-src (j, image) ordering.
+    have = set(edges)
+    for i, j, im in list(edges):
+        rev = (j, i, (-im[0], -im[1], -im[2]))
+        if rev not in have:
+            have.add(rev)
+    return sorted(have)
 
 
 def shortest_image(structure: Structure, i: int, j: int) -> Tuple[int, int, int]:
@@ -231,8 +246,15 @@ def find_edges(structure: Structure, method: str, cutoff: float,
     list at `fallback_cutoff` on any failure (including pymatgen being
     absent), mirroring fetch.py:210-247. 'knn' / 'knn<k>' (e.g. 'knn12')
     selects the k-nearest method — the recommended CrystalNN stand-in on
-    pymatgen-less hosts.
+    pymatgen-less hosts. Unknown method strings raise (a typo silently
+    falling through to cutoff graphs would skew every downstream feature).
     """
+    import re
+
+    if not re.fullmatch(r"crystalnn|cutoff|knn\d*", method):
+        raise ValueError(
+            f"Unknown neighbor method {method!r}; expected 'crystalnn', "
+            "'cutoff', or 'knn<k>' (e.g. 'knn12').")
     if method == "crystalnn":
         try:
             edges = crystalnn_neighbors(structure, guess_oxidation)
@@ -243,5 +265,7 @@ def find_edges(structure: Structure, method: str, cutoff: float,
         return cutoff_neighbors(structure, fallback_cutoff), "cutoff"
     if method.startswith("knn"):
         k = int(method[3:]) if method[3:] else 12
+        if k < 1:
+            raise ValueError(f"knn neighbor count must be >= 1, got {k}")
         return knn_neighbors(structure, k=k), method
     return cutoff_neighbors(structure, cutoff), "cutoff"

@@ -50,10 +50,19 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
                      budget: BatchBudget, floor: float):
     batches = epoch_batches(store, indices, budget, shuffle=False)
     means, stds, targets = [], [], None
+    from ..data.batching import verify_win64
     from ..parallel.train_step import collect_predictions_auto
-    from ..train.loop import oneshot_config
+    from ..train.loop import oneshot_config, reconcile_win64
 
+    checked = False
     for params, cfg in zip(ensemble.members, ensemble.cfgs):
+        # checkpoints embed TRAINING-time window bounds; these batches were
+        # packed/diluted to the fresh eval budget — the kernels must window
+        # to the active budget or silently drop edges on denser eval data
+        cfg = reconcile_win64(cfg, budget)
+        if not checked:
+            verify_win64(batches, cfg)
+            checked = True
         # multi-device when available: batches fan out over a flat mesh via
         # the graph-aligned forward; single-device otherwise (identical math)
         mean_z, sigma_z, y, _ = collect_predictions_auto(

@@ -78,10 +78,18 @@ class Ensemble:
         member_means, member_vars = [], []
         order = None
         ys = None
+        from ..data.batching import verify_win64
         from ..parallel.train_step import collect_predictions_auto
-        from ..train.loop import oneshot_config
+        from ..train.loop import oneshot_config, reconcile_win64
 
+        checked = False
         for params, cfg in zip(self.members, self.cfgs):
+            # checkpoint win64 bounds are training-time; these batches were
+            # packed to the fresh inference budget (see reconcile_win64)
+            cfg = reconcile_win64(cfg, budget)
+            if not checked:
+                verify_win64(batches, cfg)
+                checked = True
             # multi-device when available (graph-aligned forward fan-out)
             mean_z, sigma_z, y, sample_idx = collect_predictions_auto(
                 oneshot_config(cfg), min_logvar_floor, params, batches)

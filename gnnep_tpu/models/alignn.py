@@ -147,8 +147,13 @@ def _dropout(x: jnp.ndarray, rate, rng: Optional[jax.Array]) -> jnp.ndarray:
 
 def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                   train: bool, rng: Optional[jax.Array],
-                  dropout_override=None) -> jnp.ndarray:
-    """Encoders → interleaved LG/atom convs → pooling → feat_proj. Returns [G, H]."""
+                  dropout_override=None, tap=None) -> jnp.ndarray:
+    """Encoders → interleaved LG/atom convs → pooling → feat_proj. Returns [G, H].
+
+    `tap`: optional callback `(name, array) -> None` recording intermediate
+    activations (encoders, per-layer edge/node states, pooled features) —
+    the per-layer parity hook used by `alignn_activations`. Unsupported
+    under `scan_layers` (the loop body is traced once)."""
     if not train:
         drop = 0.0
     elif dropout_override is not None:
@@ -166,6 +171,10 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
     node_state = _mlp(params["node_enc"], batch.nodes)
     edge_state = _mlp(params["edge_enc"], batch.edge_attr)
     angle_emb = _mlp(params["angle_enc"], batch.lg_attr)
+    if tap is not None:
+        tap("node_enc", node_state)
+        tap("edge_enc", edge_state)
+        tap("angle_enc", angle_emb)
 
     has_lg = jnp.sum(batch.lg_mask) > 0
     has_edges = jnp.sum(batch.edge_mask) > 0
@@ -233,7 +242,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
         node_state = jnp.where(has_edges, updated, node_state)
         return edge_state, node_state
 
-    if getattr(cfg, "scan_layers", True) and cfg.layers > 1:
+    if getattr(cfg, "scan_layers", False) and cfg.layers > 1:
+        if tap is not None:
+            raise ValueError("activation taps require scan_layers=False")
         eb_s = jax.tree.map(lambda *xs: jnp.stack(xs), *params["edge_blocks"])
         nb_s = jax.tree.map(lambda *xs: jnp.stack(xs), *params["node_blocks"])
 
@@ -249,13 +260,17 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
         (edge_state, node_state, rng), _ = jax.lax.scan(
             body, (edge_state, node_state, rng), (eb_s, nb_s))
     else:
-        for eb, nb in zip(params["edge_blocks"], params["node_blocks"]):
+        for li, (eb, nb) in enumerate(zip(params["edge_blocks"],
+                                          params["node_blocks"])):
             if rng is None:
                 keys = (None,) * 4
             else:
                 rng, *keys = jax.random.split(rng, 5)
             edge_state, node_state = layer_pair(edge_state, node_state, eb,
                                                 nb, tuple(keys))
+            if tap is not None:
+                tap(f"layer{li}_edge", edge_state)
+                tap(f"layer{li}_node", node_state)
 
     n_graphs = batch.y.shape[0]
     pooled = segment_mean(node_state, batch.node_graph, n_graphs + 1)[:n_graphs]
@@ -264,6 +279,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
     feats = _dropout(feats, drop, next_key())
     shared = jax.nn.relu(feats @ params["feat_proj"]["w"] + params["feat_proj"]["b"])
     shared = _dropout(shared, drop, next_key())
+    if tap is not None:
+        tap("pooled", pooled)
+        tap("shared", shared)
     return shared
 
 
@@ -285,6 +303,26 @@ def alignn_apply(params: Params, cfg: AlignnConfig, batch, *,
 def alignn_embed(params: Params, cfg: AlignnConfig, batch) -> jnp.ndarray:
     """Penultimate embedding (train.py:576-577), used by KNN density weighting."""
     return _shared_trunk(params, cfg, batch, train=False, rng=None)
+
+
+def alignn_activations(params: Params, cfg: AlignnConfig, batch
+                       ) -> Dict[str, jnp.ndarray]:
+    """Eval forward recording every intermediate activation.
+
+    Returns {node_enc, edge_enc, angle_enc, layer{i}_edge, layer{i}_node,
+    pooled, shared, mean, logvar} — the per-layer parity surface against the
+    reference model's `_shared` stages (train.py:537-586), used by
+    `tests/test_torch_parity.py` to close the BASELINE "per-layer
+    activations (allclose)" requirement. Forces the unrolled layer loop."""
+    acts: Dict[str, jnp.ndarray] = {}
+    run_cfg = (dataclasses.replace(cfg, scan_layers=False)
+               if getattr(cfg, "scan_layers", False) else cfg)
+    shared = _shared_trunk(params, run_cfg, batch, train=False, rng=None,
+                           tap=acts.__setitem__)
+    acts["mean"] = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
+    acts["logvar"] = (shared @ params["logvar_head"]["w"]
+                      + params["logvar_head"]["b"])
+    return acts
 
 
 def config_from_params(params: Params, *, edge_dim: int, angle_dim: int,

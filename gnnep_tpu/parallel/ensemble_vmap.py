@@ -60,6 +60,13 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
 
     s = setup.store
     m = cfg.ensemble_size
+    # inverse-frequency bin weights ride the packer's weights= path (the
+    # same composition point the sequential loop grafts onto batches)
+    freq_weights = None
+    if cfg.freq_gamma > 0.0:
+        from ..train.bins import freq_weights_for_store
+        freq_weights = freq_weights_for_store(s.y, setup.bin_edges,
+                                              setup.bin_weights)
     mesh = None
     if mode == "shard":
         devices = jax.devices()
@@ -207,6 +214,7 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
             for i in range(m)]).astype(np.float32)
         streams = [epoch_batches(s, member_train_idx[i], setup.budget,
                                  shuffle=True, rng=shuffle_rngs[i],
+                                 weights=freq_weights,
                                  workers=getattr(cfg, "pack_workers", 1))
                    for i in range(m)]
         n_steps = min(len(st) for st in streams)

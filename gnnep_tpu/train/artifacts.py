@@ -116,6 +116,13 @@ def save_pytree(path: str | Path, tree, meta: Optional[Dict] = None) -> None:
     tmp.replace(path)
 
 
+def load_pytree_meta(path: str | Path) -> Dict:
+    """Read only the JSON metadata of a `save_pytree` archive (no template
+    needed — lets callers validate layout compatibility before loading)."""
+    with np.load(path, allow_pickle=False) as data:
+        return json.loads(str(data["meta_json"]))
+
+
 def load_pytree(path: str | Path, template) -> Tuple[object, Dict]:
     """Rebuild a pytree saved by `save_pytree` onto `template`'s structure."""
     import jax.numpy as jnp

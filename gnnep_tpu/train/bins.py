@@ -1,9 +1,13 @@
 """Target-bin statistics (quantile bins over log targets).
 
 Parity port of the reference's `_compute_bin_statistics`
-(`/root/reference/scripts/train.py:425-478`). As in the reference, the
-computed weights participate in training only when `freq_gamma > 0`; the
-scales/probs are carried for diagnostics.
+(`/root/reference/scripts/train.py:425-478`) plus its per-sample gather
+(`_gather_bin_values`, train.py:404-421). When `freq_gamma > 0` the
+inverse-frequency bin weights are folded into the per-sample training loss
+(mean across targets → one scalar per sample, composed multiplicatively with
+any active KNN density weights); the scales/probs are carried for
+diagnostics. The flag's intent follows the reference's help text
+("set >0 to enable weighting", train.py:1106).
 """
 from __future__ import annotations
 
@@ -57,3 +61,43 @@ def compute_bin_statistics(values: np.ndarray, num_bins: int, gamma: float,
             scales[d, b] = max(float(np.median(dim_vals[m])) if m.any()
                                else global_median, eps)
     return edges, weights, scales, probs
+
+
+def gather_bin_values(values: np.ndarray, bin_edges: np.ndarray,
+                      bin_values: np.ndarray) -> np.ndarray:
+    """Per-target bin lookup: values [N, T] (linear space, positive) →
+    [N, T] of each sample's bin value, binned over log-targets.
+
+    Mirrors the reference's `_gather_bin_values`
+    (`/root/reference/scripts/train.py:404-421`): bucketize against the
+    interior edges (edges[d, 1:-1], right-open), index into the bin values.
+    """
+    logv = np.log(np.maximum(np.asarray(values, dtype=np.float64), 1e-300))
+    n, t_dim = logv.shape
+    out = np.empty((n, t_dim), dtype=np.float64)
+    for d in range(t_dim):
+        idx = np.digitize(logv[:, d], bin_edges[d, 1:-1], right=False)
+        out[:, d] = bin_values[d][idx]
+    return out
+
+
+def freq_sample_weights(values: np.ndarray, bin_edges: np.ndarray,
+                        bin_weights: np.ndarray) -> np.ndarray:
+    """One loss weight per sample: mean across targets of the sample's
+    inverse-frequency bin weights. Applied to the per-sample NLL exactly as
+    KNN density weights are (composed multiplicatively when both are
+    active)."""
+    return gather_bin_values(values, bin_edges, bin_weights).mean(
+        axis=1).astype(np.float32)
+
+
+def freq_weights_for_store(y: np.ndarray, bin_edges: np.ndarray,
+                           bin_weights: np.ndarray) -> np.ndarray:
+    """[n_graphs] per-sample loss weights over a whole store's targets,
+    defaulting to 1.0 wherever a target is missing or non-positive (such
+    samples never reach the training loss anyway)."""
+    out = np.ones(y.shape[0], dtype=np.float32)
+    finite = np.isfinite(y).all(axis=1) & (y > 0).all(axis=1)
+    if finite.any():
+        out[finite] = freq_sample_weights(y[finite], bin_edges, bin_weights)
+    return out

@@ -135,6 +135,21 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
     members: List[Dict] = []
     model_cfgs: List[AlignnConfig] = []
 
+    # inverse-frequency target-bin loss weights (reference --freq-gamma
+    # semantics, train.py:1106,1411-1414): one weight per graph from the
+    # train-split bin statistics, grafted onto train batches by the member
+    # loop exactly as KNN weights are
+    freq_weights = None
+    if cfg.freq_gamma > 0.0:
+        from .bins import freq_weights_for_store
+        freq_weights = freq_weights_for_store(s.y, setup.bin_edges,
+                                              setup.bin_weights)
+        if cfg.verbose:
+            tw = freq_weights[np.asarray(setup.train_idx, dtype=np.int64)]
+            print(f"[Weights] freq-gamma={cfg.freq_gamma}: bin weights over "
+                  f"{len(setup.train_idx)} train samples | "
+                  f"mean={tw.mean():.3f} min={tw.min():.3f} max={tw.max():.3f}")
+
     if cfg.member_parallel in ("vmap", "shard"):
         from ..parallel.ensemble_vmap import train_members_vmapped
         members, model_cfgs = train_members_vmapped(setup, cfg,
@@ -166,7 +181,8 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
                       f"(fold {fold_idx + 1}/{num_folds}) with seed {seed_i} | "
                       f"train={len(train_i)} fold_val={len(holdout)}")
             params, _ = train_member(s, member_cfg, mc, setup.transformer,
-                                     setup.budget, seed_i, train_i, holdout)
+                                     setup.budget, seed_i, train_i, holdout,
+                                     freq_weights=freq_weights)
             members.append(params)
             model_cfgs.append(mc)
             save_member(save_dir / f"model_{i}.npz", params, mc)

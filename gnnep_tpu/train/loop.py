@@ -335,6 +335,27 @@ def _cached_scan_train_step(cfg: AlignnConfig, hyper: TrainHyper,
     return multi_step, init_opt
 
 
+def reconcile_win64(cfg: AlignnConfig, budget) -> AlignnConfig:
+    """Override a checkpoint config's four packer window bounds with the
+    ACTIVE batch budget's bounds.
+
+    Checkpoints embed the *training-time* bounds, but evaluate/predict plan
+    a fresh budget over their own data and pack batches diluted to THAT
+    budget — if eval data is denser than training data, the fused Pallas
+    kernels' VMEM windows (sized from the checkpoint's bounds) under-cover
+    a 64-target group's edge span and silently drop tail edges. Every
+    eval/inference path that packs with a fresh budget must route its model
+    config through this before building forwards. The packer's own
+    dilution/deferral asserts (`epoch_batches`) then guarantee each batch
+    fits the active bounds. Mirrors the reference's eval-side reconciliation
+    contract (`/root/reference/scripts/evaluate.py:539-574`)."""
+    return dataclasses.replace(
+        cfg,
+        edge_win64=int(budget.edge_win64), lg_win64=int(budget.lg_win64),
+        edge_src_win64=int(budget.edge_src_win64),
+        lg_src_win64=int(budget.lg_src_win64))
+
+
 def oneshot_config(cfg: AlignnConfig) -> AlignnConfig:
     """Config variant for one-shot evaluation/inference forwards: roll the
     layers into a lax.scan. The ~20 % slower step is dwarfed by the ~5×

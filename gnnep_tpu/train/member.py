@@ -110,8 +110,13 @@ def train_member(
     member_seed: int,
     train_indices: List[int],
     val_indices: List[int],
+    freq_weights: Optional[np.ndarray] = None,
 ) -> Tuple[Dict, Dict[str, float]]:
-    """Train one member; returns (best_params_on_host, best_val_metrics)."""
+    """Train one member; returns (best_params_on_host, best_val_metrics).
+
+    `freq_weights`: optional [n_graphs] per-sample inverse-frequency loss
+    weights (active when --freq-gamma > 0; `train.bins.freq_sample_weights`).
+    Composed multiplicatively with KNN density weights when both are on."""
     hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
                        feature_jitter_std=cfg.feature_jitter_std,
                        min_logvar_floor=cfg.min_logvar_floor,
@@ -167,10 +172,21 @@ def train_member(
     # crashed member from scratch, SURVEY.md §5)
     from pathlib import Path
 
-    from .artifacts import load_pytree, save_pytree
+    from .artifacts import load_pytree, load_pytree_meta, save_pytree
 
     resume_path = Path(cfg.save_dir) / f"resume_member_{member_seed}.npz"
     if cfg.resume and resume_path.exists():
+        # layout guard BEFORE the fallback try: flat_opt flips the opt_state
+        # pytree between a flat vector and per-leaf Adam state; silently
+        # restarting from scratch on mismatch would discard real progress
+        ck_flat = load_pytree_meta(resume_path).get("flat_opt")
+        if ck_flat is not None and bool(ck_flat) != bool(hyper.flat_opt):
+            raise RuntimeError(
+                f"[Member {member_seed}] resume checkpoint {resume_path} was "
+                f"written with flat_opt={bool(ck_flat)} but this run uses "
+                f"flat_opt={hyper.flat_opt}; the optimizer-state layouts are "
+                "incompatible. Re-run with the matching flat_opt setting, or "
+                "delete the resume file to deliberately restart the member.")
         try:
             (params, opt_state, best_tree), meta = load_pytree(
                 resume_path, (params, opt_state, params))
@@ -238,10 +254,13 @@ def train_member(
                        and weights_active_epoch is not None
                        and epoch >= weights_active_epoch)
         weight_arr = None
-        if use_weights:
-            weight_arr = np.ones(store.n_graphs, dtype=np.float32)
-            for gi, w in weights_by_index.items():
-                weight_arr[gi] = w
+        if use_weights or freq_weights is not None:
+            weight_arr = (np.asarray(freq_weights, dtype=np.float32).copy()
+                          if freq_weights is not None
+                          else np.ones(store.n_graphs, dtype=np.float32))
+            if use_weights:  # compose KNN density × inverse-frequency
+                for gi, w in weights_by_index.items():
+                    weight_arr[gi] *= w
 
         batches = graft_weights(next_batches.result(), weight_arr)
         if epoch < cfg.epochs:
@@ -336,7 +355,8 @@ def train_member(
                       "best_mae_global": selector.best_mae_global,
                       "best_mae_reference": selector.best_mae_reference,
                       "best": selector.best, "best_epoch": selector.best_epoch,
-                      "has_best": best_params is not None})
+                      "has_best": best_params is not None,
+                      "flat_opt": bool(hyper.flat_opt)})
 
         # KNN weight refresh after warmup (activated next epoch)
         if cfg.enable_density_weighting and epoch >= cfg.weight_warmup_epochs:

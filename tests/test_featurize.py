@@ -160,6 +160,59 @@ class TestNeighbors:
                             lambda *a, **k: None)
         assert knn_neighbors(s, k=12) == fast
 
+    def test_knn_edges_are_symmetric(self):
+        """ADVICE r2: per-atom k-NN selection is directed; the output must be
+        symmetrized (every (i,j,im) has its (j,i,-im) reverse) to match the
+        undirected ALIGNN/jarvis edge convention and the other two methods."""
+        from gnnep_tpu.data.neighbors import knn_neighbors
+
+        rng = np.random.default_rng(5)
+        # distorted multi-species cell: shells differ per species, so the
+        # raw directed selection is asymmetric
+        mat = np.eye(3) * 4.0 + rng.normal(0, 0.5, (3, 3))
+        s = Structure(Lattice(mat), ["Fe", "O", "Mg", "O"], rng.random((4, 3)))
+        edges = knn_neighbors(s, k=4)
+        eset = set(edges)
+        for i, j, im in edges:
+            assert (j, i, (-im[0], -im[1], -im[2])) in eset, (i, j, im)
+        # canonical global ordering preserved
+        assert edges == sorted(eset)
+
+    def test_find_edges_rejects_unknown_method(self):
+        from gnnep_tpu.data.neighbors import find_edges, knn_neighbors
+
+        s = cubic(3.0, ["Po"], [[0, 0, 0]])
+        with pytest.raises(ValueError, match="Unknown neighbor method"):
+            find_edges(s, "crystallnn", cutoff=5.0)  # typo must not fall through
+        with pytest.raises(ValueError, match=">= 1"):
+            find_edges(s, "knn0", cutoff=5.0)
+        with pytest.raises(ValueError, match=">= 1"):
+            knn_neighbors(s, k=0)
+
+    def test_knn_adaptive_radius_stops_early(self):
+        """ADVICE r2: the adaptive-radius loop must stop once every atom has
+        >= k candidates instead of always escalating to max_cutoff (the
+        dense-metal candidate blow-up the feature exists to avoid)."""
+        import gnnep_tpu.data.neighbors as nb
+
+        calls = []
+        orig = nb._radius_candidates
+
+        def spy(structure, cutoff):
+            calls.append(cutoff)
+            return orig(structure, cutoff)
+
+        old = nb._radius_candidates
+        nb._radius_candidates = spy
+        try:
+            nb.knn_neighbors(cubic(3.0, ["Po"], [[0, 0, 0]]), k=6,
+                             init_cutoff=4.0, max_cutoff=25.0)
+        finally:
+            nb._radius_candidates = old
+        # 4 A already holds the full 6-neighbor first shell of a=3 cubic:
+        # exactly one candidate pass, no escalation toward 25 A
+        assert calls == [4.0]
+
     def test_shortest_image(self):
         s = cubic(3.0, ["Na", "Cl"], [[0.05, 0.05, 0.05], [0.95, 0.95, 0.95]])
         im = shortest_image(s, 0, 1)

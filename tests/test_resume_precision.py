@@ -89,6 +89,43 @@ class TestResume:
         assert "Epoch 003" in out and "Epoch 002" not in out
 
 
+class TestFlatOptResumeGuard:
+    def test_flat_opt_mismatch_raises_instead_of_silent_restart(self, tmp_path):
+        """ADVICE r2: a resume checkpoint written under the other opt_state
+        layout (flat vector vs per-leaf Adam) must raise a clear error, not
+        silently discard mid-training progress via the fallback branch."""
+        import dataclasses
+        import pytest
+
+        from gnnep_tpu.train.config import TrainConfig
+        from gnnep_tpu.train.ensemble import model_config, prepare
+        from gnnep_tpu.train.member import train_member
+        from synthetic import make_store
+
+        store = make_store(16, seed=8)
+        cfg = TrainConfig(batch_size=8, hidden=16, layers=1, heads=2,
+                          epochs=2, checkpoint_every=1, val_frac=0.2,
+                          calib_frac=0.0, test_frac=0.0, early_stop=10,
+                          verbose=False, bootstrap=False,
+                          save_dir=str(tmp_path), flat_opt=False)
+        setup = prepare(cfg, store)
+        mc = model_config(cfg, setup.store)
+        from pathlib import Path
+        orig_unlink = Path.unlink
+        try:
+            Path.unlink = lambda self, *a, **k: None  # simulate a crash
+            train_member(setup.store, cfg, mc, setup.transformer, setup.budget,
+                         42, setup.train_idx, setup.val_idx)
+        finally:
+            Path.unlink = orig_unlink
+        assert (tmp_path / "resume_member_42.npz").exists()
+
+        flipped = dataclasses.replace(cfg, flat_opt=True, resume=True)
+        with pytest.raises(RuntimeError, match="flat_opt"):
+            train_member(setup.store, flipped, mc, setup.transformer,
+                         setup.budget, 42, setup.train_idx, setup.val_idx)
+
+
 class TestBf16:
     def test_bf16_step_runs_and_learns(self):
         store = make_store(12, seed=9)
