@@ -325,6 +325,81 @@ def main():
     }))
 
 
+def edge_sharded_mode():
+    """Giant-graph fallback bench: the general edge-sharded training step on
+    a Mesh((1,1)) single chip, COO formulation vs the scatter-free
+    implicit-table formulation (`table_widths=measure_table_widths(...)`).
+    Records edges/s/chip for both and their speedup — the perf story for the
+    only path that matters when a single graph exceeds one chip (VERDICT r2
+    item 5). Steps dispatch asynchronously with donated buffers and only the
+    final loss is read back (PERF.md measurement discipline)."""
+    import jax
+    import jax.random as jrandom
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from gnnep_tpu.models.alignn import init_alignn
+    from gnnep_tpu.parallel.mesh import make_mesh
+    from gnnep_tpu.parallel.train_step import (make_sharded_train_step,
+                                               measure_table_widths,
+                                               stack_for_mesh)
+    from gnnep_tpu.train.loop import TrainHyper, sigma_mask
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_graphs = int(os.environ.get("BENCH_GRAPHS", 64 if on_tpu else 4))
+    iters = int(os.environ.get("BENCH_ITERS", 20 if on_tpu else 2))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16" if on_tpu else "float32")
+    hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
+                       compute_dtype=dtype)
+    cfg, batch = _flagship_batch_and_cfg(n_graphs, "coo", rng_seed=0)
+    if not on_tpu:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hidden=64, layers=2, heads=2)
+    widths = measure_table_widths([batch])
+    edges_per_step = float(np.asarray(batch.edge_mask).sum()
+                           + np.asarray(batch.lg_mask).sum())
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    stacked = stack_for_mesh([batch], 1)
+    mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
+
+    def run(table_widths, impl):
+        step, init_opt = make_sharded_train_step(mesh, cfg, hyper, mu, sd,
+                                                 table_widths=table_widths,
+                                                 impl=impl)
+        params = init_alignn(jrandom.PRNGKey(0), cfg)
+        smask = sigma_mask(params)
+        opt = init_opt(params)
+        for _ in range(2):  # compile + donated-aliasing recompile
+            params, opt, loss, _ = step(params, opt, stacked,
+                                        jrandom.PRNGKey(1), 3e-4, 3e-4, smask)
+        float(np.asarray(loss))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt, loss, _ = step(params, opt, stacked,
+                                        jrandom.PRNGKey(1), 3e-4, 3e-4, smask)
+        float(np.asarray(loss))
+        return edges_per_step * iters / (time.perf_counter() - t0)
+
+    eps_coo = run(None, None)
+    eps_win = run(widths, "windowed")
+    print(json.dumps({
+        "metric": "edge_sharded_train_edges_per_sec_per_chip",
+        "value": round(eps_win, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(eps_win / max(eps_coo, 1e-9), 3),
+        "detail": {
+            "formulation": "windowed (scatter-free, 2-D layouts)",
+            "edges_per_sec_coo": round(eps_coo, 1),
+            "speedup_vs_coo": round(eps_win / max(eps_coo, 1e-9), 3),
+            "table_widths": list(widths),
+            "edges_per_step": int(edges_per_step),
+            "graphs_per_batch": n_graphs, "compute_dtype": dtype,
+            "hidden": cfg.hidden, "layers": cfg.layers, "heads": cfg.heads,
+        },
+    }))
+
+
 def functional_mode():
     """CI smoke: run the full bench path on a tiny model/batch (CPU-safe) so
     the wiring can't rot between hardware runs. Same code path as main()."""
@@ -352,6 +427,8 @@ if __name__ == "__main__":
         scaling_mode(n)
     elif "--sharded-parity" in sys.argv:
         sharded_parity_mode()
+    elif "--edge-sharded" in sys.argv:
+        edge_sharded_mode()
     elif "--functional" in sys.argv:
         functional_mode()
     else:

@@ -49,10 +49,26 @@ def edge_sharded_conv(
     dropout_rng: Optional[jax.Array] = None,
     comm_chunks: int = 1,
     row_post=None,
+    row_ptr: Optional[jnp.ndarray] = None,  # [N+1] GLOBAL CSR ptrs of dst
+    table_width: int = 0,        # static per-row span cap (impl='table')
+    impl: str = "coo",
 ) -> jnp.ndarray:
     """β-gated transformer conv with the edge dimension sharded over
     `axis_name`. Numerically equal to `ops.graph_attention.transformer_conv`
     on the unsharded arrays (up to float reduction order).
+
+    `impl='table'` (requires `row_ptr` + `table_width`): the local partial
+    reductions run on an IMPLICIT dense incoming table instead of XLA
+    segment ops. Because each rank's slice is CSR-contiguous, its local
+    table needs no pack-time construction: local row pointers are
+    `clip(global_row_ptr − E0, 0, E_loc)` and every row's slots are
+    consecutive, so the table is a broadcasted iota and the inverse map a
+    gather — scatter-free in BOTH passes (the COO formulation's
+    segment-sum transposes are row-serial scatter-adds on TPU, the dominant
+    backward cost; see PERF.md). `table_width` must dominate every row's
+    LOCAL slot span — the in-degree caps cover undiluted batches; a batch
+    diluted for win64 bounds interleaves padding rows into real spans, so
+    pass a measured span (`edge_shard_table_widths`) or fall back to 'coo'.
 
     `comm_chunks` > 1 splits the partial-aggregate all-reduce into that
     many row chunks; everything downstream of the combine (softmax
@@ -68,6 +84,17 @@ def edge_sharded_conv(
     hidden = params.w_query.shape[1]
     ch = hidden // heads
 
+    if impl == "windowed" and row_ptr is not None and table_width > 0:
+        from ..ops.pallas.csr_attention import fusable as _w_ok
+        if _w_ok(n, src.shape[0], table_width, hidden=2 * hidden):
+            return _windowed_conv(
+                params, x, src, dst, edge_attr, heads=heads,
+                axis_name=axis_name, edge_mask=edge_mask,
+                dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                comm_chunks=comm_chunks, row_post=row_post, row_ptr=row_ptr,
+                table_width=table_width)
+        impl = "table"  # windowed preconditions unmet: next-best formulation
+
     q = (x @ params.w_query + params.b_query).reshape(n, heads, ch)
     k = (x @ params.w_key + params.b_key).reshape(n, heads, ch)
     v = (x @ params.w_value + params.b_value).reshape(n, heads, ch)
@@ -79,14 +106,43 @@ def edge_sharded_conv(
     if edge_mask is not None:
         logits = jnp.where(edge_mask[:, None] > 0, logits, _NEG)
 
-    # max-stabilizer is gradient-free (softmax is shift-invariant)
-    local_max = jax.ops.segment_max(jax.lax.stop_gradient(logits), dst, n)
+    use_table = impl == "table" and row_ptr is not None and table_width > 0
+    if use_table:
+        from ..ops.dense_attention import table_gather
+
+        e_loc = src.shape[0]
+        e0 = jax.lax.axis_index(axis_name) * e_loc
+        lrp = jnp.clip(row_ptr.astype(jnp.int32) - e0, 0, e_loc)   # [N+1]
+        starts = lrp[:-1]
+        counts = jnp.minimum(lrp[1:] - starts, table_width)
+        d_iota = jnp.arange(table_width, dtype=jnp.int32)
+        tab = jnp.minimum(starts[:, None] + d_iota[None, :], e_loc - 1)
+        tmask = d_iota[None, :] < counts[:, None]                  # [N, D]
+        offs = jnp.arange(e_loc, dtype=jnp.int32) - starts[dst]
+        pos = jnp.clip(dst.astype(jnp.int32) * table_width + offs,
+                       0, n * table_width - 1)
+        mask_t = tmask[..., None]
+        if edge_mask is not None:
+            mask_t = mask_t & (edge_mask[tab][..., None] > 0)
+        logits_t = jnp.where(mask_t, table_gather(logits, tab, pos), _NEG)
+        local_max = jnp.max(jax.lax.stop_gradient(logits_t), axis=1)
+    else:
+        # max-stabilizer is gradient-free (softmax is shift-invariant)
+        local_max = jax.ops.segment_max(jax.lax.stop_gradient(logits), dst, n)
     seg_max = jnp.maximum(jax.lax.pmax(local_max, axis_name), _NEG)
     seg_max = jax.lax.stop_gradient(seg_max)
-    expd = jnp.exp(logits - gather_rows(seg_max, dst))
-    if edge_mask is not None:
-        expd = expd * edge_mask[:, None]
-    local_denom = segment_sum(expd, dst, n)
+
+    if use_table:
+        expd_t = jnp.exp(logits_t - seg_max[:, None, :]) \
+            * mask_t.astype(logits_t.dtype)                        # [N, D, h]
+        local_denom = expd_t.sum(axis=1)                           # [N, h]
+        v_t = table_gather(v_j.reshape(e_loc, hidden), tab, pos
+                           ).reshape(n, table_width, heads, ch)
+    else:
+        expd = jnp.exp(logits - gather_rows(seg_max, dst))
+        if edge_mask is not None:
+            expd = expd * edge_mask[:, None]
+        local_denom = segment_sum(expd, dst, n)
 
     if dropout_rate > 0.0 and dropout_rng is not None:
         # dropout on α must follow normalization, so the [N, heads] denom
@@ -95,18 +151,28 @@ def edge_sharded_conv(
         # communicated — the fused-psum formulation sent [N, H] of them
         # just to discard them here)
         denom = jnp.maximum(jax.lax.psum(local_denom, axis_name), 1e-16)
-        alpha = expd / gather_rows(denom, dst)
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name)),
-            1.0 - dropout_rate, alpha.shape)
-        alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
-        local_agg = segment_sum(alpha[..., None] * v_j, dst, n
-                                ).reshape(n, hidden)
+            1.0 - dropout_rate, logits.shape)
+        if use_table:
+            alpha_t = expd_t / denom[:, None, :]
+            keep_t = keep[tab] & tmask[..., None]      # [N, D, heads]
+            alpha_t = jnp.where(keep_t, alpha_t / (1.0 - dropout_rate), 0.0)
+            local_agg = jnp.einsum("ndh,ndhc->nhc", alpha_t, v_t
+                                   ).reshape(n, hidden)
+        else:
+            alpha = expd / gather_rows(denom, dst)
+            alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
+            local_agg = segment_sum(alpha[..., None] * v_j, dst, n
+                                    ).reshape(n, hidden)
 
         def combine(r0, r1):
             return jax.lax.psum(local_agg[r0:r1], axis_name)
     else:
-        local_msg = segment_sum(expd[..., None] * v_j, dst, n)  # [N, heads, ch]
+        if use_table:
+            local_msg = jnp.einsum("ndh,ndhc->nhc", expd_t, v_t)
+        else:
+            local_msg = segment_sum(expd[..., None] * v_j, dst, n)
         # fuse both partial aggregates into one (chunked) psum
         stacked_local = jnp.concatenate([local_msg.reshape(n, hidden),
                                          local_denom], axis=-1)
@@ -134,9 +200,107 @@ def edge_sharded_conv(
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
+def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
+                   heads: int, axis_name: str, edge_mask, dropout_rate,
+                   dropout_rng, comm_chunks: int, row_post, row_ptr,
+                   table_width: int):
+    """Windowed-kernel formulation of the edge-sharded conv — the fast path.
+
+    Every wide tensor stays 2-D [·, H] (the [N, D, heads(,ch)] dense-table
+    layouts tile-pad 4-32× on TPU — measured 0.72× vs COO at flagship
+    scale; see PERF.md layout rules). Per-head reductions/expansions are
+    0/1 blocksum GEMMs, the q gather rides `csr_gather` (windowed
+    segment-sum VJP), and BOTH partial aggregates (Σ exp·v ‖ Σ exp,
+    channel-duplicated so the combine is pure elementwise) come from ONE
+    `csr_segment_sum` call — MXU forward, gather backward, no XLA scatter
+    in either pass. `table_width` must dominate every real row's local
+    span (`measure_table_widths`); the dummy tail row may be under-covered,
+    which is sound because its output row never reaches the loss (zero
+    cotangent)."""
+    import numpy as _np
+
+    n = x.shape[0]
+    hidden = params.w_query.shape[1]
+    ch = hidden // heads
+    e_loc = src.shape[0]
+    _interp = jax.default_backend() != "tpu"
+    from ..ops.pallas.csr_attention import csr_gather, csr_segment_sum
+
+    e0 = jax.lax.axis_index(axis_name) * e_loc
+    lrp = jnp.clip(row_ptr.astype(jnp.int32) - e0, 0, e_loc)      # [N+1]
+    starts = lrp[:-1]
+
+    q2 = x @ params.w_query + params.b_query                      # [N, H]
+    k2 = x @ params.w_key + params.b_key
+    v2 = x @ params.w_value + params.b_value
+    e2 = edge_attr @ params.w_edge                                # [E, H]
+    k_j = gather_rows(k2, src) + e2
+    v_j = gather_rows(v2, src) + e2
+    q_dst = csr_gather(q2, dst, starts, table_width, _interp)
+
+    bh = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32), ch,
+                                axis=0), q2.dtype)                # [H, heads]
+    logits_eh = ((q_dst * k_j) @ bh) / math.sqrt(ch)              # [E, heads]
+    if edge_mask is not None:
+        logits_eh = jnp.where(edge_mask[:, None] > 0, logits_eh, _NEG)
+    local_max = jax.ops.segment_max(jax.lax.stop_gradient(logits_eh), dst, n)
+    seg_max = jnp.maximum(jax.lax.pmax(local_max, axis_name), _NEG)
+    seg_max = jax.lax.stop_gradient(seg_max)
+    expd_eh = jnp.exp(logits_eh - seg_max[dst])
+    if edge_mask is not None:
+        expd_eh = expd_eh * edge_mask[:, None]
+    # per-head scalar → its ch channels (0/1 expansion GEMM keeps 2-D)
+    expd_h = expd_eh @ bh.T                                       # [E, H]
+
+    r_full = x @ params.w_skip + params.b_skip
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # α must normalize with the GLOBAL denominator before dropout
+        d_h = csr_segment_sum(expd_h, starts, dst, e_loc, table_width,
+                              _interp)                            # [N, H]
+        denom_h = jnp.maximum(jax.lax.psum(d_h, axis_name), 1e-16)
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name)),
+            1.0 - dropout_rate, logits_eh.shape)
+        keep_h = keep.astype(expd_h.dtype) @ bh.T
+        alpha_h = expd_h * keep_h / (
+            (1.0 - dropout_rate)
+            * csr_gather(denom_h, dst, starts, table_width, _interp))
+        local_agg = csr_segment_sum(v_j * alpha_h, starts, dst, e_loc,
+                                    table_width, _interp)         # [N, H]
+
+        def combine(r0, r1):
+            return jax.lax.psum(local_agg[r0:r1], axis_name)
+    else:
+        # Σ exp·v ‖ Σ exp (channel-duplicated) in ONE windowed pass
+        part = csr_segment_sum(jnp.concatenate([v_j * expd_h, expd_h], 1),
+                               starts, dst, e_loc, table_width, _interp)
+
+        def combine(r0, r1):
+            st = jax.lax.psum(part[r0:r1], axis_name)
+            return st[:, :hidden] / jnp.maximum(st[:, hidden:], 1e-16)
+
+    n_chunks = max(int(comm_chunks), 1)
+    bounds = [i * n // n_chunks for i in range(n_chunks + 1)]
+    outs = []
+    for c in range(n_chunks):
+        r0, r1 = bounds[c], bounds[c + 1]
+        if r0 == r1:
+            continue
+        msg = combine(r0, r1).astype(x.dtype)
+        rr = r_full[r0:r1]
+        beta = jax.nn.sigmoid(jnp.concatenate([rr, msg, rr - msg], axis=-1)
+                              @ params.w_beta)
+        out = beta * rr + (1.0 - beta) * msg
+        outs.append(row_post(out, r0, r1) if row_post is not None else out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
                   train: bool = False, rng: Optional[jax.Array] = None,
-                  comm_chunks: int = 1) -> jnp.ndarray:
+                  comm_chunks: int = 1,
+                  table_widths: Optional[tuple] = None,
+                  impl: Optional[str] = None) -> jnp.ndarray:
     """Edge-sharded equivalent of `models.alignn._shared_trunk`.
 
     `batch` carries node/graph arenas replicated and edge/LG arenas sharded
@@ -146,8 +310,18 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
     residual, dropout) — see `edge_sharded_conv`; results are
     chunk-count-invariant (residual dropout masks are drawn full-size and
     sliced per chunk).
+
+    `table_widths=(atom_w, lg_w)` switches both convs' local reductions to
+    the scatter-free windowed-kernel formulation (see `_windowed_conv`;
+    `impl` can force 'table' or 'coo' instead); the widths MUST dominate
+    every real row's span — measure them on the staged batches with
+    `train_step.measure_table_widths`. None keeps the COO segment ops
+    (always safe).
     """
     drop = cfg.dropout if train else 0.0
+    atom_w, lg_w = table_widths if table_widths is not None else (0, 0)
+    if impl is None:
+        impl = "windowed" if table_widths is not None else "coo"
 
     def next_key():
         nonlocal rng
@@ -194,7 +368,8 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
             heads=cfg.heads, axis_name=axis_name, edge_mask=batch.lg_mask,
             dropout_rate=drop, dropout_rng=next_key(),
             comm_chunks=comm_chunks,
-            row_post=make_post(eb, edge_state, has_lg, next_key()))
+            row_post=make_post(eb, edge_state, has_lg, next_key()),
+            row_ptr=batch.lg_row_ptr, table_width=lg_w, impl=impl)
 
         # atom conv consumes the local slice of projected bond states
         local_rows = jax.lax.dynamic_slice_in_dim(
@@ -205,7 +380,8 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
             heads=cfg.heads, axis_name=axis_name, edge_mask=batch.edge_mask,
             dropout_rate=drop, dropout_rng=next_key(),
             comm_chunks=comm_chunks,
-            row_post=make_post(nb, node_state, has_edges, next_key()))
+            row_post=make_post(nb, node_state, has_edges, next_key()),
+            row_ptr=batch.edge_row_ptr, table_width=atom_w, impl=impl)
 
     n_graphs = batch.y.shape[0]
     pooled = segment_mean(node_state, batch.node_graph, n_graphs + 1)[:n_graphs]
@@ -218,9 +394,11 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
 
 def sharded_apply(params: Params, cfg, batch, *, axis_name: str,
                   train: bool = False, rng: Optional[jax.Array] = None,
-                  comm_chunks: int = 1):
+                  comm_chunks: int = 1, table_widths: Optional[tuple] = None,
+                  impl: Optional[str] = None):
     shared = sharded_trunk(params, cfg, batch, axis_name=axis_name,
-                           train=train, rng=rng, comm_chunks=comm_chunks)
+                           train=train, rng=rng, comm_chunks=comm_chunks,
+                           table_widths=table_widths, impl=impl)
     mean = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
     logvar = shared @ params["logvar_head"]["w"] + params["logvar_head"]["b"]
     return mean, logvar

@@ -112,14 +112,40 @@ def stack_for_mesh(batches: List[GraphBatch], n_data: int) -> GraphBatch:
     return GraphBatch(*stacked)
 
 
+def measure_table_widths(batches: List[GraphBatch]) -> tuple:
+    """(atom_w, lg_w): max CSR row span over REAL rows of every batch —
+    the static table widths for the edge-sharded convs' scatter-free
+    implicit-table formulation. Measured on staged host batches (the dummy
+    row's tail-padding span is excluded; its entries are clamped in-kernel
+    and provably carry zero cotangent). Covers diluted batches too, since
+    row pointers already include interleaved padding rows."""
+    aw = lw = 1
+    for b in batches:
+        e_rp = np.asarray(b.edge_row_ptr, dtype=np.int64)
+        l_rp = np.asarray(b.lg_row_ptr, dtype=np.int64)
+        if e_rp.size > 2:
+            aw = max(aw, int(np.diff(e_rp)[:-1].max()))
+        if l_rp.size > 2:
+            lw = max(lw, int(np.diff(l_rp)[:-1].max()))
+    return aw, lw
+
+
 def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                             log_means: np.ndarray, log_stds: np.ndarray,
-                            comm_chunks: int = 4):
+                            comm_chunks: int = 4,
+                            table_widths: tuple | None = None,
+                            impl: str | None = None):
     """Build the jitted multi-chip train step + optimizer init.
 
     `comm_chunks` pipelines each conv's all-reduce against its row-local
     epilogue (see edge_shard.edge_sharded_conv) — outputs are
-    chunk-count-invariant, so the default of 4 only changes scheduling."""
+    chunk-count-invariant, so the default of 4 only changes scheduling.
+
+    `table_widths=(atom_w, lg_w)` (from `measure_table_widths` over the
+    staged batches) switches the per-conv local reductions to the
+    scatter-free implicit-table formulation — substantially faster on TPU
+    than the default COO segment ops (whose backward scatter-adds execute
+    row-serially); None keeps COO."""
     adam = optax.scale_by_adam()
     mu = jnp.asarray(log_means, dtype=jnp.float32)
     sd = jnp.asarray(log_stds, dtype=jnp.float32)
@@ -136,7 +162,8 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                 * jax.random.normal(kg, batch.globals_.shape))
         mean, logvar = sharded_apply(params, cfg, batch, axis_name=EDGE_AXIS,
                                      train=True, rng=rng,
-                                     comm_chunks=comm_chunks)
+                                     comm_chunks=comm_chunks,
+                                     table_widths=table_widths, impl=impl)
         logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
         diff = mean - y_z
@@ -456,14 +483,17 @@ def collect_predictions_auto(cfg: AlignnConfig, floor: float, params, batches):
             np.concatenate(ys), np.concatenate(idxs))
 
 
-def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float):
+def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float,
+                         table_widths: tuple | None = None,
+                         impl: str | None = None):
     """Jitted multi-chip eval forward over stacked batches → [D, G, T] each."""
     specs = batch_pspecs()
 
     def device_fwd(params, batch):
         batch = jax.tree.map(lambda x: x[0], batch)
         mean, logvar = sharded_apply(params, cfg, batch, axis_name=EDGE_AXIS,
-                                     train=False)
+                                     train=False, table_widths=table_widths,
+                                     impl=impl)
         return mean[None], jnp.maximum(logvar, floor)[None]
 
     sharded = shard_map(device_fwd, mesh=mesh,

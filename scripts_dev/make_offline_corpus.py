@@ -161,7 +161,32 @@ def en(sym: str) -> float:
     return float(element_props(sym).en) or 1.8
 
 
-def target_model(structure: Structure, species: list, rng) -> tuple:
+# Heteroscedastic mode: per-entry noise level by prototype family —
+# structure-visible "difficulty" so a σ head CAN learn to rank its errors
+# (the i.i.d.-noise corpus makes Spearman(|err|, σ) ≈ 0 by construction;
+# VERDICT r2 item 7). Values are relative weights folded with ionicity and
+# metal fraction into σ_ln ∈ [0.06, ~0.42].
+PROTO_NOISE = {"rocksalt": 0.10, "cscl": 0.50, "zincblende": 0.15,
+               "wurtzite": 0.40, "fluorite": 0.55, "antifluorite": 0.65,
+               "perovskite": 0.70, "rutile": 0.85, "cu3au": 0.50,
+               "nias": 0.95, "fcc": 0.20, "bcc": 0.30, "hcp": 0.35,
+               "diamond": 0.05}
+
+
+def noise_sigmas(proto: str, species: list) -> tuple:
+    """(σ_ln_K, σ_ln_G) for heteroscedastic corpora: noisier for 'hard'
+    prototype families, ionic compositions, and metal-rich pools."""
+    ens = np.array([en(s) for s in species])
+    lam = float(ens.std())
+    metal_frac = float(np.mean([s in METALS for s in species]))
+    w = np.clip(0.55 * PROTO_NOISE.get(proto, 0.5)
+                + 0.30 * np.tanh(lam) + 0.15 * metal_frac, 0.0, 1.0)
+    sig_k = 0.06 + 0.36 * float(w)
+    return sig_k, 1.15 * sig_k
+
+
+def target_model(structure: Structure, species: list, rng,
+                 sigmas: tuple = (0.22, 0.25)) -> tuple:
     """Surrogate (K_VRH, G_VRH) from actual geometry + composition."""
     edges = cutoff_neighbors(structure, 4.2)
     if not edges:
@@ -188,8 +213,8 @@ def target_model(structure: Structure, species: list, rng) -> tuple:
     # Pugh-like G/K: covalent & light → high, ionic/metallic → low
     ratio = 0.52 * np.exp(-0.55 * lam) * (1.0 - 0.35 * metal_frac) + 0.125
     g_clean = k_clean * ratio
-    k = k_clean * float(np.exp(rng.normal(0.0, 0.22)))
-    g = g_clean * float(np.exp(rng.normal(0.0, 0.25)))
+    k = k_clean * float(np.exp(rng.normal(0.0, sigmas[0])))
+    g = g_clean * float(np.exp(rng.normal(0.0, sigmas[1])))
     return max(k, 1.5), max(g, 0.8)
 
 
@@ -204,7 +229,7 @@ PROTOS = [
 ]
 
 
-def make_entry(idx: int, rng) -> dict:
+def make_entry(idx: int, rng, hetero: bool = False) -> dict:
     name, maker, kind = PROTOS[rng.integers(len(PROTOS))]
     if kind == "A":
         a_el = str(rng.choice(COVALENT if name == "diamond" else METALS))
@@ -235,12 +260,13 @@ def make_entry(idx: int, rng) -> dict:
     fr = np.asarray(fr, dtype=np.float64)
     fr = fr + rng.normal(0, 0.004, fr.shape)    # site jitter
     s = Structure(Lattice(np.asarray(mat, dtype=np.float64)), species, fr)
-    k, g = target_model(s, species, rng)
+    sig = noise_sigmas(name, species) if hetero else (0.22, 0.25)
+    k, g = target_model(s, species, rng, sigmas=sig)
     comp: dict = {}
     for sp in species:
         comp[sp] = comp.get(sp, 0) + 1
     formula = "".join(f"{e}{c if c > 1 else ''}" for e, c in sorted(comp.items()))
-    return {
+    entry = {
         "material_id": f"off-{idx:06d}",
         "formula": formula,
         "prototype_family": name,
@@ -248,6 +274,10 @@ def make_entry(idx: int, rng) -> dict:
         "g_vrh": round(g, 4),
         "structure": s.as_dict(),
     }
+    if hetero:  # generator-side truth, for post-hoc σ-quality analysis only
+        entry["noise_sigma_k"], entry["noise_sigma_g"] = (round(sig[0], 4),
+                                                          round(sig[1], 4))
+    return entry
 
 
 def main():
@@ -255,9 +285,11 @@ def main():
     ap.add_argument("--n", type=int, default=6000)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--out", default="/tmp/offline_corpus.json")
+    ap.add_argument("--hetero", action="store_true",
+                    help="structure-dependent noise levels (σ-quality runs)")
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
-    entries = [make_entry(i, rng) for i in range(args.n)]
+    entries = [make_entry(i, rng, hetero=args.hetero) for i in range(args.n)]
     ks = np.array([e["k_vrh"] for e in entries])
     gs = np.array([e["g_vrh"] for e in entries])
     print(f"n={len(entries)}  log-K mean/std = {np.log(ks).mean():.3f}/"

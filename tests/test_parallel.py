@@ -441,3 +441,134 @@ class TestVmapEnsemble:
                           member_parallel="shard")
         with pytest.raises(ValueError, match="one member per device"):
             run_training(cfg, store)
+
+
+class TestEdgeShardedTableImpl:
+    """The scatter-free implicit-table formulation of the edge-sharded conv
+    (table_widths=...) must reproduce the COO formulation and single-device
+    numerics — forward, dropout-active forward, gradients, and on diluted
+    batches with measured widths."""
+
+    def test_forward_matches_coo_and_single_device(self):
+        from gnnep_tpu.parallel.train_step import measure_table_widths
+
+        store, cfg, setup, mc = _setup()
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)
+        b = batches[0]
+        want_mean, want_logvar = alignn_apply(params, mc, b)
+        widths = measure_table_widths([b])
+
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        stacked = stack_for_mesh([b], 1)
+        fwd_t = make_sharded_forward(mesh, mc, floor=-2.9,
+                                     table_widths=widths)
+        got_mean, got_logvar = fwd_t(params, stacked)
+        np.testing.assert_allclose(np.asarray(got_mean)[0],
+                                   np.asarray(want_mean),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_logvar)[0],
+                                   np.maximum(np.asarray(want_logvar), -2.9),
+                                   rtol=2e-4, atol=2e-5)
+        # bit-level agreement with the COO formulation is not required
+        # (different reduction order), but they must agree tightly
+        fwd_c = make_sharded_forward(mesh, mc, floor=-2.9)
+        coo_mean, _ = fwd_c(params, stacked)
+        np.testing.assert_allclose(np.asarray(got_mean), np.asarray(coo_mean),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dropout_parity_with_coo(self):
+        """Dropout keep masks are drawn in edge space from the same rng in
+        both impls, so train-mode outputs must match closely."""
+        from gnnep_tpu.parallel.edge_shard import sharded_apply
+        from gnnep_tpu.parallel.mesh import EDGE_AXIS
+        from gnnep_tpu.parallel.train_step import (batch_pspecs,
+                                                   measure_table_widths)
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        store, cfg, setup, mc = _setup(n=12, batch_size=4)
+        mc = dataclasses.replace(mc, dropout=0.25)
+        params = init_alignn(jax.random.PRNGKey(3), mc)
+        b = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                          shuffle=False)[0]
+        widths = measure_table_widths([b])
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        stacked = stack_for_mesh([b], 1)
+
+        def run(tw):
+            def device_fwd(p, batch):
+                batch = jax.tree.map(lambda x: x[0], batch)
+                m, lv = sharded_apply(p, mc, batch, axis_name=EDGE_AXIS,
+                                      train=True, rng=jax.random.PRNGKey(7),
+                                      table_widths=tw)
+                return m, lv
+
+            return jax.jit(shard_map(
+                device_fwd, mesh=mesh, in_specs=(P(), batch_pspecs()),
+                out_specs=(P(), P()), check_rep=False))(params, stacked)
+
+        want = run(None)
+        got = run(widths)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_single_device(self):
+        from gnnep_tpu.parallel.train_step import measure_table_widths
+        from gnnep_tpu.train.loop import TrainHyper, sigma_mask
+
+        store, cfg, setup, mc = _setup(n=16, batch_size=4)
+        hyper = TrainHyper(feature_jitter_std=0.0, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(2), mc)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:2]
+        widths = measure_table_widths(batches)
+        mesh = make_mesh(2, 4)
+        mu, sd = setup.transformer.means, setup.transformer.stds
+
+        # one optimizer step: table-impl sharded vs COO sharded step
+        step_t, init_t = make_sharded_train_step(mesh, mc, hyper, mu, sd,
+                                                 table_widths=widths)
+        step_c, init_c = make_sharded_train_step(mesh, mc, hyper, mu, sd)
+        stacked = stack_for_mesh(batches, 2)
+        params2 = jax.tree.map(jnp.array, params)  # steps donate params
+        p_t, _, loss_t, n_t = step_t(params, init_t(params), stacked,
+                                     jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        p_c, _, loss_c, n_c = step_c(params2, init_c(params2), stacked,
+                                     jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        assert float(n_t) == float(n_c)
+        np.testing.assert_allclose(float(loss_t), float(loss_c),
+                                   rtol=1e-5, atol=1e-7)
+        for a, b_ in zip(jax.tree.leaves(p_t), jax.tree.leaves(p_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_diluted_batch_with_measured_widths(self):
+        """Dilution interleaves padding rows into real CSR spans, so row
+        spans exceed in-degrees; measured widths must still give exact
+        parity with the single-device forward."""
+        import dataclasses as dc
+
+        from gnnep_tpu.data.batching import BatchPacker
+        from gnnep_tpu.parallel.train_step import measure_table_widths
+
+        store, cfg, setup, mc = _setup(n=12, batch_size=12)
+        budget = dc.replace(setup.budget, edge_win64=96, lg_win64=160)
+        batch = next(iter(BatchPacker(setup.store, budget).pack(range(12))))
+        em = np.asarray(batch.edge_mask)
+        interior = (em == 0) & (np.asarray(batch.edge_dst)
+                                < batch.nodes.shape[0] - 1)
+        assert interior.any(), "test setup: no interior padding produced"
+        widths = measure_table_widths([batch])
+
+        params = init_alignn(jax.random.PRNGKey(5), mc)
+        want_mean, _ = alignn_apply(params, mc, batch)
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        fwd = make_sharded_forward(mesh, mc, floor=-2.9, table_widths=widths)
+        got_mean, _ = fwd(params, stack_for_mesh([batch], 1))
+        np.testing.assert_allclose(np.asarray(got_mean)[0],
+                                   np.asarray(want_mean),
+                                   rtol=2e-4, atol=2e-5)
