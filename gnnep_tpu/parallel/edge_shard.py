@@ -52,6 +52,7 @@ def edge_sharded_conv(
     row_ptr: Optional[jnp.ndarray] = None,  # [N+1] GLOBAL CSR ptrs of dst
     table_width: int = 0,        # static per-row span cap (impl='table')
     impl: str = "coo",
+    win64: int = 0,              # per-64-row group span bound (windowed impl)
 ) -> jnp.ndarray:
     """β-gated transformer conv with the edge dimension sharded over
     `axis_name`. Numerically equal to `ops.graph_attention.transformer_conv`
@@ -92,7 +93,7 @@ def edge_sharded_conv(
                 axis_name=axis_name, edge_mask=edge_mask,
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,
                 comm_chunks=comm_chunks, row_post=row_post, row_ptr=row_ptr,
-                table_width=table_width)
+                table_width=table_width, win64=win64)
         impl = "table"  # windowed preconditions unmet: next-best formulation
 
     q = (x @ params.w_query + params.b_query).reshape(n, heads, ch)
@@ -203,7 +204,7 @@ def edge_sharded_conv(
 def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
                    heads: int, axis_name: str, edge_mask, dropout_rate,
                    dropout_rng, comm_chunks: int, row_post, row_ptr,
-                   table_width: int):
+                   table_width: int, win64: int = 0):
     """Windowed-kernel formulation of the edge-sharded conv — the fast path.
 
     Every wide tensor stays 2-D [·, H] (the [N, D, heads(,ch)] dense-table
@@ -230,13 +231,16 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
     lrp = jnp.clip(row_ptr.astype(jnp.int32) - e0, 0, e_loc)      # [N+1]
     starts = lrp[:-1]
 
+    # global per-64-row group span bounds remain valid for every shard's
+    # local slice (clipping row pointers only shrinks spans) — they cut the
+    # windowed kernels' VMEM windows ~2-7× below block·max_row_span
     q2 = x @ params.w_query + params.b_query                      # [N, H]
     k2 = x @ params.w_key + params.b_key
     v2 = x @ params.w_value + params.b_value
     e2 = edge_attr @ params.w_edge                                # [E, H]
     k_j = gather_rows(k2, src) + e2
     v_j = gather_rows(v2, src) + e2
-    q_dst = csr_gather(q2, dst, starts, table_width, _interp)
+    q_dst = csr_gather(q2, dst, starts, table_width, _interp, win64)
 
     bh = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32), ch,
                                 axis=0), q2.dtype)                # [H, heads]
@@ -254,31 +258,37 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
 
     r_full = x @ params.w_skip + params.b_skip
 
+    # denominator rides a 128-lane pad of the per-head exps (cheaper than
+    # duplicating it across all H channels in the windowed stream)
+    expd_pad = jnp.pad(expd_eh, ((0, 0), (0, 128 - heads)))
+
     if dropout_rate > 0.0 and dropout_rng is not None:
         # α must normalize with the GLOBAL denominator before dropout
-        d_h = csr_segment_sum(expd_h, starts, dst, e_loc, table_width,
-                              _interp)                            # [N, H]
-        denom_h = jnp.maximum(jax.lax.psum(d_h, axis_name), 1e-16)
+        d_p = csr_segment_sum(expd_pad, starts, dst, e_loc, table_width,
+                              _interp, win64)                     # [N, 128]
+        denom = jnp.maximum(jax.lax.psum(d_p[:, :heads], axis_name), 1e-16)
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name)),
             1.0 - dropout_rate, logits_eh.shape)
         keep_h = keep.astype(expd_h.dtype) @ bh.T
-        alpha_h = expd_h * keep_h / (
-            (1.0 - dropout_rate)
-            * csr_gather(denom_h, dst, starts, table_width, _interp))
+        denom_e = csr_gather(denom @ bh.T, dst, starts, table_width,
+                             _interp, win64)                      # [E, H]
+        alpha_h = expd_h * keep_h / ((1.0 - dropout_rate) * denom_e)
         local_agg = csr_segment_sum(v_j * alpha_h, starts, dst, e_loc,
-                                    table_width, _interp)         # [N, H]
+                                    table_width, _interp, win64)  # [N, H]
 
         def combine(r0, r1):
             return jax.lax.psum(local_agg[r0:r1], axis_name)
     else:
-        # Σ exp·v ‖ Σ exp (channel-duplicated) in ONE windowed pass
-        part = csr_segment_sum(jnp.concatenate([v_j * expd_h, expd_h], 1),
-                               starts, dst, e_loc, table_width, _interp)
+        # Σ exp·v ‖ Σ exp (128-lane tail) in ONE windowed pass
+        part = csr_segment_sum(jnp.concatenate([v_j * expd_h, expd_pad], 1),
+                               starts, dst, e_loc, table_width, _interp,
+                               win64)
 
         def combine(r0, r1):
             st = jax.lax.psum(part[r0:r1], axis_name)
-            return st[:, :hidden] / jnp.maximum(st[:, hidden:], 1e-16)
+            dn = jnp.maximum(st[:, hidden:hidden + heads], 1e-16)
+            return st[:, :hidden] / (dn @ bh.T.astype(st.dtype))
 
     n_chunks = max(int(comm_chunks), 1)
     bounds = [i * n // n_chunks for i in range(n_chunks + 1)]
@@ -369,7 +379,8 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
             dropout_rate=drop, dropout_rng=next_key(),
             comm_chunks=comm_chunks,
             row_post=make_post(eb, edge_state, has_lg, next_key()),
-            row_ptr=batch.lg_row_ptr, table_width=lg_w, impl=impl)
+            row_ptr=batch.lg_row_ptr, table_width=lg_w, impl=impl,
+            win64=getattr(cfg, "lg_win64", 0))
 
         # atom conv consumes the local slice of projected bond states
         local_rows = jax.lax.dynamic_slice_in_dim(
@@ -381,7 +392,8 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
             dropout_rate=drop, dropout_rng=next_key(),
             comm_chunks=comm_chunks,
             row_post=make_post(nb, node_state, has_edges, next_key()),
-            row_ptr=batch.edge_row_ptr, table_width=atom_w, impl=impl)
+            row_ptr=batch.edge_row_ptr, table_width=atom_w, impl=impl,
+            win64=getattr(cfg, "edge_win64", 0))
 
     n_graphs = batch.y.shape[0]
     pooled = segment_mean(node_state, batch.node_graph, n_graphs + 1)[:n_graphs]
