@@ -110,6 +110,34 @@ class TestWeightedLoss:
             gm = np.asarray(b.graph_mask)
             np.testing.assert_allclose(np.asarray(b.weight)[gm > 0], 1.0)
 
+    def test_vmap_member_parallel_applies_freq_weights(self, tmp_path,
+                                                       monkeypatch):
+        """member_parallel='vmap' routes the freq weights through the
+        packer's weights= path: every packed train batch carries them."""
+        import gnnep_tpu.parallel.ensemble_vmap as ev
+
+        captured = []
+        real = ev.epoch_batches
+
+        def spy(store, idx, budget, **kw):
+            batches = real(store, idx, budget, **kw)
+            if kw.get("shuffle"):
+                captured.append(kw.get("weights"))
+            return batches
+
+        monkeypatch.setattr(ev, "epoch_batches", spy)
+        store = make_store(8, seed=3)
+        from gnnep_tpu.train.ensemble import run_training
+
+        run_training(TrainConfig(
+            batch_size=8, hidden=16, layers=1, heads=2, epochs=1,
+            ensemble_size=2, member_parallel="vmap", freq_bins=3,
+            freq_gamma=0.5, val_frac=0.125, calib_frac=0.125,
+            test_frac=0.125, early_stop=1, verbose=False, bootstrap=False,
+            save_dir=str(tmp_path)), store)
+        assert captured and all(w is not None for w in captured)
+        assert not np.allclose(captured[0], 1.0)
+
     def test_run_training_wires_freq_weights(self, tmp_path, monkeypatch):
         """run_training passes a non-trivial freq_weights array to
         train_member iff freq_gamma > 0."""

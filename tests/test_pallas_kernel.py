@@ -669,3 +669,57 @@ class TestWindowedSegmentSum:
         for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gt)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-4)
+
+
+class TestCsrSegmentSum:
+    """Differentiable windowed segment-sum wrapper (edge-sharded fast path):
+    MXU-windowed forward == jax.ops.segment_sum, backward == pure gather."""
+
+    def _csr(self, rng, n=256, max_deg=6, h=128):
+        counts = rng.integers(0, max_deg + 1, n)
+        counts[-1] = 0
+        dst = np.repeat(np.arange(n, dtype=np.int32), counts)
+        e_total = ((dst.size + 127) // 128 + 1) * 128
+        dst = np.concatenate([dst, np.full(e_total - dst.size, n - 1,
+                                           np.int32)])
+        starts = np.searchsorted(dst, np.arange(n)).astype(np.int32)
+        vals = rng.normal(size=(e_total, h)).astype(np.float32)
+        return vals, starts, dst, e_total
+
+    def test_forward_matches_segment_sum(self, rng):
+        from gnnep_tpu.ops.pallas.csr_attention import csr_segment_sum
+
+        vals, starts, dst, e_total = self._csr(rng)
+        got = np.asarray(csr_segment_sum(vals, starts, dst, e_total, 8, True))
+        want = np.asarray(jax.ops.segment_sum(vals, dst, 256))
+        # dummy row (255) owns the tail padding; its window under-covers by
+        # contract — compare real rows only
+        np.testing.assert_allclose(got[:255], want[:255], rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_backward_is_gather(self, rng):
+        from gnnep_tpu.ops.pallas.csr_attention import csr_segment_sum
+
+        vals, starts, dst, e_total = self._csr(rng)
+        w = rng.normal(size=(256, 128)).astype(np.float32)
+        # dummy-row contract: zero cotangent on the dummy row (as in the
+        # model, where its output never reaches the loss)
+        w[255] = 0.0
+
+        def loss(v):
+            out = csr_segment_sum(v, starts, dst, e_total, 8, True)
+            return jnp.sum(out * w)
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(vals)))
+        np.testing.assert_allclose(g, w[dst], rtol=1e-6, atol=1e-6)
+
+    def test_win64_bound_matches_unbounded(self, rng):
+        from gnnep_tpu.data.batching import measure_win64
+        from gnnep_tpu.ops.pallas.csr_attention import csr_segment_sum
+
+        vals, starts, dst, e_total = self._csr(rng)
+        w64 = measure_win64(dst, 256)
+        a = np.asarray(csr_segment_sum(vals, starts, dst, e_total, 8, True))
+        b = np.asarray(csr_segment_sum(vals, starts, dst, e_total, 8, True,
+                                       w64))
+        np.testing.assert_allclose(a[:255], b[:255], rtol=1e-6, atol=1e-6)
