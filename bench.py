@@ -406,6 +406,56 @@ def edge_sharded_mode():
     }))
 
 
+def infer_mode():
+    """Serving throughput: jitted eval forward (no grad, no optimizer) of
+    ONE flagship member over device-resident batches — graphs/s and
+    edges/s for the inference path (`make_forward`, the program behind
+    evaluate/predict). Chained dispatches, scalar readback."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from gnnep_tpu.models.alignn import init_alignn
+    from gnnep_tpu.train.loop import make_forward, oneshot_config
+
+    on_tpu = jax.default_backend() == "tpu"
+    conv_impl = "fused" if on_tpu else "table"
+    n_graphs = int(os.environ.get("BENCH_GRAPHS", 64 if on_tpu else 8))
+    iters = int(os.environ.get("BENCH_ITERS", 60 if on_tpu else 3))
+    cfg, batch = _flagship_batch_and_cfg(n_graphs, conv_impl, rng_seed=0)
+    if not on_tpu:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hidden=64, layers=2, heads=2)
+    edges = float(np.asarray(batch.edge_mask).sum()
+                  + np.asarray(batch.lg_mask).sum())
+    graphs = float(np.asarray(batch.graph_mask).sum())
+    dev = jax.devices()[0]
+    batch = jax.device_put(batch, dev)
+    params = init_alignn(jax.random.PRNGKey(0), cfg)
+    # scan_layers for the compile-time win, exactly as evaluate/predict do
+    fwd = make_forward(oneshot_config(cfg), -2.9)
+    for _ in range(2):
+        mean, _ = fwd(params, batch)
+    jax.block_until_ready(mean)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mean, logvar = fwd(params, batch)
+    jax.block_until_ready(mean)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "alignn_infer_graphs_per_sec_per_chip",
+        "value": round(graphs * iters / dt, 1),
+        "unit": "graphs/s/chip",
+        "vs_baseline": 1.0,
+        "detail": {"edges_per_sec": round(edges * iters / dt, 1),
+                   "ms_per_batch": round(dt / iters * 1e3, 3),
+                   "graphs_per_batch": int(graphs),
+                   "conv_impl": conv_impl, "hidden": cfg.hidden,
+                   "layers": cfg.layers, "heads": cfg.heads},
+    }))
+
+
 def functional_mode():
     """CI smoke: run the full bench path on a tiny model/batch (CPU-safe) so
     the wiring can't rot between hardware runs. Same code path as main()."""
@@ -435,6 +485,8 @@ if __name__ == "__main__":
         sharded_parity_mode()
     elif "--edge-sharded" in sys.argv:
         edge_sharded_mode()
+    elif "--infer" in sys.argv:
+        infer_mode()
     elif "--functional" in sys.argv:
         functional_mode()
     else:
