@@ -412,6 +412,7 @@ def infer_mode():
     edges/s for the inference path (`make_forward`, the program behind
     evaluate/predict). Chained dispatches, scalar readback."""
     import jax
+    import jax.numpy as jnp
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
@@ -434,14 +435,24 @@ def infer_mode():
     batch = jax.device_put(batch, dev)
     params = init_alignn(jax.random.PRNGKey(0), cfg)
     # scan_layers for the compile-time win, exactly as evaluate/predict do
-    fwd = make_forward(oneshot_config(cfg), -2.9)
-    for _ in range(2):
-        mean, _ = fwd(params, batch)
-    jax.block_until_ready(mean)
+    base = make_forward(oneshot_config(cfg), -2.9)
+
+    # chain iterations on device: each forward perturbs its own input from
+    # the previous mean, so XLA cannot elide or overlap the calls, and one
+    # scalar readback syncs the full chain (block_until_ready under-syncs
+    # on this runtime — PERF.md measurement discipline)
+    def fwd(params, batch, seed):
+        b = batch._replace(nodes=batch.nodes + 1e-6 * seed)
+        return base(params, b)
+
+    mean, _ = fwd(params, batch, jnp.float32(0))
+    float(np.asarray(mean[0, 0]))
     t0 = time.perf_counter()
+    seed = jnp.float32(0)
     for _ in range(iters):
-        mean, logvar = fwd(params, batch)
-    jax.block_until_ready(mean)
+        mean, logvar = fwd(params, batch, seed)
+        seed = mean[0, 0]
+    float(np.asarray(seed))
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "alignn_infer_graphs_per_sec_per_chip",

@@ -126,3 +126,29 @@ class TestKnnWeights:
         out = capsys.readouterr().out
         assert "Coverage failure" in out
         assert np.isfinite(metrics.get("mae", np.nan))
+
+
+class TestDeviceKnnBackend:
+    def test_device_matches_host_backend(self):
+        """Chunked GEMM+top_k kNN == exact host kNN (distances allclose;
+        indices equal where no distance ties)."""
+        from gnnep_tpu.train.knn_weights import knn_neighbors
+
+        rng = np.random.default_rng(0)
+        Z = rng.normal(size=(500, 24)).astype(np.float32)
+        dd, ii = knn_neighbors(Z, 10, backend="device")
+        dh, ih = knn_neighbors(Z, 10, backend="host")
+        np.testing.assert_allclose(dd, dh, rtol=1e-4, atol=1e-4)
+        # indices can only differ on exact-tie distances (none expected in
+        # continuous random data)
+        assert (ii == ih).mean() > 0.999
+
+    def test_env_override(self, monkeypatch):
+        from gnnep_tpu.train.knn_weights import knn_neighbors
+
+        rng = np.random.default_rng(1)
+        Z = rng.normal(size=(64, 8)).astype(np.float32)
+        monkeypatch.setenv("GNNEP_KNN_BACKEND", "device")
+        dd, _ = knn_neighbors(Z, 5)
+        dh, _ = knn_neighbors(Z, 5, backend="host")
+        np.testing.assert_allclose(dd, dh, rtol=1e-4, atol=1e-4)
