@@ -30,6 +30,19 @@ from .segment import gather_rows
 
 _NEG = -1e30
 
+_WARNED: set = set()
+
+
+def _warn_downgrade(msg: str) -> None:
+    """Warn ONCE per distinct message: a silently-downgraded kernel request
+    (e.g. fused → table on unaligned hidden/heads) costs ~10× throughput,
+    which users should learn from a log line, not a profiler."""
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+
 
 @jax.custom_vjp
 def table_gather(edge_vals: jnp.ndarray, in_edges: jnp.ndarray,
@@ -116,6 +129,13 @@ def transformer_conv_table(
     # so small test configs keep kernel coverage while hardware runs with
     # unaligned hidden/ch fall back to the dense-table path
     lane_ok = _interp or (hidden % 128 == 0 and ch % 64 == 0)
+    if fused and not lane_ok:
+        _warn_downgrade(
+            f"conv_impl='fused' requested but hidden={hidden}/heads={heads} "
+            f"(per-head ch={ch}) fails the TPU lane-alignment requirements "
+            "(hidden % 128 == 0 and ch % 64 == 0); running the dense-table "
+            "path instead. Pick hidden/heads with ch a multiple of 64 "
+            "(e.g. hidden 128 with 2 heads) to keep the Pallas kernels.")
     fuse_gathers = fused and lane_ok and (not _interp or force_fused)
     # fully fused attention (q·k SDDMM in-kernel): no q gather, no [E, heads]
     # logits tensor, no edge-mask stream — padded edges (dst = dummy) are

@@ -92,7 +92,14 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
         # the XLA table path vmaps cleanly. (shard mode keeps the fused
         # kernels: each device runs a full local step.)
         import dataclasses as _dc
+        import warnings
 
+        warnings.warn(
+            "--member-parallel vmap cannot vmap the fused Pallas kernels "
+            "across members; training runs on the dense-table path (~10x "
+            "slower per step on TPU). Use --member-parallel shard (one "
+            "member per device, kernels intact) or sequential members when "
+            "single-device throughput matters.")
         mc = _dc.replace(mc, conv_impl="table")
     hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
                        feature_jitter_std=cfg.feature_jitter_std,

@@ -149,3 +149,46 @@ class TestWin64Reconcile:
             np.testing.assert_allclose(a["mu"], b["mu"], rtol=5e-4, atol=5e-5)
             np.testing.assert_allclose(a["sigma"], b["sigma"],
                                        rtol=5e-3, atol=5e-5)
+
+
+def test_evaluate_runner_path_is_reconciled(tmp_path):
+    """run_evaluation packs a fresh budget over the eval data; a checkpoint
+    carrying stale (tiny) win64 bounds must yield the same metrics through
+    the fused path as through the table path."""
+    import json
+
+    from gnnep_tpu.data.transforms import FeatureScaler, LogTransformer
+    from gnnep_tpu.evaluate.runner import EvalConfig, run_evaluation
+    from gnnep_tpu.train.artifacts import save_member, save_scaler_state
+
+    store = make_store(16, seed=9)
+    scaler = FeatureScaler.fit(store, list(range(16)))
+    transformer = LogTransformer.fit(store.y)
+    base = dict(node_dim=store.node_dim, edge_dim=store.edge_dim,
+                angle_dim=store.angle_dim,
+                global_dim=store.global_scalar_dim + 230,
+                target_dim=2, hidden=16, layers=2, heads=2, dropout=0.0)
+    cfg_f = AlignnConfig(**base, conv_impl="fused", force_fused=True,
+                         edge_win64=32, lg_win64=32,
+                         edge_src_win64=32, lg_src_win64=32)
+    params = init_alignn(jax.random.PRNGKey(2), cfg_f)
+
+    results = {}
+    for tag, cfg in (("fused", cfg_f),
+                     ("table", dc.replace(cfg_f, conv_impl="table",
+                                          force_fused=False))):
+        d = tmp_path / tag
+        d.mkdir()
+        save_member(d / "model_0.npz", params, cfg)
+        save_scaler_state(d / "scaler_state.npz", scaler, transformer,
+                          {"global_scalar_dim": store.global_scalar_dim})
+        results[tag] = run_evaluation(EvalConfig(
+            ensemble_dir=str(d), data_dir="unused",
+            output_dir=str(d / "eval"), ensemble_size=1,
+            eval_split="test", batch_size=16, make_plots=False), store)
+    np.testing.assert_allclose(results["fused"]["overall"]["mae"],
+                               results["table"]["overall"]["mae"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(results["fused"]["overall"]["rmse"],
+                               results["table"]["overall"]["rmse"],
+                               rtol=1e-4)
