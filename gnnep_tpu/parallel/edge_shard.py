@@ -53,6 +53,7 @@ def edge_sharded_conv(
     table_width: int = 0,        # static per-row span cap (impl='table')
     impl: str = "coo",
     win64: int = 0,              # per-64-row group span bound (windowed impl)
+    row_window: int = 0,         # static per-rank target-row window (scaling)
 ) -> jnp.ndarray:
     """β-gated transformer conv with the edge dimension sharded over
     `axis_name`. Numerically equal to `ops.graph_attention.transformer_conv`
@@ -93,7 +94,7 @@ def edge_sharded_conv(
                 axis_name=axis_name, edge_mask=edge_mask,
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,
                 comm_chunks=comm_chunks, row_post=row_post, row_ptr=row_ptr,
-                table_width=table_width, win64=win64)
+                table_width=table_width, win64=win64, row_window=row_window)
         impl = "table"  # windowed preconditions unmet: next-best formulation
 
     q = (x @ params.w_query + params.b_query).reshape(n, heads, ch)
@@ -204,7 +205,7 @@ def edge_sharded_conv(
 def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
                    heads: int, axis_name: str, edge_mask, dropout_rate,
                    dropout_rng, comm_chunks: int, row_post, row_ptr,
-                   table_width: int, win64: int = 0):
+                   table_width: int, win64: int = 0, row_window: int = 0):
     """Windowed-kernel formulation of the edge-sharded conv — the fast path.
 
     Every wide tensor stays 2-D [·, H] (the [N, D, heads(,ch)] dense-table
@@ -217,7 +218,17 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
     in either pass. `table_width` must dominate every real row's local
     span (`measure_table_widths`); the dummy tail row may be under-covered,
     which is sound because its output row never reaches the loss (zero
-    cotangent)."""
+    cotangent).
+
+    `row_window` (static, multiple of 128; `measure_row_windows`) bounds
+    the AGGREGATION-TARGET rows any rank's slice touches: because slices
+    are CSR-contiguous, each rank's rows form one contiguous range, so the
+    q projection, the q gather, and every windowed reduction run on a
+    dynamic [R]-row slice instead of all N rows — per-rank reduction
+    compute scales as N/S with the shard count. (The psum'd combine stays
+    [N]-shaped: that is the all-reduce formulation's communication floor;
+    k/v/skip projections stay replicated because message SOURCES are the
+    graph's topology, not a contiguous range.) 0 disables (R = N)."""
     import numpy as _np
 
     n = x.shape[0]
@@ -229,25 +240,56 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
 
     e0 = jax.lax.axis_index(axis_name) * e_loc
     lrp = jnp.clip(row_ptr.astype(jnp.int32) - e0, 0, e_loc)      # [N+1]
-    starts = lrp[:-1]
+
+    R = int(row_window) if 0 < int(row_window) < n else n
+    if R < n:
+        # first row whose segment intersects the local slice, 128-aligned
+        # down (the measured R includes this alignment slack)
+        r_lo = jnp.searchsorted(row_ptr.astype(jnp.int32), e0,
+                                side="right") - 1
+        r_lo = jnp.clip((r_lo // 128) * 128, 0, n - R).astype(jnp.int32)
+    else:
+        r_lo = jnp.int32(0)
+    lrp_w = jax.lax.dynamic_slice(lrp, (r_lo,), (R + 1,))
+    starts_w = lrp_w[:-1]
+    dst_w = jnp.clip(dst - r_lo, 0, R - 1).astype(dst.dtype)
+
+    def expand(rows):
+        """[R, ·] rank-local partial → [N, ·] (zeros elsewhere) for the
+        cross-rank combine."""
+        if R == n:
+            return rows
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros((n, rows.shape[1]), rows.dtype), rows,
+            (r_lo, jnp.int32(0)))
 
     # global per-64-row group span bounds remain valid for every shard's
-    # local slice (clipping row pointers only shrinks spans) — they cut the
-    # windowed kernels' VMEM windows ~2-7× below block·max_row_span
-    q2 = x @ params.w_query + params.b_query                      # [N, H]
+    # local slice (clipping row pointers only shrinks spans, and r_lo is
+    # 128-aligned so 64-row groups are preserved) — they cut the windowed
+    # kernels' VMEM windows ~2-7× below block·max_row_span
+    x_w = (x if R == n
+           else jax.lax.dynamic_slice(x, (r_lo, jnp.int32(0)),
+                                      (R, x.shape[1])))
+    q2 = x_w @ params.w_query + params.b_query                    # [R, H]
     k2 = x @ params.w_key + params.b_key
     v2 = x @ params.w_value + params.b_value
     e2 = edge_attr @ params.w_edge                                # [E, H]
     k_j = gather_rows(k2, src) + e2
     v_j = gather_rows(v2, src) + e2
-    q_dst = csr_gather(q2, dst, starts, table_width, _interp, win64)
+    q_dst = csr_gather(q2, dst_w, starts_w, table_width, _interp, win64)
 
     bh = jnp.asarray(_np.repeat(_np.eye(heads, dtype=_np.float32), ch,
                                 axis=0), q2.dtype)                # [H, heads]
     logits_eh = ((q_dst * k_j) @ bh) / math.sqrt(ch)              # [E, heads]
     if edge_mask is not None:
         logits_eh = jnp.where(edge_mask[:, None] > 0, logits_eh, _NEG)
-    local_max = jax.ops.segment_max(jax.lax.stop_gradient(logits_eh), dst, n)
+    lm_w = jax.ops.segment_max(jax.lax.stop_gradient(logits_eh), dst_w, R)
+    if R == n:
+        local_max = lm_w
+    else:  # out-of-window rows must not poison the pmax: fill with _NEG
+        local_max = jax.lax.dynamic_update_slice(
+            jnp.full((n, heads), _NEG, lm_w.dtype), lm_w,
+            (r_lo, jnp.int32(0)))
     seg_max = jnp.maximum(jax.lax.pmax(local_max, axis_name), _NEG)
     seg_max = jax.lax.stop_gradient(seg_max)
     expd_eh = jnp.exp(logits_eh - seg_max[dst])
@@ -264,26 +306,31 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
 
     if dropout_rate > 0.0 and dropout_rng is not None:
         # α must normalize with the GLOBAL denominator before dropout
-        d_p = csr_segment_sum(expd_pad, starts, dst, e_loc, table_width,
-                              _interp, win64)                     # [N, 128]
-        denom = jnp.maximum(jax.lax.psum(d_p[:, :heads], axis_name), 1e-16)
+        d_p = csr_segment_sum(expd_pad, starts_w, dst_w, e_loc, table_width,
+                              _interp, win64)                     # [R, 128]
+        denom = jnp.maximum(jax.lax.psum(expand(d_p)[:, :heads], axis_name),
+                            1e-16)
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis_name)),
             1.0 - dropout_rate, logits_eh.shape)
         keep_h = keep.astype(expd_h.dtype) @ bh.T
-        denom_e = csr_gather(denom @ bh.T, dst, starts, table_width,
+        denom_w = (denom if R == n
+                   else jax.lax.dynamic_slice(denom, (r_lo, jnp.int32(0)),
+                                              (R, heads)))
+        denom_e = csr_gather(denom_w @ bh.T, dst_w, starts_w, table_width,
                              _interp, win64)                      # [E, H]
         alpha_h = expd_h * keep_h / ((1.0 - dropout_rate) * denom_e)
-        local_agg = csr_segment_sum(v_j * alpha_h, starts, dst, e_loc,
-                                    table_width, _interp, win64)  # [N, H]
+        local_agg = expand(csr_segment_sum(v_j * alpha_h, starts_w, dst_w,
+                                           e_loc, table_width, _interp,
+                                           win64))                # [N, H]
 
         def combine(r0, r1):
             return jax.lax.psum(local_agg[r0:r1], axis_name)
     else:
         # Σ exp·v ‖ Σ exp (128-lane tail) in ONE windowed pass
-        part = csr_segment_sum(jnp.concatenate([v_j * expd_h, expd_pad], 1),
-                               starts, dst, e_loc, table_width, _interp,
-                               win64)
+        part = expand(csr_segment_sum(
+            jnp.concatenate([v_j * expd_h, expd_pad], 1),
+            starts_w, dst_w, e_loc, table_width, _interp, win64))
 
         def combine(r0, r1):
             st = jax.lax.psum(part[r0:r1], axis_name)
@@ -310,7 +357,8 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
                   train: bool = False, rng: Optional[jax.Array] = None,
                   comm_chunks: int = 1,
                   table_widths: Optional[tuple] = None,
-                  impl: Optional[str] = None) -> jnp.ndarray:
+                  impl: Optional[str] = None,
+                  row_windows: Optional[tuple] = None) -> jnp.ndarray:
     """Edge-sharded equivalent of `models.alignn._shared_trunk`.
 
     `batch` carries node/graph arenas replicated and edge/LG arenas sharded
@@ -330,6 +378,7 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
     """
     drop = cfg.dropout if train else 0.0
     atom_w, lg_w = table_widths if table_widths is not None else (0, 0)
+    atom_r, lg_r = row_windows if row_windows is not None else (0, 0)
     if impl is None:
         impl = "windowed" if table_widths is not None else "coo"
 
@@ -380,7 +429,7 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
             comm_chunks=comm_chunks,
             row_post=make_post(eb, edge_state, has_lg, next_key()),
             row_ptr=batch.lg_row_ptr, table_width=lg_w, impl=impl,
-            win64=getattr(cfg, "lg_win64", 0))
+            win64=getattr(cfg, "lg_win64", 0), row_window=lg_r)
 
         # atom conv consumes the local slice of projected bond states
         local_rows = jax.lax.dynamic_slice_in_dim(
@@ -393,7 +442,7 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
             comm_chunks=comm_chunks,
             row_post=make_post(nb, node_state, has_edges, next_key()),
             row_ptr=batch.edge_row_ptr, table_width=atom_w, impl=impl,
-            win64=getattr(cfg, "edge_win64", 0))
+            win64=getattr(cfg, "edge_win64", 0), row_window=atom_r)
 
     n_graphs = batch.y.shape[0]
     pooled = segment_mean(node_state, batch.node_graph, n_graphs + 1)[:n_graphs]
@@ -407,10 +456,12 @@ def sharded_trunk(params: Params, cfg, batch, *, axis_name: str,
 def sharded_apply(params: Params, cfg, batch, *, axis_name: str,
                   train: bool = False, rng: Optional[jax.Array] = None,
                   comm_chunks: int = 1, table_widths: Optional[tuple] = None,
-                  impl: Optional[str] = None):
+                  impl: Optional[str] = None,
+                  row_windows: Optional[tuple] = None):
     shared = sharded_trunk(params, cfg, batch, axis_name=axis_name,
                            train=train, rng=rng, comm_chunks=comm_chunks,
-                           table_widths=table_widths, impl=impl)
+                           table_widths=table_widths, impl=impl,
+                           row_windows=row_windows)
     mean = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
     logvar = shared @ params["logvar_head"]["w"] + params["logvar_head"]["b"]
     return mean, logvar

@@ -130,11 +130,44 @@ def measure_table_widths(batches: List[GraphBatch]) -> tuple:
     return aw, lw
 
 
+def measure_row_windows(batches: List[GraphBatch], n_edge_shards: int
+                        ) -> tuple:
+    """(atom_R, lg_R): static per-rank aggregation-row window sizes for the
+    edge-sharded windowed formulation's compute scaling — the max number of
+    target rows (128-aligned start, rounded up to 128) that any rank's
+    CSR-contiguous edge slice touches, over every batch and shard. With
+    them, each rank's windowed reductions run on [R] rows instead of all N
+    (see `edge_shard._windowed_conv`)."""
+    aw = lw = 128
+    for b in batches:
+        s = max(int(n_edge_shards), 1)
+        for which, rp, e_arena, n_rows in (
+                ("atom", np.asarray(b.edge_row_ptr, np.int64),
+                 b.edge_src.shape[0], b.nodes.shape[0]),
+                ("lg", np.asarray(b.lg_row_ptr, np.int64),
+                 b.lg_src.shape[0], b.edge_src.shape[0])):
+            e_loc = e_arena // s
+            for r in range(s):
+                e0, e1 = r * e_loc, (r + 1) * e_loc
+                lo = max(int(np.searchsorted(rp, e0, side="right")) - 1, 0)
+                lo = (lo // 128) * 128
+                hi = max(int(np.searchsorted(rp, e1 - 1, side="right")) - 1,
+                         lo)
+                R = ((hi - lo) // 128 + 1) * 128
+                R = min(R, n_rows)
+                if which == "atom":
+                    aw = max(aw, R)
+                else:
+                    lw = max(lw, R)
+    return aw, lw
+
+
 def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                             log_means: np.ndarray, log_stds: np.ndarray,
                             comm_chunks: int = 4,
                             table_widths: tuple | None = None,
-                            impl: str | None = None):
+                            impl: str | None = None,
+                            row_windows: tuple | None = None):
     """Build the jitted multi-chip train step + optimizer init.
 
     `comm_chunks` pipelines each conv's all-reduce against its row-local
@@ -163,7 +196,8 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         mean, logvar = sharded_apply(params, cfg, batch, axis_name=EDGE_AXIS,
                                      train=True, rng=rng,
                                      comm_chunks=comm_chunks,
-                                     table_widths=table_widths, impl=impl)
+                                     table_widths=table_widths, impl=impl,
+                                     row_windows=row_windows)
         logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
         diff = mean - y_z
@@ -485,7 +519,8 @@ def collect_predictions_auto(cfg: AlignnConfig, floor: float, params, batches):
 
 def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float,
                          table_widths: tuple | None = None,
-                         impl: str | None = None):
+                         impl: str | None = None,
+                         row_windows: tuple | None = None):
     """Jitted multi-chip eval forward over stacked batches → [D, G, T] each."""
     specs = batch_pspecs()
 
@@ -493,7 +528,7 @@ def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float,
         batch = jax.tree.map(lambda x: x[0], batch)
         mean, logvar = sharded_apply(params, cfg, batch, axis_name=EDGE_AXIS,
                                      train=False, table_widths=table_widths,
-                                     impl=impl)
+                                     impl=impl, row_windows=row_windows)
         return mean[None], jnp.maximum(logvar, floor)[None]
 
     sharded = shard_map(device_fwd, mesh=mesh,

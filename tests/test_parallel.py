@@ -572,3 +572,74 @@ class TestEdgeShardedTableImpl:
         np.testing.assert_allclose(np.asarray(got_mean)[0],
                                    np.asarray(want_mean),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestRowWindowedEdgeShard:
+    """Per-rank row windows (compute-scaling mode of the windowed
+    formulation): reductions run on [R]-row slices, outputs must match the
+    full-N path and the single-device forward exactly."""
+
+    def test_forward_matches_single_device(self):
+        from gnnep_tpu.parallel.train_step import (measure_row_windows,
+                                                   measure_table_widths)
+
+        store, cfg, setup, mc = _setup(n=24, batch_size=24)
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        b = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                          shuffle=False)[0]
+        widths = measure_table_widths([b])
+        rows = measure_row_windows([b], 4)
+        # the fixture must actually engage the windowed-row path (the LG
+        # conv's target arena exceeds one 128-row window here)
+        assert rows[0] < b.nodes.shape[0] or rows[1] < b.edge_src.shape[0]
+        want_mean, _ = alignn_apply(params, mc, b)
+
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        stacked = stack_for_mesh([b], 1)
+        fwd = make_sharded_forward(mesh, mc, floor=-2.9, table_widths=widths,
+                                   row_windows=rows)
+        got_mean, _ = fwd(params, stacked)
+        np.testing.assert_allclose(np.asarray(got_mean)[0],
+                                   np.asarray(want_mean),
+                                   rtol=2e-4, atol=2e-5)
+        # and against the full-N windowed path (identical math, same order)
+        fwd_full = make_sharded_forward(mesh, mc, floor=-2.9,
+                                        table_widths=widths)
+        full_mean, _ = fwd_full(params, stacked)
+        np.testing.assert_allclose(np.asarray(got_mean),
+                                   np.asarray(full_mean),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_train_step_with_row_windows(self):
+        from gnnep_tpu.parallel.train_step import (measure_row_windows,
+                                                   measure_table_widths)
+        from gnnep_tpu.train.loop import TrainHyper, sigma_mask
+
+        store, cfg, setup, mc = _setup(n=16, batch_size=4)
+        mc = dataclasses.replace(mc, dropout=0.2)
+        hyper = TrainHyper(feature_jitter_std=0.0, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(2), mc)
+        smask = sigma_mask(params)
+        batches = epoch_batches(setup.store, setup.train_idx, setup.budget,
+                                shuffle=False)[:2]
+        widths = measure_table_widths(batches)
+        rows = measure_row_windows(batches, 4)
+        mesh = make_mesh(2, 4)
+        mu, sd = setup.transformer.means, setup.transformer.stds
+        step_r, init_r = make_sharded_train_step(mesh, mc, hyper, mu, sd,
+                                                 table_widths=widths,
+                                                 row_windows=rows)
+        step_f, init_f = make_sharded_train_step(mesh, mc, hyper, mu, sd,
+                                                 table_widths=widths)
+        stacked = stack_for_mesh(batches, 2)
+        params2 = jax.tree.map(jnp.array, params)
+        p_r, _, loss_r, n_r = step_r(params, init_r(params), stacked,
+                                     jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        p_f, _, loss_f, n_f = step_f(params2, init_f(params2), stacked,
+                                     jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        assert float(n_r) == float(n_f)
+        np.testing.assert_allclose(float(loss_r), float(loss_f),
+                                   rtol=1e-5, atol=1e-7)
+        for a, b_ in zip(jax.tree.leaves(p_r), jax.tree.leaves(p_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-6)
