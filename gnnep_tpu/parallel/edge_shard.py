@@ -70,7 +70,8 @@ def edge_sharded_conv(
     backward cost; see PERF.md). `table_width` must dominate every row's
     LOCAL slot span — the in-degree caps cover undiluted batches; a batch
     diluted for win64 bounds interleaves padding rows into real spans, so
-    pass a measured span (`edge_shard_table_widths`) or fall back to 'coo'.
+    pass a measured span (`train_step.measure_table_widths`) or fall back
+    to 'coo'.
 
     `comm_chunks` > 1 splits the partial-aggregate all-reduce into that
     many row chunks; everything downstream of the combine (softmax
@@ -95,7 +96,8 @@ def edge_sharded_conv(
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,
                 comm_chunks=comm_chunks, row_post=row_post, row_ptr=row_ptr,
                 table_width=table_width, win64=win64, row_window=row_window)
-        impl = "table"  # windowed preconditions unmet: next-best formulation
+        impl = "coo"  # windowed preconditions unmet; COO beats the dense
+        # table at scale (PERF.md round-3 table: 0.65M vs 0.47M edges/s)
 
     q = (x @ params.w_query + params.b_query).reshape(n, heads, ch)
     k = (x @ params.w_key + params.b_key).reshape(n, heads, ch)

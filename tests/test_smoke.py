@@ -82,3 +82,14 @@ def test_cli_train_then_predict(tmp_path):
     cp = json.loads((tmp_path / "custom_preds.json").read_text())["predictions"]
     assert cp[0]["material_id"] == "custom-structure"
     assert cp[0]["target"] == [95.0, 60.0]
+
+    # the SHIPPED example input must run as-is (basis inferred from the
+    # checkpoint, sg overrides honored, mixed with/without targets)
+    r = _run(["-m", "gnnep_tpu.cli.predict", "--mode", "custom",
+              "--ensemble-dir", str(save_dir),
+              "--input-file", str(REPO / "examples" / "custom_materials.json"),
+              "--output-json", str(tmp_path / "example_preds.json")], cwd=REPO)
+    assert r.returncode == 0, f"example predict failed:\n{r.stdout[-2000:]}\n{r.stderr[-3000:]}"
+    ep = json.loads((tmp_path / "example_preds.json").read_text())["predictions"]
+    ids = {p["material_id"] for p in ep}
+    assert {"example-MgO", "example-Si", "example-GaAs"} <= ids
