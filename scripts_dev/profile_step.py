@@ -95,6 +95,7 @@ def main():
                 if "TPU" in n or "/device:" in n or "XLA" in n}
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    meta = {}
     total = 0.0
     for ev in data.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
@@ -104,10 +105,16 @@ def main():
         agg[name] += dur
         cnt[name] += 1
         total += dur
+        a = ev.get("args") or {}
+        src = a.get("long_name") or a.get("tf_op") or a.get("source") or ""
+        if src and name not in meta:
+            meta[name] = str(src)[:160]
     print(f"\ntotal device event time: {total:.2f} ms "
           f"(K={K} steps in program)\n")
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:45]
     for name, ms in rows:
+        if name in meta:
+            print(f"        [{meta[name]}]")
         print(f"{ms:9.3f} ms  x{cnt[name]:<5d} {name[:110]}")
 
 
