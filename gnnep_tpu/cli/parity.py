@@ -87,6 +87,8 @@ def print_delta_table(rows) -> None:
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # remote compiles cost 45-200 s; cache across runs
     p = argparse.ArgumentParser(
         description="MP-dump → flagship ensemble → delta-vs-reference table")
     p.add_argument("--mp-dump", required=True,

@@ -58,6 +58,8 @@ def _reconcile_node_dim(store: GraphStore, node_dim: int) -> GraphStore:
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # remote compiles cost 45-200 s; cache across runs
     args = build_parser().parse_args(argv)
     if args.device:
         import jax

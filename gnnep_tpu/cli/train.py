@@ -187,6 +187,8 @@ def config_from_args(args) -> TrainConfig:
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # remote compiles cost 45-200 s; cache across runs
     args = build_parser().parse_args(argv)
     if args.device:
         import jax
