@@ -488,6 +488,10 @@ def functional_mode():
 if __name__ == "__main__":
     import sys
 
+    from gnnep_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # compiles excluded from timings; saves wall-clock
+
     if "--scaling" in sys.argv:
         idx = sys.argv.index("--scaling")
         n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 8

@@ -86,7 +86,36 @@ def main() -> None:
     n = float(np.asarray(n.addressable_data(0)))
     assert np.isfinite(loss), loss
     assert n == sum(float(np.asarray(b.graph_mask).sum()) for b in subs), n
-    print(f"MULTIHOST OK pid={pid} loss={loss:.4f} graphs={int(n)}",
+
+    # one general edge-sharded step (windowed fast path with measured
+    # widths + per-rank row windows) across the same 2-process mesh: the
+    # per-conv pmax/psum combines cross the process boundary
+    from gnnep_tpu.parallel.train_step import (batch_pspecs,
+                                               make_sharded_train_step,
+                                               measure_row_windows,
+                                               measure_table_widths)
+
+    es_batches = equalize_batches([
+        synthetic_batch(rng, n_graphs=2, mean_atoms=4, degree=3, node_dim=8,
+                        edge_dim=6, angle_dim=5, global_dim=59,
+                        table_cap=16, lg_table_cap=16) for _ in range(4)])
+    es_step, es_init = make_sharded_train_step(
+        mesh, cfg, hyper, np.array([4.32, 3.56]), np.array([0.91, 0.94]),
+        table_widths=measure_table_widths(es_batches),
+        row_windows=measure_row_windows(es_batches, 2))
+    es_stacked = jax.tree.map(globalize, stack_for_mesh(es_batches, 4),
+                              batch_pspecs())
+    params2 = init_alignn(jax.random.PRNGKey(3), cfg)
+    _, _, es_loss, es_n = es_step(params2, es_init(params2), es_stacked,
+                                  jax.random.PRNGKey(2), 3e-4, 3e-4, smask)
+    es_loss = float(np.asarray(es_loss.addressable_data(0)))
+    es_n = float(np.asarray(es_n.addressable_data(0)))
+    assert np.isfinite(es_loss), es_loss
+    assert es_n == sum(float(np.asarray(b.graph_mask).sum())
+                       for b in es_batches), es_n
+
+    print(f"MULTIHOST OK pid={pid} loss={loss:.4f} graphs={int(n)} "
+          f"edge_sharded_loss={es_loss:.4f} graphs={int(es_n)}",
           flush=True)
 
 
