@@ -176,10 +176,15 @@ def main(argv=None) -> int:
     (work / "parity_report.json").write_text(json.dumps(report, indent=2,
                                                         default=float))
     print(f"\nReport -> {work / 'parity_report.json'}")
-    behind = [r for r in rows if r[5] is False]
-    print(f"{len(rows) - len(behind)}/{len(rows)} metrics at or above the "
-          f"reference." + (" (smoke run: numbers not meaningful)"
-                           if args.smoke else ""))
+    # a missing metric (better=None, e.g. no calib split -> no conformal
+    # coverage) is NOT "at or above" — count only explicit wins
+    ahead = [r for r in rows if r[5] is True]
+    missing = [r for r in rows if r[5] is None]
+    line = f"{len(ahead)}/{len(rows)} metrics at or above the reference."
+    if missing:
+        line += f" ({len(missing)} not computed this run)"
+    print(line + (" (smoke run: numbers not meaningful)"
+                  if args.smoke else ""))
     return 0
 
 

@@ -89,7 +89,10 @@ def edge_sharded_conv(
 
     if impl == "windowed" and row_ptr is not None and table_width > 0:
         from ..ops.pallas.csr_attention import fusable as _w_ok
-        if _w_ok(n, src.shape[0], table_width, hidden=2 * hidden):
+        # widest windowed stream: concat [v_j*expd_h (H) ‖ expd_pad (128)]
+        # in the no-dropout aggregate — 2H only once hidden ≥ 128
+        if _w_ok(n, src.shape[0], table_width,
+                 hidden=hidden + max(hidden, 128)):
             return _windowed_conv(
                 params, x, src, dst, edge_attr, heads=heads,
                 axis_name=axis_name, edge_mask=edge_mask,
@@ -244,6 +247,13 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
     lrp = jnp.clip(row_ptr.astype(jnp.int32) - e0, 0, e_loc)      # [N+1]
 
     R = int(row_window) if 0 < int(row_window) < n else n
+    if R < n and (n % 128 != 0 or R % 128 != 0):
+        # the clip below can only preserve the 128-aligned window start
+        # (which the win64 group bounds and DMA slices rely on) when both
+        # the arena and the window are 128-multiples; standard budgets pad
+        # row arenas to 128 (`data.batching`), but hand-built arenas may
+        # not — disable row windowing rather than risk a misaligned window
+        R = n
     if R < n:
         # first row whose segment intersects the local slice, 128-aligned
         # down (the measured R includes this alignment slack)

@@ -48,7 +48,8 @@ def _unstack_tree(tree, m: int):
     return [jax.tree.map(lambda x, i=i: np.asarray(x[i]), tree) for i in range(m)]
 
 
-def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
+def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap",
+                          freq_weights=None
                           ) -> Tuple[List[Dict], List[AlignnConfig]]:
     if cfg.member_hiddens is not None and len(set(cfg.member_hiddens)) > 1:
         raise ValueError(f"{mode} member-parallel training requires homogeneous "
@@ -61,9 +62,10 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap"
     s = setup.store
     m = cfg.ensemble_size
     # inverse-frequency bin weights ride the packer's weights= path (the
-    # same composition point the sequential loop grafts onto batches)
-    freq_weights = None
-    if cfg.freq_gamma > 0.0:
+    # same composition point the sequential loop grafts onto batches);
+    # run_training passes its precomputed array — recompute only when
+    # called directly
+    if freq_weights is None and cfg.freq_gamma > 0.0:
         from ..train.bins import freq_weights_for_store
         freq_weights = freq_weights_for_store(s.y, setup.bin_edges,
                                               setup.bin_weights)

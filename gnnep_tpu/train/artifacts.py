@@ -120,6 +120,8 @@ def load_pytree_meta(path: str | Path) -> Dict:
     """Read only the JSON metadata of a `save_pytree` archive (no template
     needed — lets callers validate layout compatibility before loading)."""
     with np.load(path, allow_pickle=False) as data:
+        if "meta_json" not in data.files:  # legacy archive without metadata
+            return {}
         return json.loads(str(data["meta_json"]))
 
 

@@ -152,8 +152,8 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
 
     if cfg.member_parallel in ("vmap", "shard"):
         from ..parallel.ensemble_vmap import train_members_vmapped
-        members, model_cfgs = train_members_vmapped(setup, cfg,
-                                                    mode=cfg.member_parallel)
+        members, model_cfgs = train_members_vmapped(
+            setup, cfg, mode=cfg.member_parallel, freq_weights=freq_weights)
         for i, (params, mc) in enumerate(zip(members, model_cfgs)):
             save_member(save_dir / f"model_{i}.npz", params, mc)
     else:

@@ -643,3 +643,50 @@ class TestRowWindowedEdgeShard:
         for a, b_ in zip(jax.tree.leaves(p_r), jax.tree.leaves(p_f)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-4, atol=2e-6)
+
+    def test_misaligned_arena_disables_row_window(self):
+        """A hand-built row arena whose size is NOT a multiple of 128 cannot
+        keep the 128-aligned window-start invariant the win64 group bounds
+        rely on — the windowed conv must fall back to full-N reductions (and
+        stay numerically exact) instead of risking a misaligned window."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from gnnep_tpu.ops.graph_attention import (init_transformer_conv,
+                                                   transformer_conv)
+        from gnnep_tpu.parallel import edge_shard
+
+        heads, hidden = 2, 16
+        # n % 64 == 0 (kernel blocks viable) but n % 128 != 0 (window
+        # start alignment NOT guaranteed); per-shard edge slices stay
+        # 128-multiples so the windowed path is otherwise engaged
+        n, deg = 192, 8
+        rng = np.random.default_rng(3)
+        e_total = n * deg
+        dst = np.repeat(np.arange(n, dtype=np.int32), deg)   # CSR-sorted
+        src = rng.integers(0, n, size=e_total).astype(np.int32)
+        x = rng.standard_normal((n, hidden)).astype(np.float32)
+        ea = rng.standard_normal((e_total, 8)).astype(np.float32)
+        row_ptr = np.arange(n + 1, dtype=np.int32) * deg
+        params = init_transformer_conv(jax.random.PRNGKey(0), hidden, hidden,
+                                       edge_dim=8)
+
+        want = transformer_conv(params, x, src, dst, ea, heads=heads)
+
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+
+        def device_fn(p, xx, ss, dd, aa, rp):
+            return edge_shard._windowed_conv(
+                p, xx, ss, dd, aa, heads=heads, axis_name="edge",
+                edge_mask=None, dropout_rate=0.0, dropout_rng=None,
+                comm_chunks=1, row_post=None, row_ptr=rp,
+                table_width=deg + 1, win64=0, row_window=128)
+
+        assert (n * deg // 4) % 128 == 0  # windowed path viable per shard
+
+        got = jax.jit(shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(P(), P(), P("edge"), P("edge"), P("edge"), P()),
+            out_specs=P(), check_rep=False))(params, x, src, dst, ea, row_ptr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
