@@ -260,20 +260,33 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
         r_lo = jnp.searchsorted(row_ptr.astype(jnp.int32), e0,
                                 side="right") - 1
         r_lo = jnp.clip((r_lo // 128) * 128, 0, n - R).astype(jnp.int32)
+        # contract guard: `row_window` must come from measure_row_windows
+        # (cover every rank's row span). Under-coverage would clip
+        # out-of-window edges onto row R-1 and DROP their true rows'
+        # contributions — silently wrong. Poison every partial with NaN
+        # instead, so a violated contract fails loudly and deterministically
+        hi_row = jnp.searchsorted(row_ptr.astype(jnp.int32),
+                                  e0 + e_loc - 1, side="right") - 1
+        poison = jnp.where(hi_row - r_lo >= R, jnp.float32(jnp.nan),
+                           jnp.float32(1.0))
     else:
         r_lo = jnp.int32(0)
+        poison = jnp.float32(1.0)
     lrp_w = jax.lax.dynamic_slice(lrp, (r_lo,), (R + 1,))
     starts_w = lrp_w[:-1]
     dst_w = jnp.clip(dst - r_lo, 0, R - 1).astype(dst.dtype)
 
     def expand(rows):
         """[R, ·] rank-local partial → [N, ·] (zeros elsewhere) for the
-        cross-rank combine."""
+        cross-rank combine, NaN-poisoned on a row-window contract breach
+        (all N rows: a dropped contribution lands OUTSIDE the window, so
+        only a whole-array poison is reliably loud)."""
         if R == n:
             return rows
-        return jax.lax.dynamic_update_slice(
+        out = jax.lax.dynamic_update_slice(
             jnp.zeros((n, rows.shape[1]), rows.dtype), rows,
             (r_lo, jnp.int32(0)))
+        return out + (poison - 1.0).astype(out.dtype)
 
     # global per-64-row group span bounds remain valid for every shard's
     # local slice (clipping row pointers only shrinks spans, and r_lo is
