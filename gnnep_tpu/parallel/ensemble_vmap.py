@@ -159,8 +159,9 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap",
         stacked_step = jax.jit(partial(_stacked_body,
                                        member_fn=jax.vmap(one_member_grads)))
     else:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+
+        from .mesh import shard_map
 
         # one member per device: the WHOLE stacked step runs under shard_map
         # with every stacked leaf split on the member axis, so each device
@@ -185,7 +186,7 @@ def train_members_vmapped(setup, cfg: TrainConfig, mode: str = "vmap",
             sharded_body, mesh=mesh,
             in_specs=(spec, opt_spec, spec, spec, spec, spec),
             out_specs=(spec, opt_spec, spec),
-            check_rep=False))
+            check=False))
 
     # per-member data streams (bootstrap + fold assignment, as sequential)
     member_train_idx: List[List[int]] = []

@@ -22,6 +22,24 @@ DATA_AXIS = "data"
 EDGE_AXIS = "edge"
 
 
+def shard_map(f, *, mesh, in_specs, out_specs, check: bool = False):
+    """`jax.shard_map` across JAX versions.
+
+    jax ≥ 0.8 promotes shard_map out of experimental and renames the
+    replication checker (`check_rep` → `check_vma`); the experimental
+    module still works but warns and will be removed. All the framework's
+    per-device programs build manual collectives whose outputs the checker
+    cannot always type (same reason the reference formulations passed
+    check_rep=False), so the default stays off."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=check)
+
+
 def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Mesh over (data × edge). Defaults to all devices on the data axis."""

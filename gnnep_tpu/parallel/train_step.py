@@ -36,13 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..data.batching import GraphBatch
 from ..models.alignn import AlignnConfig
 from ..train.loop import TrainHyper
 from .edge_shard import sharded_apply
-from .mesh import DATA_AXIS, EDGE_AXIS
+from .mesh import DATA_AXIS, EDGE_AXIS, shard_map
 
 # per-field sharding: which mesh axes the *leading* array axis is split over.
 # (arrays are stacked with a leading data-rank axis; edge/LG arenas shard
@@ -243,7 +242,7 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         device_step, mesh=mesh,
         in_specs=(P(), P(), specs, P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        check=False)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
@@ -389,7 +388,7 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         device_step, mesh=mesh,
         in_specs=(P(), P(), specs, P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        check=False)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
@@ -436,7 +435,7 @@ def make_aligned_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         device_multi, mesh=mesh,
         in_specs=(P(), P(), scan_specs, P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        check=False)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def multi(params, opt_state, stacked, rng, lr_mean, lr_sigma, smask):
@@ -463,7 +462,7 @@ def make_aligned_forward(mesh, cfg: AlignnConfig, floor: float):
     sharded = shard_map(device_fwd, mesh=mesh,
                         in_specs=(P(), specs),
                         out_specs=(both, both),
-                        check_rep=False)
+                        check=False)
     return jax.jit(sharded)
 
 
@@ -534,5 +533,5 @@ def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float,
     sharded = shard_map(device_fwd, mesh=mesh,
                         in_specs=(P(), specs),
                         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-                        check_rep=False)
+                        check=False)
     return jax.jit(sharded)
