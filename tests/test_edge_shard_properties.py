@@ -73,7 +73,7 @@ def _row_window(rp, e_total, n_shards, n):
        chunks=st.sampled_from([1, 3]))
 def test_sharded_conv_matches_single_device(seed, n, avg_deg, n_shards,
                                             heads, impl, chunks):
-    from jax.experimental.shard_map import shard_map
+    from gnnep_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     from gnnep_tpu.parallel.edge_shard import edge_sharded_conv
@@ -106,7 +106,7 @@ def test_sharded_conv_matches_single_device(seed, n, avg_deg, n_shards,
     got = jax.jit(shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P(), P("edge"), P("edge"), P("edge"), P("edge"), P()),
-        out_specs=P(), check_rep=False))(params, x, src, dst, ea, mask, rp)
+        out_specs=P(), check=False))(params, x, src, dst, ea, mask, rp)
     np.testing.assert_allclose(np.asarray(got)[:-1], np.asarray(want)[:-1],
                                rtol=3e-4, atol=3e-5)
 
@@ -115,7 +115,7 @@ def test_undercovering_row_window_fails_loudly():
     """A row_window NOT derived from measure_row_windows (too small for a
     rank's row span) must poison the output with NaN — never silently drop
     the out-of-window contributions."""
-    from jax.experimental.shard_map import shard_map
+    from gnnep_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     from gnnep_tpu.parallel.edge_shard import edge_sharded_conv
@@ -139,6 +139,6 @@ def test_undercovering_row_window_fails_loudly():
     got = jax.jit(shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P(), P("edge"), P("edge"), P("edge"), P("edge"), P()),
-        out_specs=P(), check_rep=False))(params, x, src, dst, ea, mask, rp)
+        out_specs=P(), check=False))(params, x, src, dst, ea, mask, rp)
     assert not np.isfinite(np.asarray(got)).all(), \
         "under-covering row window produced finite (silently wrong?) output"

@@ -105,7 +105,7 @@ class TestShardedTrainStep:
         from gnnep_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
         from gnnep_tpu.parallel.train_step import batch_pspecs
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from gnnep_tpu.parallel.mesh import shard_map
 
         mesh = make_mesh(2, 4)
 
@@ -131,7 +131,7 @@ class TestShardedTrainStep:
 
         got_grads = jax.jit(shard_map(
             device_grads, mesh=mesh, in_specs=(P(), batch_pspecs()),
-            out_specs=P(), check_rep=False))(params, stack_for_mesh(batches, 2))
+            out_specs=P(), check=False))(params, stack_for_mesh(batches, 2))
         for w, g in zip(jax.tree.leaves(want_grads), jax.tree.leaves(got_grads)):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=2e-3, atol=1e-6)
@@ -157,7 +157,7 @@ class TestShardedTrainStep:
         from gnnep_tpu.parallel.mesh import EDGE_AXIS
         from gnnep_tpu.parallel.train_step import batch_pspecs, stack_for_mesh
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from gnnep_tpu.parallel.mesh import shard_map
 
         store, cfg, setup, mc = _setup(n=12, batch_size=4)
         mc = dataclasses.replace(mc, dropout=0.3)
@@ -178,7 +178,7 @@ class TestShardedTrainStep:
 
             return jax.jit(shard_map(
                 device_fwd, mesh=mesh, in_specs=(P(), batch_pspecs()),
-                out_specs=(P(), P()), check_rep=False))(params, stacked)
+                out_specs=(P(), P()), check=False))(params, stacked)
 
         for train in (False, True):
             base = run(1, train)
@@ -265,7 +265,7 @@ class TestAlignedStep:
         from gnnep_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
         from gnnep_tpu.parallel.train_step import aligned_pspecs
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from gnnep_tpu.parallel.mesh import shard_map
 
         mesh = make_mesh(2, 4)
 
@@ -290,7 +290,7 @@ class TestAlignedStep:
 
         got_grads = jax.jit(shard_map(
             device_grads, mesh=mesh, in_specs=(P(), aligned_pspecs()),
-            out_specs=P(), check_rep=False))(params,
+            out_specs=P(), check=False))(params,
                                              stack_for_mesh(batches, 8))
         for w, g in zip(jax.tree.leaves(want_grads),
                         jax.tree.leaves(got_grads)):
@@ -486,7 +486,7 @@ class TestEdgeShardedTableImpl:
         from gnnep_tpu.parallel.train_step import (batch_pspecs,
                                                    measure_table_widths)
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from gnnep_tpu.parallel.mesh import shard_map
 
         store, cfg, setup, mc = _setup(n=12, batch_size=4)
         mc = dataclasses.replace(mc, dropout=0.25)
@@ -507,7 +507,7 @@ class TestEdgeShardedTableImpl:
 
             return jax.jit(shard_map(
                 device_fwd, mesh=mesh, in_specs=(P(), batch_pspecs()),
-                out_specs=(P(), P()), check_rep=False))(params, stacked)
+                out_specs=(P(), P()), check=False))(params, stacked)
 
         want = run(None)
         got = run(widths)
@@ -649,7 +649,7 @@ class TestRowWindowedEdgeShard:
         keep the 128-aligned window-start invariant the win64 group bounds
         rely on — the windowed conv must fall back to full-N reductions (and
         stay numerically exact) instead of risking a misaligned window."""
-        from jax.experimental.shard_map import shard_map
+        from gnnep_tpu.parallel.mesh import shard_map
         from jax.sharding import PartitionSpec as P
 
         from gnnep_tpu.ops.graph_attention import (init_transformer_conv,
@@ -687,6 +687,6 @@ class TestRowWindowedEdgeShard:
         got = jax.jit(shard_map(
             device_fn, mesh=mesh,
             in_specs=(P(), P(), P("edge"), P("edge"), P("edge"), P()),
-            out_specs=P(), check_rep=False))(params, x, src, dst, ea, row_ptr)
+            out_specs=P(), check=False))(params, x, src, dst, ea, row_ptr)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5)
