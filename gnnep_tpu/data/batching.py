@@ -257,8 +257,13 @@ def plan_dilution(counts: np.ndarray, bound: int, cap_rows: int,
     rows owns ≤ `bound` edge rows, skipping to the next group boundary when
     a target would overflow the current group — the skipped slots become
     interior padding rows. None if the remap needs ≥ cap_rows − 1 rows (the
-    last row stays reserved for the dummy target).
+    last row stays reserved for the dummy target), or if a single target
+    alone exceeds the bound (no remap can honor it — found by fuzzing:
+    bond-dilution padding can inflate one atom's edge span past an
+    otherwise-sufficient bound).
     """
+    if counts.size and int(counts.max()) > bound:
+        return None
     native = _native.plan_dilution_native(counts, bound, cap_rows, group)
     if native is not NotImplemented:
         return native
@@ -345,6 +350,17 @@ def dilute_for_window_bounds(nodes, node_graph, edge_src, edge_dst, edge_attr,
             nodes, node_graph = nn, ng
             edge_src = remap[edge_src].astype(np.int32)
             edge_dst = remap[edge_dst].astype(np.int32)
+
+    # the plans bound per-group sums of the counts they saw, but coupling
+    # between the two passes (bond dilution stretches atom spans) means the
+    # ACHIEVED spans must be verified — never emit a batch the kernels'
+    # windows would under-cover; deferral (fewer graphs → less dilution)
+    # is the recovery path
+    if lg_win64 and n_real_edges and measure_win64(lg_dst, Ep) > lg_win64:
+        raise DilutionOverflow()
+    if edge_win64 and n_real_nodes and \
+            measure_win64(edge_dst, Np) > edge_win64:
+        raise DilutionOverflow()
 
     return (nodes, node_graph, edge_src, edge_dst, edge_attr, edge_mask,
             lg_src, lg_dst)
