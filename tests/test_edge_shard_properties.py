@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
-from hypothesis import given, settings, strategies as st, assume, HealthCheck
+from hypothesis import (given, example, settings, strategies as st, assume,
+                        HealthCheck)
 
 from gnnep_tpu.ops.graph_attention import (init_transformer_conv,
                                            transformer_conv)
@@ -71,6 +72,10 @@ def _row_window(rp, e_total, n_shards, n):
        heads=st.sampled_from([2, 4]),
        impl=st.sampled_from(["coo", "table", "windowed"]),
        chunks=st.sampled_from([1, 3]))
+# pinned fuzz find: a 2-shard windowed case whose measured row window
+# exceeds one 128-row block (caught the under-covering-window hazard)
+@example(seed=0, n=256, avg_deg=2, n_shards=2, heads=2, impl="windowed",
+         chunks=1)
 def test_sharded_conv_matches_single_device(seed, n, avg_deg, n_shards,
                                             heads, impl, chunks):
     from gnnep_tpu.parallel.mesh import shard_map
