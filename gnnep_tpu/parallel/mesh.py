@@ -22,22 +22,26 @@ DATA_AXIS = "data"
 EDGE_AXIS = "edge"
 
 
+# jax ≥ 0.8 promotes shard_map out of experimental and renames the
+# replication checker (check_rep → check_vma); the experimental module
+# still works but warns and will be removed. Detect the API ONCE here —
+# a per-call try/except would swallow genuine wrap-time argument errors
+_HAS_JAX_SHARD_MAP = hasattr(jax, "shard_map")
+
+
 def shard_map(f, *, mesh, in_specs, out_specs, check: bool = False):
     """`jax.shard_map` across JAX versions.
 
-    jax ≥ 0.8 promotes shard_map out of experimental and renames the
-    replication checker (`check_rep` → `check_vma`); the experimental
-    module still works but warns and will be removed. All the framework's
-    per-device programs build manual collectives whose outputs the checker
-    cannot always type (same reason the reference formulations passed
-    check_rep=False), so the default stays off."""
-    try:
+    All the framework's per-device programs build manual collectives whose
+    outputs the replication checker cannot always type (same reason the
+    reference formulations passed check_rep=False), so the default is
+    off."""
+    if _HAS_JAX_SHARD_MAP:
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=check)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map as _sm
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=check)
+    from jax.experimental.shard_map import shard_map as _sm
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=check)
 
 
 def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,

@@ -8,7 +8,6 @@ CSR-sorted arena — including arenas whose row counts are not tile-aligned,
 mid-segment shard cuts, masked tails, and row windows smaller than the
 arena. Random problems here sweep the boundary conditions the fixed
 fixtures in test_parallel.py cannot."""
-import math
 
 import jax
 import jax.numpy as jnp
