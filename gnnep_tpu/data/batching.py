@@ -13,7 +13,8 @@ Conventions:
 - Edge arena capacity `Ep`; index `Ep-1` is the reserved DUMMY bond, the
   target of padded line-graph edges.
 - Graph arena capacity `G`; padded graph rows have `graph_mask=False`,
-  y=1.0 (safe under log), weight 0.
+  y=1.0 (safe under log), y_mask=0 (the authority on target validity —
+  y's fill value is NOT a sentinel), weight 0.
 - When the budget carries win64 window bounds, dense regions are DILUTED:
   masked padding rows are interleaved into the arenas (bond gap rows carry
   src=dummy but a forward-filled real dst to keep the CSR sort), so "padding
@@ -79,6 +80,10 @@ class GraphBatch(NamedTuple):
     # binary-search while-loop in XLA), and the arenas are static per batch
     edge_row_ptr: np.ndarray    # [Np+1] i32 searchsorted(edge_dst, arange)
     lg_row_ptr: np.ndarray      # [Ep+1] i32 searchsorted(lg_dst, arange)
+    # per-target validity (1 = a real, finite ground-truth value). Padded
+    # graph rows and missing targets are 0 — consumers must use THIS, never
+    # a magic y value (a real material with K=G=1.0 GPa is a valid sample)
+    y_mask: np.ndarray          # [G, T] f32
 
     @property
     def capacity(self):
@@ -624,6 +629,7 @@ class BatchPacker:
         globals_ = np.zeros((G, s.global_scalar_dim), dtype=np.float32)
         sg_num = np.zeros(G, dtype=np.int32)
         y = np.ones((G, s.target_dim), dtype=np.float32)
+        y_mask = np.zeros((G, s.target_dim), dtype=np.float32)
         graph_mask = np.zeros(G, dtype=np.float32)
         weight = np.zeros(G, dtype=np.float32)
         sample_index = np.full(G, -1, dtype=np.int32)
@@ -631,8 +637,9 @@ class BatchPacker:
             globals_[slot] = s.global_scalars[g]
             sg_num[slot] = s.sg_num[g]
             yg = s.y[g]
-            if np.isfinite(yg).all():
-                y[slot] = yg
+            finite = np.isfinite(yg)
+            y[slot] = np.where(finite, yg, 1.0)  # 1.0 = inert under log
+            y_mask[slot] = finite.astype(np.float32)
             graph_mask[slot] = 1.0
             weight[slot] = 1.0 if weights is None else float(weights[g])
             sample_index[slot] = g
@@ -677,7 +684,8 @@ class BatchPacker:
                           node_tab, node_tab_mask, edge_pos,
                           lg_tab, lg_tab_mask, lg_pos,
                           node_ot, node_ot_mask, lg_ot, lg_ot_mask,
-                          e_order, e_starts, l_order, l_starts, e_rp, l_rp)
+                          e_order, e_starts, l_order, l_starts, e_rp, l_rp,
+                          y_mask)
 
 
 def build_tables(edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
@@ -765,7 +773,8 @@ def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
             lg_src=lg_src, lg_dst=lg_dst, lg_attr=grow(b.lg_attr, Lp, 0.0),
             lg_mask=lg_mask,
             globals_=grow(b.globals_, G, 0.0), sg_num=grow(b.sg_num, G, 0),
-            y=grow(b.y, G, 1.0), graph_mask=grow(b.graph_mask, G, 0.0),
+            y=grow(b.y, G, 1.0), y_mask=grow(b.y_mask, G, 0.0),
+            graph_mask=grow(b.graph_mask, G, 0.0),
             weight=grow(b.weight, G, 0.0),
             sample_index=grow(b.sample_index, G, -1),
             node_in_edges=node_tab, node_in_mask=node_tab_mask,

@@ -156,6 +156,10 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
     res_skew = M.residual_skewness(residuals)
     nll = M.gaussian_nll(mean_z, std_z, targets_z)
     spearman_t = M.spearman_per_target(np.abs(targets_z - mean_z), std_z)
+    # on tiny splits every per-target Spearman can be NaN (constant ranks);
+    # guard so np.nanmean below never warns "Mean of empty slice"
+    spearman_mean = (float(np.nanmean(spearman_t))
+                     if np.isfinite(spearman_t).any() else float("nan"))
     coverages = [float(x) for x in cfg.coverage_grid.split(",") if x.strip()]
     nom, emp = M.reliability_curve(mean_z, std_z, targets_z, coverages)
     ece_t = [M.scalar_ece(nom, emp[t].tolist()) for t in range(t_dim)]
@@ -212,7 +216,7 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
             "conformal_coverage": conformal_cov,
             "conformal_width": conformal_width,
             "diversity_member_var_mean": div["pairwise_var"],
-            "spearman_error_uncertainty": float(np.nanmean(spearman_t)),
+            "spearman_error_uncertainty": spearman_mean,
             "epistemic_fraction_mean": div["epistemic_fraction_mean"],
             "member_rmse_mean": div["member_rmse_mean"],
             "member_rmse_std": div["member_rmse_std"],

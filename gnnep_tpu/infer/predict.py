@@ -121,7 +121,10 @@ class Ensemble:
                 "prediction": mean_orig[row].tolist(),
                 "uncertainty": std_lin[row].tolist(),
             }
-            if np.isfinite(y_row).all() and not bool(np.all(y_row == 1.0)):
+            # collectors emit NaN where the batch's y_mask marked the target
+            # invalid — presence is decided by finiteness, never a magic
+            # value (K=G=1.0 GPa is a legitimate ground truth)
+            if np.isfinite(y_row).any():
                 entry["target"] = y_row.tolist()
             results.append(entry)
         return results

@@ -89,10 +89,13 @@ def edge_sharded_conv(
 
     if impl == "windowed" and row_ptr is not None and table_width > 0:
         from ..ops.pallas.csr_attention import fusable as _w_ok
-        # widest windowed stream: concat [v_j*expd_h (H) ‖ expd_pad (128)]
-        # in the no-dropout aggregate — 2H only once hidden ≥ 128
-        if _w_ok(n, src.shape[0], table_width,
-                 hidden=hidden + max(hidden, 128)):
+        # widest windowed stream on the ACTUAL execution path: the
+        # no-dropout aggregate concats [v_j*expd_h (H) ‖ expd_pad (128)]
+        # → H + 128; with dropout the aggregates run separately, so the
+        # widest stream is max(H, 128)
+        wide = (max(hidden, 128) if dropout_rate > 0.0 and dropout_rng
+                is not None else hidden + 128)
+        if _w_ok(n, src.shape[0], table_width, hidden=wide):
             return _windowed_conv(
                 params, x, src, dst, edge_attr, heads=heads,
                 axis_name=axis_name, edge_mask=edge_mask,

@@ -510,7 +510,9 @@ def collect_predictions_auto(cfg: AlignnConfig, floor: float, params, batches):
             mask = np.asarray(b.graph_mask) > 0
             means.append(mean[d][mask])
             sigmas.append(sigma[d][mask])
-            ys.append(np.asarray(b.y)[mask])
+            # match collect_predictions: invalid targets → NaN, not 1.0
+            yv = np.where(np.asarray(b.y_mask) > 0, np.asarray(b.y), np.nan)
+            ys.append(yv[mask])
             idxs.append(np.asarray(b.sample_index)[mask])
     return (np.concatenate(means), np.concatenate(sigmas),
             np.concatenate(ys), np.concatenate(idxs))

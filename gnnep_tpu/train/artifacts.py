@@ -121,6 +121,13 @@ def load_pytree_meta(path: str | Path) -> Dict:
     needed — lets callers validate layout compatibility before loading)."""
     with np.load(path, allow_pickle=False) as data:
         if "meta_json" not in data.files:  # legacy archive without metadata
+            import warnings
+
+            # callers use this to validate optimizer layout before resume;
+            # an empty dict silently skips that guard, so say so out loud
+            warnings.warn(f"{path}: legacy resume archive has no metadata — "
+                          "layout-compatibility checks will be skipped",
+                          stacklevel=2)
             return {}
         return json.loads(str(data["meta_json"]))
 

@@ -400,7 +400,10 @@ def collect_predictions(forward, params, batches) -> Tuple[np.ndarray, np.ndarra
         mask = np.asarray(b.graph_mask) > 0
         means.append(np.asarray(mean)[mask])
         sigmas.append(np.sqrt(np.exp(np.asarray(logvar)))[mask])
-        ys.append(np.asarray(b.y)[mask])
+        # invalid targets (y_mask 0) surface as NaN, never as y's inert
+        # 1.0 fill — callers decide per-target presence by finiteness
+        yv = np.where(np.asarray(b.y_mask) > 0, np.asarray(b.y), np.nan)
+        ys.append(yv[mask])
         idxs.append(np.asarray(b.sample_index)[mask])
     return (np.concatenate(means), np.concatenate(sigmas),
             np.concatenate(ys), np.concatenate(idxs))

@@ -106,7 +106,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask,
         edge_src_order=e_order, edge_src_starts=e_starts,
         lg_src_order=l_order, lg_src_starts=l_starts,
-        edge_row_ptr=e_rp, lg_row_ptr=l_rp)
+        edge_row_ptr=e_rp, lg_row_ptr=l_rp,
+        y_mask=np.ones_like(y))
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,

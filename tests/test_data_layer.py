@@ -186,6 +186,38 @@ class TestBatching:
         assert (b.node_graph[b.nodes.sum(axis=1) == 0] <= G).all()
         assert (np.sort(np.unique(b.node_graph))[-1] == G)
 
+    def test_target_validity_mask(self):
+        # y_mask is the authority on target presence: a real material with
+        # K=G=1.0 GPa (the padding fill value) must keep its ground truth,
+        # and missing components must surface as NaN from the collectors
+        store = make_store(4)
+        store.y[0] = [1.0, 1.0]        # legitimate ground truth
+        store.y[1] = [np.nan, np.nan]  # missing target
+        store.y[2] = [50.0, np.nan]    # partially missing
+        budget = BatchBudget.plan(store, range(4), batch_size=4)
+        b = next(iter(BatchPacker(store, budget).pack(range(4))))
+        row = {int(g): slot for slot, g in enumerate(b.sample_index) if g >= 0}
+        np.testing.assert_array_equal(b.y_mask[row[0]], [1.0, 1.0])
+        np.testing.assert_array_equal(b.y[row[0]], [1.0, 1.0])
+        np.testing.assert_array_equal(b.y_mask[row[1]], [0.0, 0.0])
+        np.testing.assert_array_equal(b.y_mask[row[2]], [1.0, 0.0])
+        assert np.isfinite(b.y).all()  # y itself stays log-safe
+        pad = np.asarray(b.graph_mask) == 0
+        if pad.any():
+            assert (np.asarray(b.y_mask)[pad] == 0).all()
+
+        from gnnep_tpu.train.loop import collect_predictions
+
+        def fake_fwd(params, bb):
+            z = np.zeros(np.asarray(bb.y).shape, np.float32)
+            return z, z
+
+        _, _, ys, idxs = collect_predictions(fake_fwd, None, [b])
+        m = {int(i): r for r, i in enumerate(idxs)}
+        np.testing.assert_array_equal(ys[m[0]], [1.0, 1.0])
+        assert np.isnan(ys[m[1]]).all()
+        assert ys[m[2]][0] == pytest.approx(50.0) and np.isnan(ys[m[2]][1])
+
     def test_edge_indices_offset_correctly(self):
         store = make_store(6)
         budget = BatchBudget.plan(store, range(6), batch_size=6)

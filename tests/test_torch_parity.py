@@ -216,7 +216,8 @@ def _unpadded_batch(store, dtype=np.float64):
         lg_out_edges=z(Ep, 1), lg_out_mask=zf(Ep, 1),
         edge_src_order=z(Ep), edge_src_starts=z(Np),
         lg_src_order=z(Lp), lg_src_starts=z(Ep),
-        edge_row_ptr=z(Np + 1), lg_row_ptr=z(Ep + 1))
+        edge_row_ptr=z(Np + 1), lg_row_ptr=z(Ep + 1),
+        y_mask=np.ones((G, store.y.shape[1]), np.float32))
 
 
 class TestTorchActivationParity:
