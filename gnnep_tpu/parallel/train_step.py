@@ -537,3 +537,185 @@ def make_sharded_forward(mesh, cfg: AlignnConfig, floor: float,
                         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
                         check=False)
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# boundary-exchange formulation (parallel.boundary_shard)
+# ---------------------------------------------------------------------------
+
+# graph-level fields replicated across the edge axis (per-rank fields carry
+# the [S] shard axis and split over EDGE_AXIS)
+_BD_REPLICATED = {"globals_", "sg_num", "y", "y_mask", "graph_mask", "weight"}
+
+
+def boundary_pspecs():
+    from .boundary_shard import BoundaryBatch
+
+    return BoundaryBatch(**{
+        f: (P(DATA_AXIS) if f in _BD_REPLICATED else P(DATA_AXIS, EDGE_AXIS))
+        for f in BoundaryBatch._fields})
+
+
+def stack_boundary_for_mesh(bbs, n_data: int):
+    """Stack `n_data` same-plan BoundaryBatches on a leading data axis."""
+    from .boundary_shard import BoundaryBatch
+
+    if len(bbs) != n_data:
+        raise ValueError(f"got {len(bbs)} boundary batches for {n_data} "
+                         "data ranks")
+    return BoundaryBatch(*[np.stack([np.asarray(getattr(b, f)) for b in bbs])
+                           for f in BoundaryBatch._fields])
+
+
+def _strip_boundary(bb):
+    from .boundary_shard import BoundaryBatch
+
+    return BoundaryBatch(**{
+        f: (getattr(bb, f)[0] if f in _BD_REPLICATED else getattr(bb, f)[0, 0])
+        for f in BoundaryBatch._fields})
+
+
+def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
+                             log_means: np.ndarray, log_stds: np.ndarray,
+                             plan):
+    """Train step on the boundary-exchange edge partition → (step, init_opt).
+
+    Mirrors `make_sharded_train_step`'s gradient accounting: the loss is
+    replicated across the edge axis (pooled features are psum'd), so edge-axis
+    grads combine with pmean (the psum transpose re-psums cotangents — see the
+    note in `make_sharded_train_step`), then sum over the data axis and
+    normalize by the global real-graph count. The only per-conv communication
+    inside the forward is the boundary kv `all_to_all` (volume ∝
+    `plan.comm_bytes_per_conv`)."""
+    from .boundary_shard import boundary_apply
+
+    adam = optax.scale_by_adam()
+    mu = jnp.asarray(log_means, dtype=jnp.float32)
+    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    specs = boundary_pspecs()
+
+    def local_loss(params, bb, rng):
+        if hyper.feature_jitter_std > 0.0 and rng is not None:
+            rank = jax.lax.axis_index(EDGE_AXIS)
+            kx = jax.random.fold_in(jax.random.fold_in(rng, 7), rank)
+            kg, _ = jax.random.split(jax.random.fold_in(rng, 11))
+            bb = bb._replace(
+                nodes=bb.nodes + hyper.feature_jitter_std
+                * jax.random.normal(kx, bb.nodes.shape),
+                # globals are replicated: jitter with the SHARED key so the
+                # replicated tail stays replicated across edge ranks
+                globals_=bb.globals_ + hyper.feature_jitter_std
+                * jax.random.normal(kg, bb.globals_.shape))
+        mean, logvar = boundary_apply(params, cfg, bb, plan,
+                                      axis_name=EDGE_AXIS, train=True,
+                                      rng=rng)
+        logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+        y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
+        diff = mean - y_z
+        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
+        sample_loss = nll.mean(axis=1) * bb.graph_mask
+        loss_sum = sample_loss.sum()
+        if hyper.log_sigma_l2 > 0.0:
+            ls2 = ((0.5 * logvar) ** 2
+                   * bb.graph_mask[:, None]).sum() / y_z.shape[1]
+            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
+        return loss_sum, (sample_loss.sum(), bb.graph_mask.sum())
+
+    def device_step(params, opt_state, bb, rng, lr_mean, lr_sigma, smask):
+        bb = _strip_boundary(bb)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        (_, (loss_sum, n_local)), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, bb, rng)
+        grads = jax.lax.pmean(grads, EDGE_AXIS)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        n_global = jnp.maximum(jax.lax.psum(n_local, DATA_AXIS), 1.0)
+        grads = jax.tree.map(lambda g: g / n_global, grads)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, hyper.grad_clip / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = adam.update(grads, opt_state, params)
+        wd = hyper.weight_decay
+
+        def apply_leaf(u, p, is_sigma):
+            lr = jnp.where(is_sigma, lr_sigma, lr_mean)
+            return p - lr * (u + wd * p)
+
+        params = jax.tree.map(apply_leaf, updates, params,
+                              jax.tree.map(jnp.asarray, smask))
+        loss_total = jax.lax.psum(loss_sum, DATA_AXIS)
+        return params, opt_state, loss_total / n_global, n_global
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), specs, P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, bb, rng, lr_mean, lr_sigma, smask):
+        return sharded(params, opt_state, bb, rng, lr_mean, lr_sigma, smask)
+
+    return step, (lambda params: adam.init(params))
+
+
+def make_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan):
+    """Jitted eval forward on the boundary partition → [D, G, T] each."""
+    from .boundary_shard import boundary_apply
+
+    specs = boundary_pspecs()
+
+    def device_fwd(params, bb):
+        bb = _strip_boundary(bb)
+        mean, logvar = boundary_apply(params, cfg, bb, plan,
+                                      axis_name=EDGE_AXIS, train=False)
+        return mean[None], jnp.maximum(logvar, floor)[None]
+
+    sharded = shard_map(device_fwd, mesh=mesh,
+                        in_specs=(P(), specs),
+                        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        check=False)
+    return jax.jit(sharded)
+
+
+def make_boundary_grads(mesh, cfg: AlignnConfig, hyper: TrainHyper,
+                        log_means: np.ndarray, log_stds: np.ndarray, plan):
+    """(params, bb, rng) → (loss, grads): the boundary step's exact gradient
+    pipeline without the optimizer — the parity surface for tests."""
+    from .boundary_shard import boundary_apply
+
+    mu = jnp.asarray(log_means, dtype=jnp.float32)
+    sd = jnp.asarray(log_stds, dtype=jnp.float32)
+    specs = boundary_pspecs()
+
+    def local_loss(params, bb, rng):
+        mean, logvar = boundary_apply(params, cfg, bb, plan,
+                                      axis_name=EDGE_AXIS, train=False,
+                                      rng=rng)
+        logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+        y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
+        diff = mean - y_z
+        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
+        sample_loss = nll.mean(axis=1) * bb.graph_mask
+        loss_sum = sample_loss.sum()
+        if hyper.log_sigma_l2 > 0.0:
+            ls2 = ((0.5 * logvar) ** 2
+                   * bb.graph_mask[:, None]).sum() / y_z.shape[1]
+            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
+        return loss_sum, bb.graph_mask.sum()
+
+    def device_grads(params, bb, rng):
+        bb = _strip_boundary(bb)
+        (loss_sum, n_local), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, bb, rng)
+        grads = jax.lax.pmean(grads, EDGE_AXIS)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        n_global = jnp.maximum(jax.lax.psum(n_local, DATA_AXIS), 1.0)
+        grads = jax.tree.map(lambda g: g / n_global, grads)
+        loss = jax.lax.psum(loss_sum, DATA_AXIS) / n_global
+        return loss, grads
+
+    sharded = shard_map(device_grads, mesh=mesh,
+                        in_specs=(P(), specs, P()),
+                        out_specs=(P(), P()),
+                        check=False)
+    return jax.jit(sharded)
