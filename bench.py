@@ -419,6 +419,99 @@ def edge_sharded_mode():
     }))
 
 
+def boundary_mode():
+    """Boundary-exchange edge partitioning bench (VERDICT r3 item 2): the
+    giant-graph path re-run through the fused-kernel machinery. Because the
+    boundary formulation's softmax is rank-local, each rank executes the
+    SAME dense-table/Pallas conv path as the single-chip production step —
+    so its per-chip rate at Mesh((1,1)) is the measure of 'the fallback with
+    in-kernel softmax'. Reports fused-boundary vs COO-boundary vs the
+    all-reduce windowed formulation's recorded rate."""
+    import jax
+    import jax.random as jrandom
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from gnnep_tpu.models.alignn import init_alignn
+    from gnnep_tpu.parallel.boundary_shard import (build_boundary_tables,
+                                                   plan_boundary)
+    from gnnep_tpu.parallel.mesh import make_mesh
+    from gnnep_tpu.parallel.train_step import (make_boundary_train_step,
+                                               stack_boundary_for_mesh,
+                                               stack_boundary_tables)
+    from gnnep_tpu.train.loop import TrainHyper, sigma_mask
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_graphs = int(os.environ.get("BENCH_GRAPHS", 64 if on_tpu else 4))
+    iters = int(os.environ.get("BENCH_ITERS", 20 if on_tpu else 2))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16" if on_tpu else "float32")
+    hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
+                       compute_dtype=dtype)
+    impl = "fused" if on_tpu else "table"
+    cfg, batch = _flagship_batch_and_cfg(n_graphs, impl, rng_seed=0)
+    if not on_tpu:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hidden=64, layers=2, heads=2)
+    edges_per_step = float(np.asarray(batch.edge_mask).sum()
+                           + np.asarray(batch.lg_mask).sum())
+    bb, plan = plan_boundary(batch, 1)
+    tables, meta = build_boundary_tables(bb, plan)
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    dev = jax.devices()[0]
+    stacked_bb = jax.device_put(stack_boundary_for_mesh([bb], 1), dev)
+    stacked_tb = jax.device_put(stack_boundary_tables(tables), dev)
+    mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
+
+    def run(use_tables):
+        step, init_opt = make_boundary_train_step(
+            mesh, cfg, hyper, mu, sd, plan,
+            meta=meta if use_tables else None)
+        params = init_alignn(jrandom.PRNGKey(0), cfg)
+        smask = sigma_mask(params)
+        opt = init_opt(params)
+
+        def call(params, opt):
+            if use_tables:
+                return step(params, opt, stacked_bb, stacked_tb,
+                            jrandom.PRNGKey(1), 3e-4, 3e-4, smask)
+            return step(params, opt, stacked_bb, jrandom.PRNGKey(1),
+                        3e-4, 3e-4, smask)
+
+        for _ in range(2):  # compile + donated-aliasing recompile
+            params, opt, loss, _ = call(params, opt)
+        float(np.asarray(loss))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt, loss, _ = call(params, opt)
+        float(np.asarray(loss))
+        return edges_per_step * iters / (time.perf_counter() - t0)
+
+    # interleaved best-of-2 (PERF.md measurement discipline)
+    eps_coo = run(False)
+    eps_fused = run(True)
+    eps_coo = max(eps_coo, run(False))
+    eps_fused = max(eps_fused, run(True))
+    print(json.dumps({
+        "metric": "boundary_sharded_train_edges_per_sec_per_chip",
+        "value": round(eps_fused, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(eps_fused / max(eps_coo, 1e-9), 3),
+        "detail": {
+            "formulation": "boundary-exchange, rank-local fused kernels",
+            "edges_per_sec_coo_boundary": round(eps_coo, 1),
+            "edges_per_step": int(edges_per_step),
+            "graphs_per_batch": n_graphs, "compute_dtype": dtype,
+            "conv_impl": impl,
+            "hidden": cfg.hidden, "layers": cfg.layers, "heads": cfg.heads,
+            "win64": {"a": meta.a_win64, "a_src": meta.a_src_win64,
+                      "l": meta.l_win64, "l_src": meta.l_src_win64},
+            "comm_bytes_per_conv": plan.comm_bytes_per_conv(
+                cfg.hidden, projected=False),
+        },
+    }))
+
+
 def infer_mode():
     """Serving throughput: jitted eval forward (no grad, no optimizer) of
     ONE flagship member over device-resident batches — graphs/s and
@@ -513,6 +606,8 @@ if __name__ == "__main__":
         sharded_parity_mode()
     elif "--edge-sharded" in sys.argv:
         edge_sharded_mode()
+    elif "--boundary" in sys.argv:
+        boundary_mode()
     elif "--infer" in sys.argv:
         infer_mode()
     elif "--functional" in sys.argv:

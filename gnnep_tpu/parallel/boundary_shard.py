@@ -97,12 +97,29 @@ class BoundaryPlan:
     atom_boundary_rows: int
     bond_boundary_rows: int
 
-    def comm_bytes_per_conv(self, hidden: int, dtype_bytes: int = 4
-                            ) -> Dict[str, int]:
-        """Per-rank bytes SENT per convolution — ∝ boundary budget."""
+    @property
+    def a_arena(self) -> int:
+        """Atom-conv local arena: own rows ‖ recv rows ‖ pad ‖ dummy last.
+        128-aligned so the Pallas kernels' row blocking applies (they
+        require n % block == 0; see ops/pallas pick_block_n)."""
+        return _round_up(self.rn + self.n_shards * self.bn + 1, 128)
+
+    @property
+    def l_arena(self) -> int:
+        return _round_up(self.e_loc + self.n_shards * self.bl + 1, 128)
+
+    def comm_bytes_per_conv(self, hidden: int, dtype_bytes: int = 4,
+                            projected: bool = True) -> Dict[str, int]:
+        """Per-rank bytes SENT per convolution — ∝ boundary budget.
+
+        `projected=True` is the COO path (owner-projected key‖value rows,
+        2H each); the fused-kernel path exchanges RAW states (H each,
+        projections recomputed by the consumer — half the wire bytes for a
+        boundary-sized slice of duplicated GEMM work)."""
+        width = 2 * hidden if projected else hidden
         return {
-            "atom_conv": self.n_shards * self.bn * 2 * hidden * dtype_bytes,
-            "lg_conv": self.n_shards * self.bl * 2 * hidden * dtype_bytes,
+            "atom_conv": self.n_shards * self.bn * width * dtype_bytes,
+            "lg_conv": self.n_shards * self.bl * width * dtype_bytes,
         }
 
     def allreduce_bytes_per_conv(self, n_nodes: int, n_bonds: int,
@@ -169,11 +186,12 @@ def plan_boundary(batch, n_shards: int, *, min_e_loc: int = 0,
     e_start = e_rp[np.arange(S) * rn]
     e_end = e_rp[(np.arange(S) + 1) * rn]
     cnt_e = e_end - e_start
-    e_loc = max(_round_up(cnt_e.max(), 8), int(min_e_loc))
+    # 128-multiples: the fused kernels require the edge arena % 128 == 0
+    e_loc = max(_round_up(cnt_e.max(), 128), int(min_e_loc))
     l_start = l_rp[e_start]
     l_end = l_rp[e_end]
     cnt_l = l_end - l_start
-    l_loc = max(_round_up(cnt_l.max(), 8), int(min_l_loc))
+    l_loc = max(_round_up(cnt_l.max(), 128), int(min_l_loc))
 
     def build_exchange(owner_of, local_of, sources_per_rank, min_b):
         """Generic send-plan builder.
@@ -218,12 +236,20 @@ def plan_boundary(batch, n_shards: int, *, min_e_loc: int = 0,
         l_sources, min_bl)
 
     # ---- per-rank padded windows ------------------------------------------
-    a_dst = np.zeros((S, e_loc), np.int32)
-    a_src_slot = np.zeros((S, e_loc), np.int32)
+    # Local arena convention mirrors the global one: arena = [own rows ‖
+    # received boundary rows ‖ one reserved DUMMY row]. Tail padding edges
+    # point src AND dst at the dummy (keeping the local dst sequence
+    # CSR-sorted — required by the fused-kernel path's row pointers); masked
+    # interior rows (dilution gaps) keep their real forward-filled dst but
+    # source the dummy. The dummy state row is zero-filled by the conv.
+    a_arena = _round_up(rn + S * bn + 1, 128)   # == plan.a_arena
+    l_arena = _round_up(e_loc + S * bl + 1, 128)
+    a_dst = np.full((S, e_loc), a_arena - 1, np.int32)
+    a_src_slot = np.full((S, e_loc), a_arena - 1, np.int32)
     a_mask = np.zeros((S, e_loc), np.float32)
     edge_attr_w = np.zeros((S, e_loc, eattr.shape[1]), np.float32)
-    l_dst = np.zeros((S, l_loc), np.int32)
-    l_src_slot = np.zeros((S, l_loc), np.int32)
+    l_dst = np.full((S, l_loc), l_arena - 1, np.int32)
+    l_src_slot = np.full((S, l_loc), l_arena - 1, np.int32)
     l_mask = np.zeros((S, l_loc), np.float32)
     lg_attr_w = np.zeros((S, l_loc, lattr.shape[1]), np.float32)
 
@@ -231,29 +257,38 @@ def plan_boundary(batch, n_shards: int, *, min_e_loc: int = 0,
         ce, cl = int(cnt_e[s]), int(cnt_l[s])
         sl = slice(int(e_start[s]), int(e_end[s]))
         a_dst[s, :ce] = np.clip(dst[sl] - s * rn, 0, rn - 1)
+        # the GLOBAL dummy row's tail-padding segment must land on the LOCAL
+        # arena dummy: leaving it on the global dummy's local row would count
+        # toward that row's 64-group span and balloon the kernels' win64
+        # bound ~10× (measured: lg 640 → 6272 at flagship scale)
+        glob_pad = (dst[sl] == Np - 1) & (em[sl] <= 0)
+        a_dst[s, :ce][glob_pad] = a_arena - 1
         a_mask[s, :ce] = em[sl]
         edge_attr_w[s, :ce] = eattr[sl]
         u = src[sl]
         own = (u // rn) == s
-        slots = np.zeros(ce, np.int64)
-        slots[own] = u[own] % rn
-        for i in np.nonzero(~own)[0]:
-            if em[sl][i] > 0:
-                slots[i] = rn + a_slot_of[s][int(u[i])]
-            # masked cross-rank rows (diluted gaps with src=dummy) → slot 0
+        slots = np.full(ce, a_arena - 1, np.int64)
+        msk = em[sl] > 0
+        slots[own & msk] = u[own & msk] % rn
+        for i in np.nonzero(~own & msk)[0]:
+            slots[i] = rn + a_slot_of[s][int(u[i])]
         a_src_slot[s, :ce] = slots
 
         ll = slice(int(l_start[s]), int(l_end[s]))
         l_dst[s, :cl] = np.clip(ldst[ll] - e_start[s], 0, e_loc - 1)
+        lglob_pad = (ldst[ll] == src.shape[0] - 1) & (lm[ll] <= 0)
+        l_dst[s, :cl][lglob_pad] = l_arena - 1
         l_mask[s, :cl] = lm[ll]
         lg_attr_w[s, :cl] = lattr[ll]
         ub = lsrc[ll]
         owners = bond_owner(ub)
-        lslots = np.zeros(cl, np.int64)
+        lslots = np.full(cl, l_arena - 1, np.int64)
         for i in range(cl):
+            if lm[ll][i] <= 0:
+                continue
             if owners[i] == s:
                 lslots[i] = ub[i] - e_start[s]
-            elif lm[ll][i] > 0:
+            else:
                 lslots[i] = e_loc + l_slot_of[s][int(ub[i])]
         l_src_slot[s, :cl] = lslots
 
@@ -277,6 +312,105 @@ def plan_boundary(batch, n_shards: int, *, min_e_loc: int = 0,
     return bb, plan
 
 
+class BoundaryTables(NamedTuple):
+    """Pack-time per-rank dense tables + CSR layouts for the fused-kernel
+    boundary path — the same structures `GraphBatch` carries globally,
+    built over each rank's LOCAL arena (own ‖ recv ‖ dummy rows), so
+    `transformer_conv_table` (and its Pallas kernels) run per rank
+    unmodified. All arrays stacked [S, ...]."""
+
+    a_in: np.ndarray          # [S, A_n, Da]
+    a_in_mask: np.ndarray
+    a_pos: np.ndarray         # [S, E_loc]
+    a_out: np.ndarray         # [S, A_n, Doa]
+    a_out_mask: np.ndarray
+    a_src_order: np.ndarray   # [S, E_loc]
+    a_src_starts: np.ndarray  # [S, A_n]
+    a_row_ptr: np.ndarray     # [S, A_n + 1]
+    l_in: np.ndarray          # [S, A_l, Dl]
+    l_in_mask: np.ndarray
+    l_pos: np.ndarray         # [S, L_loc]
+    l_out: np.ndarray         # [S, A_l, Dol]
+    l_out_mask: np.ndarray
+    l_src_order: np.ndarray   # [S, L_loc]
+    l_src_starts: np.ndarray  # [S, A_l]
+    l_row_ptr: np.ndarray     # [S, A_l + 1]
+
+
+@dataclasses.dataclass(frozen=True)
+class BoundaryKernelMeta:
+    """Static per-plan kernel bounds measured over all rank windows."""
+
+    a_win64: int
+    a_src_win64: int
+    l_win64: int
+    l_src_win64: int
+
+
+def build_boundary_tables(bbs, plan: BoundaryPlan
+                          ) -> Tuple[List[BoundaryTables], BoundaryKernelMeta]:
+    """Dense tables + CSR layouts + measured win64 bounds for every rank's
+    local aggregation problem (the fused/table conv path).
+
+    `bbs`: one BoundaryBatch or a list of same-plan batches — table caps and
+    win64 bounds are shared maxima over all of them, so the returned tables
+    stack for data parallelism under one compiled program. Returns
+    ([BoundaryTables], BoundaryKernelMeta)."""
+    from ..data.batching import (build_incoming_table, measure_seg_win64,
+                                 measure_win64, src_csr_index)
+
+    if isinstance(bbs, BoundaryBatch):
+        bbs = [bbs]
+    S = plan.n_shards
+
+    def one_level(which, e_width, arena):
+        dsts = [np.asarray(getattr(b, f"{which}_dst")) for b in bbs]
+        slots = [np.asarray(getattr(b, f"{which}_src_slot")) for b in bbs]
+        masks = [np.asarray(getattr(b, f"{which}_mask")) for b in bbs]
+        caps_in = caps_out = 1
+        for d, sl, m in zip(dsts, slots, masks):
+            for s in range(S):
+                real = m[s] > 0
+                if real.any():
+                    caps_in = max(caps_in, int(np.bincount(
+                        d[s][real], minlength=arena).max()))
+                    caps_out = max(caps_out, int(np.bincount(
+                        sl[s][real], minlength=arena).max()))
+        caps_in = _round_up(caps_in, 8)
+        caps_out = _round_up(caps_out, 8)
+        per_batch = []
+        win = src_win = 1
+        for d, sl, m in zip(dsts, slots, masks):
+            tabs, tmasks, poss, outs, omasks, orders, starts, rps = \
+                [], [], [], [], [], [], [], []
+            for s in range(S):
+                t, tm, p = build_incoming_table(d[s], m[s], arena, caps_in,
+                                                e_width - 1)
+                order, start = src_csr_index(sl[s], arena)
+                ot, om, _ = build_incoming_table(sl[s], m[s], arena,
+                                                 caps_out, e_width - 1,
+                                                 order=order)
+                rp = np.searchsorted(d[s], np.arange(arena + 1)
+                                     ).astype(np.int32)
+                tabs.append(t); tmasks.append(tm); poss.append(p)
+                outs.append(ot); omasks.append(om)
+                orders.append(order); starts.append(start); rps.append(rp)
+                win = max(win, measure_win64(d[s], arena))
+                src_win = max(src_win, measure_seg_win64(start, e_width))
+            per_batch.append((np.stack(tabs), np.stack(tmasks),
+                              np.stack(poss), np.stack(outs),
+                              np.stack(omasks), np.stack(orders),
+                              np.stack(starts), np.stack(rps)))
+        return per_batch, _round_up(win, 32), _round_up(src_win, 32)
+
+    a_parts, a_w, a_sw = one_level("a", plan.e_loc, plan.a_arena)
+    l_parts, l_w, l_sw = one_level("l", plan.l_loc, plan.l_arena)
+    tables = [BoundaryTables(*a, *l) for a, l in zip(a_parts, l_parts)]
+    meta = BoundaryKernelMeta(a_win64=a_w, a_src_win64=a_sw,
+                              l_win64=l_w, l_src_win64=l_sw)
+    return tables, meta
+
+
 def _exchange_kv(kv_own: jnp.ndarray, send_idx: jnp.ndarray, n_shards: int,
                  budget: int, axis_name: str) -> jnp.ndarray:
     """Gather this rank's outgoing boundary rows and all_to_all them.
@@ -295,51 +429,57 @@ def _exchange_kv(kv_own: jnp.ndarray, send_idx: jnp.ndarray, n_shards: int,
 def boundary_conv(
     params: TransformerConvParams,
     x_own: jnp.ndarray,          # [R, H_in] own target rows
-    src_slot: jnp.ndarray,       # [E_loc] into [R + S·B] kv arena
-    dst_loc: jnp.ndarray,        # [E_loc] local target row
+    src_slot: jnp.ndarray,       # [E_loc] into the [arena] kv layout
+    dst_loc: jnp.ndarray,        # [E_loc] local target row (pad → arena-1)
     edge_feats: jnp.ndarray,     # [E_loc, F_e]
     send_idx: jnp.ndarray,       # [S·B] own rows to send
     *,
     heads: int,
     n_shards: int,
     budget: int,                 # B (static); 0 = no exchange at all
+    arena: int,                  # R + S·B + 1 (own ‖ recv ‖ dummy)
     axis_name: str,
     edge_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """β-gated transformer conv with rank-local softmax and boundary-row
-    exchange. Numerically ≡ `ops.graph_attention.transformer_conv` on the
-    unsharded arrays (same per-row reduction structure — every target row's
-    full incoming segment is local)."""
+    exchange (owner-projected kv rows, 2H wire bytes per boundary row).
+    Numerically ≡ `ops.graph_attention.transformer_conv` on the unsharded
+    arrays (same per-row reduction structure — every target row's full
+    incoming segment is local)."""
     r = x_own.shape[0]
     hidden = params.w_query.shape[1]
     ch = hidden // heads
 
     kv_own = jnp.concatenate([x_own @ params.w_key + params.b_key,
                               x_own @ params.w_value + params.b_value], -1)
+    parts = [kv_own]
+    filled = r
     if budget > 0:
-        recv = _exchange_kv(kv_own, send_idx, n_shards, budget, axis_name)
-        kv_all = jnp.concatenate([kv_own, recv], axis=0)   # [R + S·B, 2H]
-    else:
-        kv_all = kv_own
+        parts.append(_exchange_kv(kv_own, send_idx, n_shards, budget,
+                                  axis_name))
+        filled += n_shards * budget
+    # zero-fill up to the 128-aligned arena; the last row is the dummy
+    parts.append(jnp.zeros((arena - filled, 2 * hidden), kv_own.dtype))
+    kv_all = jnp.concatenate(parts, axis=0)                 # [arena, 2H]
 
     e = edge_feats @ params.w_edge                          # [E_loc, H]
     kv_j = gather_rows(kv_all, src_slot)
     k_j = kv_j[:, :hidden] + e
     v_j = kv_j[:, hidden:] + e
     q = x_own @ params.w_query + params.b_query
-    q_dst = gather_rows(q, dst_loc)
+    q_dst = gather_rows(q, jnp.minimum(dst_loc, r - 1))
     logits = jnp.sum((q_dst * k_j).reshape(-1, heads, ch), axis=-1) \
         / math.sqrt(ch)                                     # [E_loc, heads]
-    alpha = segment_softmax(logits, dst_loc, r, mask=edge_mask)
+    alpha = segment_softmax(logits, dst_loc, arena, mask=edge_mask)
     if dropout_rng is not None and not (
             isinstance(dropout_rate, (int, float)) and dropout_rate <= 0.0):
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout_rate), 0.0)
     msg = segment_sum((alpha[..., None] * v_j.reshape(-1, heads, ch)),
-                      dst_loc, r).reshape(r, hidden)
+                      dst_loc, arena).reshape(arena, hidden)[:r]
 
     skip = x_own @ params.w_skip + params.b_skip
     beta = jax.nn.sigmoid(
@@ -347,15 +487,81 @@ def boundary_conv(
     return beta * skip + (1.0 - beta) * msg
 
 
+def boundary_conv_fused(
+    params: TransformerConvParams,
+    x_own: jnp.ndarray,          # [R, H_in] own target rows
+    src_slot: jnp.ndarray,       # [E_loc]
+    dst_loc: jnp.ndarray,        # [E_loc] (pad → arena-1; CSR-sorted)
+    edge_feats: jnp.ndarray,     # [E_loc, F_e]
+    send_idx: jnp.ndarray,       # [S·B] own rows to send
+    tables: tuple,               # (in_edges, in_mask, pos, out_edges,
+                                 #  out_mask, src_order, src_starts, row_ptr)
+    *,
+    cfg,
+    heads: int,
+    n_shards: int,
+    budget: int,
+    arena: int,
+    axis_name: str,
+    win64: int,
+    src_win64: int,
+    edge_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Fused-kernel boundary conv: exchange RAW states (H wire bytes per
+    boundary row — half the kv exchange; the consumer recomputes the
+    boundary rows' projections, a boundary-sized slice of duplicated GEMM),
+    then run `transformer_conv_table` — the SAME dense-table / Pallas
+    fused-kernel path the single-chip production step uses — over the
+    rank-local arena. In-kernel softmax, [heads, E] logit layout, windowed
+    VMEM DMA: the perf ladder of PERF.md applies per rank unmodified."""
+    from ..ops.dense_attention import transformer_conv_table
+
+    hidden = params.w_query.shape[1]
+    parts = [x_own]
+    filled = x_own.shape[0]
+    if budget > 0:
+        parts.append(_exchange_kv(x_own, send_idx, n_shards, budget,
+                                  axis_name))
+        filled += n_shards * budget
+    # zero-fill up to the 128-aligned arena; the last row is the dummy
+    parts.append(jnp.zeros((arena - filled, x_own.shape[1]), x_own.dtype))
+    x_all = jnp.concatenate(parts, axis=0)                  # [arena, H]
+
+    (in_edges, in_mask, pos, out_edges, out_mask,
+     src_order, src_starts, row_ptr) = tables
+    fused = cfg.conv_impl == "fused" and (
+        jax.default_backend() == "tpu" or cfg.force_fused)
+    out = transformer_conv_table(
+        params, x_all, src_slot, dst_loc, edge_feats,
+        in_edges, in_mask, pos, out_edges, out_mask, src_order, src_starts,
+        heads=heads, edge_mask=edge_mask, dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng, fused=fused, win64=win64,
+        src_win64=src_win64, row_ptr=row_ptr,
+        attn_fused=cfg.attn_fused, attn_eproj=cfg.attn_eproj,
+        force_fused=cfg.force_fused)
+    return out[:x_own.shape[0]]
+
+
 def boundary_trunk(params: Params, cfg, bb: BoundaryBatch, plan: BoundaryPlan,
                    *, axis_name: str, train: bool = False,
-                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                   rng: Optional[jax.Array] = None,
+                   tables: Optional[BoundaryTables] = None,
+                   meta: Optional[BoundaryKernelMeta] = None) -> jnp.ndarray:
     """Boundary-partitioned `_shared_trunk`: per-rank arrays arrive with the
     leading shard axis stripped. Returns the REPLICATED [G, H] shared
     features (pooling partials are psum'd — the only non-boundary collective,
-    [G+1, H+1]-sized)."""
+    [G+1, H+1]-sized).
+
+    With `tables`+`meta` (from `build_boundary_tables`) and
+    cfg.conv_impl in ('table', 'fused'), each conv runs the dense-table /
+    fused-Pallas-kernel path over its rank-local arena — the single-chip
+    production machinery per rank, with raw-state boundary exchange."""
     drop = cfg.dropout if train else 0.0
     S = plan.n_shards
+    use_tables = (tables is not None and meta is not None
+                  and getattr(cfg, "conv_impl", "coo") in ("table", "fused"))
 
     # replicated tail (feat_proj dropout) must use the SHARED key; per-rank
     # conv/residual dropout folds in the rank index
@@ -376,22 +582,48 @@ def boundary_trunk(params: Params, cfg, bb: BoundaryBatch, plan: BoundaryPlan,
     has_lg = jax.lax.psum(jnp.sum(bb.l_mask), axis_name) > 0
     has_edges = jax.lax.psum(jnp.sum(bb.a_mask), axis_name) > 0
 
-    for eb, nb in zip(params["edge_blocks"], params["node_blocks"]):
-        out = boundary_conv(
-            eb["conv"], edge_state, bb.l_src_slot, bb.l_dst, angle_emb,
-            bb.e_send, heads=cfg.heads, n_shards=S, budget=plan.bl,
+    def lg_conv(p, state, feats, key):
+        if use_tables:
+            return boundary_conv_fused(
+                p, state, bb.l_src_slot, bb.l_dst, feats, bb.e_send,
+                (tables.l_in, tables.l_in_mask, tables.l_pos, tables.l_out,
+                 tables.l_out_mask, tables.l_src_order, tables.l_src_starts,
+                 tables.l_row_ptr),
+                cfg=cfg, heads=cfg.heads, n_shards=S, budget=plan.bl,
+                arena=plan.l_arena, axis_name=axis_name, win64=meta.l_win64,
+                src_win64=meta.l_src_win64, edge_mask=bb.l_mask,
+                dropout_rate=drop, dropout_rng=key)
+        return boundary_conv(
+            p, state, bb.l_src_slot, bb.l_dst, feats, bb.e_send,
+            heads=cfg.heads, n_shards=S, budget=plan.bl, arena=plan.l_arena,
             axis_name=axis_name, edge_mask=bb.l_mask,
-            dropout_rate=drop, dropout_rng=next_local())
+            dropout_rate=drop, dropout_rng=key)
+
+    def atom_conv(p, state, feats, key):
+        if use_tables:
+            return boundary_conv_fused(
+                p, state, bb.a_src_slot, bb.a_dst, feats, bb.n_send,
+                (tables.a_in, tables.a_in_mask, tables.a_pos, tables.a_out,
+                 tables.a_out_mask, tables.a_src_order, tables.a_src_starts,
+                 tables.a_row_ptr),
+                cfg=cfg, heads=cfg.heads, n_shards=S, budget=plan.bn,
+                arena=plan.a_arena, axis_name=axis_name, win64=meta.a_win64,
+                src_win64=meta.a_src_win64, edge_mask=bb.a_mask,
+                dropout_rate=drop, dropout_rng=key)
+        return boundary_conv(
+            p, state, bb.a_src_slot, bb.a_dst, feats, bb.n_send,
+            heads=cfg.heads, n_shards=S, budget=plan.bn, arena=plan.a_arena,
+            axis_name=axis_name, edge_mask=bb.a_mask,
+            dropout_rate=drop, dropout_rng=key)
+
+    for eb, nb in zip(params["edge_blocks"], params["node_blocks"]):
+        out = lg_conv(eb["conv"], edge_state, angle_emb, next_local())
         out = _layer_norm(out, eb["ln_scale"], eb["ln_bias"])
         updated = edge_state + _dropout(jax.nn.relu(out), drop, next_local())
         edge_state = jnp.where(has_lg, updated, edge_state)
 
         edge_feat = edge_state @ nb["edge_proj_w"] + nb["edge_proj_b"]
-        out = boundary_conv(
-            nb["conv"], node_state, bb.a_src_slot, bb.a_dst, edge_feat,
-            bb.n_send, heads=cfg.heads, n_shards=S, budget=plan.bn,
-            axis_name=axis_name, edge_mask=bb.a_mask,
-            dropout_rate=drop, dropout_rng=next_local())
+        out = atom_conv(nb["conv"], node_state, edge_feat, next_local())
         out = _layer_norm(out, nb["ln_scale"], nb["ln_bias"])
         updated = node_state + _dropout(jax.nn.relu(out), drop, next_local())
         node_state = jnp.where(has_edges, updated, node_state)
@@ -420,9 +652,11 @@ def boundary_trunk(params: Params, cfg, bb: BoundaryBatch, plan: BoundaryPlan,
 
 def boundary_apply(params: Params, cfg, bb: BoundaryBatch, plan: BoundaryPlan,
                    *, axis_name: str, train: bool = False,
-                   rng: Optional[jax.Array] = None):
+                   rng: Optional[jax.Array] = None,
+                   tables: Optional[BoundaryTables] = None,
+                   meta: Optional[BoundaryKernelMeta] = None):
     shared = boundary_trunk(params, cfg, bb, plan, axis_name=axis_name,
-                            train=train, rng=rng)
+                            train=train, rng=rng, tables=tables, meta=meta)
     mean = shared @ params["mean_head"]["w"] + params["mean_head"]["b"]
     logvar = shared @ params["logvar_head"]["w"] + params["logvar_head"]["b"]
     return mean, logvar

@@ -575,9 +575,31 @@ def _strip_boundary(bb):
         for f in BoundaryBatch._fields})
 
 
+def boundary_table_pspecs():
+    from .boundary_shard import BoundaryTables
+
+    return BoundaryTables(**{f: P(DATA_AXIS, EDGE_AXIS)
+                             for f in BoundaryTables._fields})
+
+
+def stack_boundary_tables(tables_list):
+    from .boundary_shard import BoundaryTables
+
+    return BoundaryTables(*[
+        np.stack([np.asarray(getattr(t, f)) for t in tables_list])
+        for f in BoundaryTables._fields])
+
+
+def _strip_tables(tb):
+    from .boundary_shard import BoundaryTables
+
+    return BoundaryTables(**{f: getattr(tb, f)[0, 0]
+                             for f in BoundaryTables._fields})
+
+
 def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                              log_means: np.ndarray, log_stds: np.ndarray,
-                             plan):
+                             plan, meta=None):
     """Train step on the boundary-exchange edge partition → (step, init_opt).
 
     Mirrors `make_sharded_train_step`'s gradient accounting: the loss is
@@ -585,16 +607,24 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     grads combine with pmean (the psum transpose re-psums cotangents — see the
     note in `make_sharded_train_step`), then sum over the data axis and
     normalize by the global real-graph count. The only per-conv communication
-    inside the forward is the boundary kv `all_to_all` (volume ∝
-    `plan.comm_bytes_per_conv`)."""
+    inside the forward is the boundary `all_to_all` (volume ∝
+    `plan.comm_bytes_per_conv`).
+
+    With `meta` (a BoundaryKernelMeta from `build_boundary_tables`), the step
+    takes an extra stacked-BoundaryTables operand after the batch and runs
+    each rank's convs on the dense-table / fused-kernel path:
+        step(params, opt, bb, tables, rng, lr_mean, lr_sigma, smask)
+    """
+    from ..train.loop import _cast_for_compute
     from .boundary_shard import boundary_apply
 
     adam = optax.scale_by_adam()
     mu = jnp.asarray(log_means, dtype=jnp.float32)
     sd = jnp.asarray(log_stds, dtype=jnp.float32)
     specs = boundary_pspecs()
+    dtype = jnp.bfloat16 if hyper.compute_dtype == "bfloat16" else jnp.float32
 
-    def local_loss(params, bb, rng):
+    def local_loss(params, bb, tables, rng):
         if hyper.feature_jitter_std > 0.0 and rng is not None:
             rank = jax.lax.axis_index(EDGE_AXIS)
             kx = jax.random.fold_in(jax.random.fold_in(rng, 7), rank)
@@ -606,10 +636,13 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                 # replicated tail stays replicated across edge ranks
                 globals_=bb.globals_ + hyper.feature_jitter_std
                 * jax.random.normal(kg, bb.globals_.shape))
-        mean, logvar = boundary_apply(params, cfg, bb, plan,
+        c_params, c_bb = _cast_for_compute(params, bb, dtype)
+        mean, logvar = boundary_apply(c_params, cfg, c_bb, plan,
                                       axis_name=EDGE_AXIS, train=True,
-                                      rng=rng)
-        logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+                                      rng=rng, tables=tables, meta=meta)
+        mean = mean.astype(jnp.float32)
+        logvar = jnp.maximum(logvar.astype(jnp.float32),
+                             hyper.min_logvar_floor)
         y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
         diff = mean - y_z
         nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
@@ -621,11 +654,14 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
             loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
         return loss_sum, (sample_loss.sum(), bb.graph_mask.sum())
 
-    def device_step(params, opt_state, bb, rng, lr_mean, lr_sigma, smask):
+    def device_step(params, opt_state, bb, tables, rng, lr_mean, lr_sigma,
+                    smask):
         bb = _strip_boundary(bb)
+        if tables is not None:
+            tables = _strip_tables(tables)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         (_, (loss_sum, n_local)), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, bb, rng)
+            local_loss, has_aux=True)(params, bb, tables, rng)
         grads = jax.lax.pmean(grads, EDGE_AXIS)
         grads = jax.lax.psum(grads, DATA_AXIS)
         n_global = jnp.maximum(jax.lax.psum(n_local, DATA_AXIS), 1.0)
@@ -645,52 +681,81 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         loss_total = jax.lax.psum(loss_sum, DATA_AXIS)
         return params, opt_state, loss_total / n_global, n_global
 
-    sharded = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), P(), specs, P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
-        check=False)
+    if meta is None:
+        sharded = shard_map(
+            lambda p, o, bb, r, lm, ls, sm: device_step(p, o, bb, None, r,
+                                                        lm, ls, sm),
+            mesh=mesh,
+            in_specs=(P(), P(), specs, P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check=False)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, bb, rng, lr_mean, lr_sigma, smask):
-        return sharded(params, opt_state, bb, rng, lr_mean, lr_sigma, smask)
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, bb, rng, lr_mean, lr_sigma, smask):
+            return sharded(params, opt_state, bb, rng, lr_mean, lr_sigma,
+                           smask)
+    else:
+        sharded = shard_map(
+            device_step, mesh=mesh,
+            in_specs=(P(), P(), specs, boundary_table_pspecs(), P(), P(),
+                      P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check=False)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, bb, tables, rng, lr_mean, lr_sigma,
+                 smask):
+            return sharded(params, opt_state, bb, tables, rng, lr_mean,
+                           lr_sigma, smask)
 
     return step, (lambda params: adam.init(params))
 
 
-def make_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan):
-    """Jitted eval forward on the boundary partition → [D, G, T] each."""
+def make_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan,
+                          meta=None):
+    """Jitted eval forward on the boundary partition → [D, G, T] each.
+    With `meta`, takes a stacked-BoundaryTables operand after the batch."""
     from .boundary_shard import boundary_apply
 
     specs = boundary_pspecs()
 
-    def device_fwd(params, bb):
+    def device_fwd(params, bb, tables):
         bb = _strip_boundary(bb)
+        if tables is not None:
+            tables = _strip_tables(tables)
         mean, logvar = boundary_apply(params, cfg, bb, plan,
-                                      axis_name=EDGE_AXIS, train=False)
+                                      axis_name=EDGE_AXIS, train=False,
+                                      tables=tables, meta=meta)
         return mean[None], jnp.maximum(logvar, floor)[None]
 
-    sharded = shard_map(device_fwd, mesh=mesh,
-                        in_specs=(P(), specs),
-                        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-                        check=False)
+    if meta is None:
+        sharded = shard_map(lambda p, bb: device_fwd(p, bb, None), mesh=mesh,
+                            in_specs=(P(), specs),
+                            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                            check=False)
+    else:
+        sharded = shard_map(device_fwd, mesh=mesh,
+                            in_specs=(P(), specs, boundary_table_pspecs()),
+                            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                            check=False)
     return jax.jit(sharded)
 
 
 def make_boundary_grads(mesh, cfg: AlignnConfig, hyper: TrainHyper,
-                        log_means: np.ndarray, log_stds: np.ndarray, plan):
-    """(params, bb, rng) → (loss, grads): the boundary step's exact gradient
-    pipeline without the optimizer — the parity surface for tests."""
+                        log_means: np.ndarray, log_stds: np.ndarray, plan,
+                        meta=None):
+    """(params, bb[, tables], rng) → (loss, grads): the boundary step's exact
+    gradient pipeline without the optimizer — the parity surface for tests."""
     from .boundary_shard import boundary_apply
 
     mu = jnp.asarray(log_means, dtype=jnp.float32)
     sd = jnp.asarray(log_stds, dtype=jnp.float32)
     specs = boundary_pspecs()
 
-    def local_loss(params, bb, rng):
+    def local_loss(params, bb, tables, rng):
         mean, logvar = boundary_apply(params, cfg, bb, plan,
                                       axis_name=EDGE_AXIS, train=False,
-                                      rng=rng)
+                                      rng=rng, tables=tables, meta=meta)
         logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
         y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
         diff = mean - y_z
@@ -703,10 +768,12 @@ def make_boundary_grads(mesh, cfg: AlignnConfig, hyper: TrainHyper,
             loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
         return loss_sum, bb.graph_mask.sum()
 
-    def device_grads(params, bb, rng):
+    def device_grads(params, bb, tables, rng):
         bb = _strip_boundary(bb)
+        if tables is not None:
+            tables = _strip_tables(tables)
         (loss_sum, n_local), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, bb, rng)
+            local_loss, has_aux=True)(params, bb, tables, rng)
         grads = jax.lax.pmean(grads, EDGE_AXIS)
         grads = jax.lax.psum(grads, DATA_AXIS)
         n_global = jnp.maximum(jax.lax.psum(n_local, DATA_AXIS), 1.0)
@@ -714,8 +781,13 @@ def make_boundary_grads(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         loss = jax.lax.psum(loss_sum, DATA_AXIS) / n_global
         return loss, grads
 
-    sharded = shard_map(device_grads, mesh=mesh,
-                        in_specs=(P(), specs, P()),
-                        out_specs=(P(), P()),
-                        check=False)
+    if meta is None:
+        sharded = shard_map(
+            lambda p, bb, r: device_grads(p, bb, None, r), mesh=mesh,
+            in_specs=(P(), specs, P()), out_specs=(P(), P()), check=False)
+    else:
+        sharded = shard_map(
+            device_grads, mesh=mesh,
+            in_specs=(P(), specs, boundary_table_pspecs(), P()),
+            out_specs=(P(), P()), check=False)
     return jax.jit(sharded)

@@ -52,12 +52,21 @@ class TestPlan:
         # every real edge appears exactly once across rank windows
         assert float(bb.a_mask.sum()) == float(np.asarray(b.edge_mask).sum())
         assert float(bb.l_mask.sum()) == float(np.asarray(b.lg_mask).sum())
-        # per-rank dst rows stay inside the owner's window
-        assert (bb.a_dst >= 0).all() and (bb.a_dst < plan.rn).all()
-        assert (bb.l_dst >= 0).all() and (bb.l_dst < plan.e_loc).all()
-        # src slots address the combined arena
-        assert (bb.a_src_slot < plan.rn + 4 * plan.bn).all()
-        assert (bb.l_src_slot < plan.e_loc + 4 * plan.bl).all()
+        # real dst rows stay inside the owner's window; padding rows point
+        # at the local arena's reserved dummy (or keep a real forward-filled
+        # dst on diluted interiors)
+        areal = np.asarray(bb.a_mask) > 0
+        lreal = np.asarray(bb.l_mask) > 0
+        assert (bb.a_dst[areal] >= 0).all() and (bb.a_dst[areal] < plan.rn).all()
+        assert (bb.l_dst[lreal] >= 0).all() and (bb.l_dst[lreal] < plan.e_loc).all()
+        assert ((bb.a_dst < plan.rn) | (bb.a_dst == plan.a_arena - 1)).all()
+        assert ((bb.l_dst < plan.e_loc) | (bb.l_dst == plan.l_arena - 1)).all()
+        # src slots address the combined (own ‖ recv ‖ dummy) arena
+        assert (bb.a_src_slot < plan.a_arena).all()
+        assert (bb.l_src_slot < plan.l_arena).all()
+        # masked rows source the dummy state row
+        assert (bb.a_src_slot[~areal] == plan.a_arena - 1).all()
+        assert (bb.l_src_slot[~lreal] == plan.l_arena - 1).all()
 
     def test_boundary_counts_match_independent_measurement(self):
         store, cfg, setup, mc = _setup(n=16, batch_size=8)
@@ -191,6 +200,119 @@ class TestGiantGraphBoundary:
                         jax.tree.leaves(got_grads)):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=3e-3, atol=1e-6)
+
+
+class TestBoundaryTables:
+    """The dense-table / fused-kernel boundary path: the single-chip
+    production conv machinery per rank, with raw-state exchange."""
+
+    @pytest.mark.parametrize("n_edge", [4, 8])
+    def test_table_path_matches_single_device(self, n_edge):
+        from gnnep_tpu.parallel.boundary_shard import build_boundary_tables
+        from gnnep_tpu.parallel.train_step import stack_boundary_tables
+
+        b, mc = _giant_batch()
+        mc = dataclasses.replace(mc, conv_impl="table")
+        params = init_alignn(jax.random.PRNGKey(0), mc)
+        bb, plan = plan_boundary(b, n_edge)
+        assert plan.bn > 0
+        tables, meta = build_boundary_tables(bb, plan)
+        want_mean, want_logvar = alignn_apply(params, mc, b)
+        mesh = make_mesh(1, n_edge, devices=jax.devices()[:n_edge])
+        fwd = make_boundary_forward(mesh, mc, -2.9, plan, meta=meta)
+        got_mean, got_logvar = fwd(params, stack_boundary_for_mesh([bb], 1),
+                                   stack_boundary_tables(tables))
+        np.testing.assert_allclose(np.asarray(got_mean)[0],
+                                   np.asarray(want_mean),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_logvar)[0],
+                                   np.maximum(np.asarray(want_logvar), -2.9),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_fused_kernel_path_matches(self):
+        # interpret-mode Pallas kernels (force_fused) over rank-local windows
+        from gnnep_tpu.parallel.boundary_shard import build_boundary_tables
+        from gnnep_tpu.parallel.train_step import stack_boundary_tables
+
+        b, mc = _giant_batch(seed=11)
+        mc = dataclasses.replace(mc, conv_impl="fused", force_fused=True)
+        params = init_alignn(jax.random.PRNGKey(1), mc)
+        bb, plan = plan_boundary(b, 4)
+        tables, meta = build_boundary_tables(bb, plan)
+        want_mean, _ = alignn_apply(params, mc, b)
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        fwd = make_boundary_forward(mesh, mc, -2.9, plan, meta=meta)
+        got_mean, _ = fwd(params, stack_boundary_for_mesh([bb], 1),
+                          stack_boundary_tables(tables))
+        np.testing.assert_allclose(np.asarray(got_mean)[0],
+                                   np.asarray(want_mean),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_table_gradients_match(self):
+        from gnnep_tpu.parallel.boundary_shard import build_boundary_tables
+        from gnnep_tpu.parallel.train_step import stack_boundary_tables
+
+        b, mc = _giant_batch(seed=13)
+        mc = dataclasses.replace(mc, conv_impl="table")
+        hyper = TrainHyper(feature_jitter_std=0.0, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(6), mc)
+        mu = jnp.asarray([4.32, 3.56], dtype=jnp.float32)
+        sd = jnp.asarray([0.91, 0.94], dtype=jnp.float32)
+
+        def total_loss(p):
+            mean, logvar = alignn_apply(p, mc, b)
+            logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
+            y_z = (jnp.log(jnp.maximum(b.y, 1e-12)) - mu) / sd
+            nll = 0.5 * (logvar + (mean - y_z) ** 2 / jnp.exp(logvar))
+            nll = nll * b.weight[:, None]
+            loss = (nll.mean(axis=1) * b.graph_mask).sum()
+            loss += hyper.log_sigma_l2 * ((0.5 * logvar) ** 2
+                                          * b.graph_mask[:, None]).sum() / 2.0
+            return loss / b.graph_mask.sum()
+
+        want_loss, want_grads = jax.value_and_grad(total_loss)(params)
+        bb, plan = plan_boundary(b, 8)
+        tables, meta = build_boundary_tables(bb, plan)
+        mesh = make_mesh(1, 8)
+        gfn = make_boundary_grads(mesh, mc, hyper, np.array([4.32, 3.56]),
+                                  np.array([0.91, 0.94]), plan, meta=meta)
+        got_loss, got_grads = gfn(params, stack_boundary_for_mesh([bb], 1),
+                                  stack_boundary_tables(tables),
+                                  jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        for w, g in zip(jax.tree.leaves(want_grads),
+                        jax.tree.leaves(got_grads)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=3e-3, atol=1e-6)
+
+    def test_table_train_step_runs(self):
+        from gnnep_tpu.parallel.boundary_shard import (build_boundary_tables,
+                                                       plan_boundary_batches)
+        from gnnep_tpu.parallel.train_step import stack_boundary_tables
+
+        from gnnep_tpu.data.batching import equalize_batches
+
+        b1, mc = _giant_batch(seed=21)
+        b2, _ = _giant_batch(seed=22)
+        b1, b2 = equalize_batches([b1, b2])   # shared arena capacities
+        mc = dataclasses.replace(mc, conv_impl="table", dropout=0.2)
+        hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(8), mc)
+        smask = sigma_mask(params)
+        pbs, plan = plan_boundary_batches([b1, b2], 4)
+        tables, meta = build_boundary_tables(pbs, plan)
+        mesh = make_mesh(2, 4)
+        step, init_opt = make_boundary_train_step(
+            mesh, mc, hyper, np.array([4.32, 3.56]), np.array([0.91, 0.94]),
+            plan, meta=meta)
+        got, _, loss, n = step(params, init_opt(params),
+                               stack_boundary_for_mesh(pbs, 2),
+                               stack_boundary_tables(tables),
+                               jax.random.PRNGKey(0), 3e-4, 1e-4, smask)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(got))
 
 
 class TestBoundaryGradients:
