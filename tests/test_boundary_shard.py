@@ -202,6 +202,81 @@ class TestGiantGraphBoundary:
                                        rtol=3e-3, atol=1e-6)
 
 
+class TestPlanReconstruction:
+    """Round-trip invariant: the global (src, dst) edge list of every real
+    edge must be reconstructible from the plan's local windows + slot maps.
+    Catches any silent mis-slotting (wrong owner, wrong send-list position,
+    wrong local offset) that forward-parity tests could mask via symmetry."""
+
+    @pytest.mark.parametrize("seed,n_edge", [(0, 2), (1, 4), (2, 8),
+                                             (3, 4), (4, 8)])
+    def test_atom_edges_round_trip(self, seed, n_edge):
+        from gnnep_tpu.utils.synth import synthetic_batch
+
+        b = synthetic_batch(np.random.default_rng(seed), n_graphs=3,
+                            mean_atoms=40, degree=6, node_dim=8, edge_dim=6,
+                            angle_dim=5, global_dim=59, table_cap=24,
+                            lg_table_cap=40)
+        if np.asarray(b.nodes).shape[0] % n_edge:
+            pytest.skip("arena not divisible")
+        bb, plan = plan_boundary(b, n_edge)
+        S, rn, bn = plan.n_shards, plan.rn, plan.bn
+        e_rp = np.asarray(b.edge_row_ptr, np.int64)
+        e_start = e_rp[np.arange(S) * rn]
+
+        got = set()
+        n_send = np.asarray(bb.n_send)
+        for s in range(S):
+            mask = np.asarray(bb.a_mask[s]) > 0
+            for i in np.nonzero(mask)[0]:
+                dst_g = int(bb.a_dst[s][i]) + s * rn
+                slot = int(bb.a_src_slot[s][i])
+                if slot < rn:
+                    src_g = slot + s * rn
+                else:
+                    t, pos = divmod(slot - rn, bn)
+                    # slot t·B+pos ⇒ rank t sent its send[s·B+pos] row
+                    src_g = int(n_send[t, s * bn + pos]) + t * rn
+                got.add((src_g, dst_g))
+        em = np.asarray(b.edge_mask) > 0
+        want = set(zip(np.asarray(b.edge_src)[em].tolist(),
+                       np.asarray(b.edge_dst)[em].tolist()))
+        assert got == want
+
+    @pytest.mark.parametrize("seed,n_edge", [(5, 4), (6, 8)])
+    def test_lg_edges_round_trip(self, seed, n_edge):
+        from gnnep_tpu.utils.synth import synthetic_batch
+
+        b = synthetic_batch(np.random.default_rng(seed), n_graphs=3,
+                            mean_atoms=40, degree=6, node_dim=8, edge_dim=6,
+                            angle_dim=5, global_dim=59, table_cap=24,
+                            lg_table_cap=40)
+        if np.asarray(b.nodes).shape[0] % n_edge:
+            pytest.skip("arena not divisible")
+        bb, plan = plan_boundary(b, n_edge)
+        S, rn, bl, e_loc = plan.n_shards, plan.rn, plan.bl, plan.e_loc
+        e_rp = np.asarray(b.edge_row_ptr, np.int64)
+        e_start = e_rp[np.arange(S) * rn]
+
+        got = set()
+        e_send = np.asarray(bb.e_send)
+        for s in range(S):
+            mask = np.asarray(bb.l_mask[s]) > 0
+            for i in np.nonzero(mask)[0]:
+                dst_g = int(bb.l_dst[s][i]) + int(e_start[s])
+                slot = int(bb.l_src_slot[s][i])
+                if slot < e_loc:
+                    src_g = slot + int(e_start[s])
+                else:
+                    t, pos = divmod(slot - e_loc, bl)
+                    src_g = int(e_send[t, s * bl + pos]) + int(e_start[t])
+                got.add((src_g, dst_g))
+        lm = np.asarray(b.lg_mask) > 0
+        want = set(zip(np.asarray(b.lg_src)[lm].tolist(),
+                       np.asarray(b.lg_dst)[lm].tolist()))
+        assert got == want
+
+
 class TestBoundaryTables:
     """The dense-table / fused-kernel boundary path: the single-chip
     production conv machinery per rank, with raw-state exchange."""
