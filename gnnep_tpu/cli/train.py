@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--member-parallel",
                    choices=["sequential", "vmap", "shard"],
                    default="sequential")
+    p.add_argument("--member-isolation", choices=["none", "process"],
+                   default="none",
+                   help="'process' trains each member in a subprocess — "
+                        "caps the tunneled-TPU-client host-transfer leak "
+                        "at one member's lifetime (PERF.md round 4)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32")
     p.add_argument("--conv-impl", choices=["table", "fused", "coo"],
@@ -181,7 +186,9 @@ def config_from_args(args) -> TrainConfig:
         prng_impl=args.prng_impl, pack_workers=args.pack_workers,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile_dir=args.profile_dir,
-        member_parallel=args.member_parallel, batch_quantile=args.batch_quantile,
+        member_parallel=args.member_parallel,
+        member_isolation=args.member_isolation,
+        batch_quantile=args.batch_quantile,
         batch_slack=args.batch_slack, scan_steps=args.scan_steps,
         verbose=not args.quiet)
 

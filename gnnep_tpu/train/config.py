@@ -96,6 +96,16 @@ class TrainConfig:
     member_parallel: str = "sequential"  # 'sequential' | 'vmap' (one device,
                                          # table conv) | 'shard' (one member
                                          # per device, fused kernels)
+    member_isolation: str = "none"       # 'none' | 'process': train each
+                                         # member in a subprocess. Mitigates
+                                         # the tunneled-TPU-client host-
+                                         # transfer leak (PERF.md round 4:
+                                         # every device_put leaks its host
+                                         # mirror — ~1.8 GB/epoch at
+                                         # flagship scale, OOM over a long
+                                         # ensemble run); the leak dies with
+                                         # each member's process. Compile
+                                         # cache makes re-warm cheap.
     # device-side inner loop: run K optimizer steps per dispatch via
     # lax.scan over stacked batches (host dispatch + per-step metric
     # readback otherwise gate throughput on remote runtimes); the epoch's

@@ -115,6 +115,46 @@ def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
     return np.stack(means), np.stack(variances), targets
 
 
+def compute_freq_weights(cfg: TrainConfig, setup: TrainingSetup):
+    """Per-graph inverse-frequency loss weights (None when --freq-gamma 0);
+    deterministic from (cfg, setup) — shared with `train.member_proc`."""
+    if cfg.freq_gamma <= 0.0:
+        return None
+    from .bins import freq_weights_for_store
+
+    return freq_weights_for_store(setup.store.y, setup.bin_edges,
+                                  setup.bin_weights)
+
+
+def member_plan(cfg: TrainConfig, setup: TrainingSetup, i: int):
+    """Everything member i's training needs, derived deterministically from
+    (cfg, setup) — shared by the in-process loop and the member subprocess
+    (`train.member_proc`) so both paths train the identical member.
+
+    Returns (seed_i, fold_idx, train_i, holdout, model_cfg, member_cfg)."""
+    full_train = set(setup.train_idx)
+    num_folds = len(setup.folds)
+    seed_i = cfg.seed + i * 1007
+    fold_idx = i % num_folds
+    holdout = setup.folds[fold_idx]
+    train_i = sorted(full_train - set(holdout)) if num_folds > 1 \
+        else setup.train_idx
+    ratio = min(max(cfg.train_subset_ratio, 0.0) or 1.0, 1.0)
+    if 0.0 < ratio < 1.0 and train_i:
+        rng_sub = np.random.default_rng(seed_i)
+        keep = max(1, int(round(len(train_i) * ratio)))
+        perm = rng_sub.permutation(len(train_i))[:keep]
+        train_i = sorted(train_i[j] for j in np.sort(perm))
+    mc = model_config(
+        cfg, setup.store,
+        hidden=cfg.member_override(cfg.member_hiddens, i, cfg.hidden),
+        dropout=cfg.member_override(cfg.member_dropouts, i, cfg.dropout),
+        budget=setup.budget)
+    member_cfg = dataclasses.replace(
+        cfg, lr=float(cfg.member_override(cfg.member_lrs, i, cfg.lr)))
+    return seed_i, fold_idx, train_i, holdout, mc, member_cfg
+
+
 def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
     """Full training pipeline; returns summary dict with test stats."""
     t_start = time.time()
@@ -139,11 +179,8 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
     # semantics, train.py:1106,1411-1414): one weight per graph from the
     # train-split bin statistics, grafted onto train batches by the member
     # loop exactly as KNN weights are
-    freq_weights = None
-    if cfg.freq_gamma > 0.0:
-        from .bins import freq_weights_for_store
-        freq_weights = freq_weights_for_store(s.y, setup.bin_edges,
-                                              setup.bin_weights)
+    freq_weights = compute_freq_weights(cfg, setup)
+    if freq_weights is not None:
         if cfg.verbose:
             tw = freq_weights[np.asarray(setup.train_idx, dtype=np.int64)]
             print(f"[Weights] freq-gamma={cfg.freq_gamma}: bin weights over "
@@ -157,35 +194,70 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
         for i, (params, mc) in enumerate(zip(members, model_cfgs)):
             save_member(save_dir / f"model_{i}.npz", params, mc)
     else:
+        use_proc = getattr(cfg, "member_isolation", "none") == "process"
+        if use_proc and store is not None:
+            raise ValueError(
+                "member_isolation='process' reloads the dataset from "
+                "cfg.data_dir in each member subprocess; an in-memory store "
+                "argument cannot be forwarded. Pass store=None.")
+        cfg_json_path = None
+        if use_proc:
+            import json as _json
+
+            cfg_json_path = save_dir / "train_cfg.json"
+            cfg_json_path.write_text(_json.dumps(dataclasses.asdict(cfg)))
         for i in range(cfg.ensemble_size):
-            seed_i = cfg.seed + i * 1007
-            fold_idx = i % num_folds
-            holdout = setup.folds[fold_idx]
-            train_i = sorted(full_train - set(holdout)) if num_folds > 1 \
-                else setup.train_idx
-            ratio = min(max(cfg.train_subset_ratio, 0.0) or 1.0, 1.0)
-            if 0.0 < ratio < 1.0 and train_i:
-                rng_sub = np.random.default_rng(seed_i)
-                keep = max(1, int(round(len(train_i) * ratio)))
-                perm = rng_sub.permutation(len(train_i))[:keep]
-                train_i = sorted(train_i[j] for j in np.sort(perm))
-            mc = model_config(
-                cfg, s,
-                hidden=cfg.member_override(cfg.member_hiddens, i, cfg.hidden),
-                dropout=cfg.member_override(cfg.member_dropouts, i, cfg.dropout),
-                budget=setup.budget)
-            member_cfg = dataclasses.replace(
-                cfg, lr=float(cfg.member_override(cfg.member_lrs, i, cfg.lr)))
+            member_path = save_dir / f"model_{i}.npz"
+            if cfg.resume and member_path.exists():
+                # a member's final artifact exists only after it FINISHED —
+                # skipping is the member-level resume (the mid-training
+                # resume inside train_member covers partial members)
+                try:
+                    from .artifacts import load_member
+
+                    params, mc = load_member(member_path)
+                    members.append(params)
+                    model_cfgs.append(mc)
+                    if cfg.verbose:
+                        print(f"Member {i + 1}/{cfg.ensemble_size}: loaded "
+                              f"finished checkpoint {member_path.name}; "
+                              "skipping training (resume)")
+                    continue
+                except Exception as exc:
+                    print(f"Member {i}: existing {member_path.name} "
+                          f"unreadable ({exc}); retraining")
+            (seed_i, fold_idx, train_i, holdout, mc,
+             member_cfg) = member_plan(cfg, setup, i)
             if cfg.verbose:
                 print(f"Training ensemble member {i + 1}/{cfg.ensemble_size} "
                       f"(fold {fold_idx + 1}/{num_folds}) with seed {seed_i} | "
                       f"train={len(train_i)} fold_val={len(holdout)}")
-            params, _ = train_member(s, member_cfg, mc, setup.transformer,
-                                     setup.budget, seed_i, train_i, holdout,
-                                     freq_weights=freq_weights)
+            if use_proc:
+                # subprocess: the tunneled-client transfer leak (PERF.md
+                # round 4) dies with the member's process. The parent must
+                # not touch the TPU until all members finish (it hasn't:
+                # prepare() is numpy-only), so the chip claim hands off
+                # cleanly member to member.
+                import subprocess
+                import sys as _sys
+
+                r = subprocess.run(
+                    [_sys.executable, "-m", "gnnep_tpu.train.member_proc",
+                     str(cfg_json_path), str(i)],
+                    cwd=Path.cwd())
+                if r.returncode != 0:
+                    raise RuntimeError(
+                        f"member {i} subprocess failed (rc={r.returncode})")
+                from .artifacts import load_member
+
+                params, mc = load_member(member_path)
+            else:
+                params, _ = train_member(s, member_cfg, mc, setup.transformer,
+                                         setup.budget, seed_i, train_i,
+                                         holdout, freq_weights=freq_weights)
+                save_member(member_path, params, mc)
             members.append(params)
             model_cfgs.append(mc)
-            save_member(save_dir / f"model_{i}.npz", params, mc)
 
     dims = {"node_dim": s.node_dim, "edge_dim": s.edge_dim,
             "angle_dim": s.angle_dim, "global_scalar_dim": s.global_scalar_dim,

@@ -118,7 +118,13 @@ def main():
                           ensemble_size=args.members,
                           hidden=256, layers=4, heads=4,
                           conv_impl="fused", compute_dtype="bfloat16",
-                          scan_steps=8, pack_workers=4, verbose=True)
+                          scan_steps=8, pack_workers=4, verbose=True,
+                          # process isolation + member-level resume: the
+                          # tunneled client leaks ~1.8 GB/epoch of host
+                          # transfer mirrors (PERF.md round 4) — per-member
+                          # subprocesses cap it, and finished members are
+                          # skipped if the run is re-invoked after a crash
+                          member_isolation="process", resume=True)
 
     buf = io.StringIO()
 

@@ -234,3 +234,98 @@ class TestEndToEnd:
         assert transformer is not None and meta["dims"]["heads"] == 2
         conf = load_conformal(tmp_path / "conformal.json")
         assert conf["q"].shape == (2,) and conf["method"] in ("scaled", "absolute")
+
+    def test_member_resume_skips_finished(self, tmp_path, capsys):
+        """With resume on, a member whose final artifact exists is loaded
+        instead of retrained (crash-recovery for long ensemble runs)."""
+        from gnnep_tpu.data.store import save_sample
+
+        data_dir = tmp_path / "data"
+        for smp in __import__("synthetic").make_samples(24, seed=5):
+            save_sample(data_dir, smp)
+        cfg = TrainConfig(
+            data_dir=str(data_dir), save_dir=str(tmp_path / "ens"),
+            batch_size=8, epochs=2, hidden=16,
+            layers=1, heads=2, ensemble_size=2, seed=42,
+            val_frac=0.15, calib_frac=0.15, test_frac=0.15,
+            bootstrap=False, feature_jitter_std=0.0, verbose=True,
+            resume=True)
+        run_training(cfg)
+        m0 = (tmp_path / "ens" / "model_0.npz").read_bytes()
+        # delete member 1 only: re-run must skip member 0 and retrain 1
+        (tmp_path / "ens" / "model_1.npz").unlink()
+        capsys.readouterr()
+        run_training(cfg)
+        out = capsys.readouterr().out
+        assert "loaded finished checkpoint model_0.npz" in out
+        assert "Training ensemble member 2/2" in out
+        assert (tmp_path / "ens" / "model_0.npz").read_bytes() == m0
+        assert (tmp_path / "ens" / "model_1.npz").exists()
+
+    def test_member_isolation_process(self, tmp_path):
+        """member_isolation='process' trains each member in a subprocess and
+        produces a working ensemble (the tunneled-client leak mitigation)."""
+        from gnnep_tpu.data.store import save_sample
+
+        data_dir = tmp_path / "data"
+        for smp in __import__("synthetic").make_samples(24, seed=5):
+            save_sample(data_dir, smp)
+        cfg = TrainConfig(
+            data_dir=str(data_dir), save_dir=str(tmp_path / "ens"),
+            batch_size=8, epochs=2, hidden=16,
+            layers=1, heads=2, ensemble_size=2, seed=42,
+            val_frac=0.15, calib_frac=0.15, test_frac=0.15,
+            bootstrap=False, feature_jitter_std=0.0, verbose=False,
+            member_isolation="process")
+        summary = run_training(cfg)
+        assert (tmp_path / "ens" / "model_0.npz").exists()
+        assert (tmp_path / "ens" / "model_1.npz").exists()
+        assert math.isfinite(summary["test_stats"]["overall"]["mae"])
+
+    def test_member_proc_matches_in_process(self, tmp_path):
+        """The subprocess path must train the IDENTICAL member: same seed,
+        fold, subset, config → byte-comparable parameters."""
+        import json as _json
+        import subprocess
+        import sys as _sys
+        from pathlib import Path as _P
+
+        import dataclasses as _dc
+
+        from gnnep_tpu.data.store import save_sample
+        from gnnep_tpu.train.artifacts import load_member
+        from gnnep_tpu.train.ensemble import (compute_freq_weights,
+                                              member_plan)
+        from gnnep_tpu.train.member import train_member
+
+        data_dir = tmp_path / "data"
+        for smp in __import__("synthetic").make_samples(24, seed=5):
+            save_sample(data_dir, smp)
+        cfg = TrainConfig(
+            data_dir=str(data_dir), save_dir=str(tmp_path / "ens"),
+            batch_size=8, epochs=2, hidden=16, layers=1, heads=2,
+            ensemble_size=2, seed=42, val_frac=0.15, calib_frac=0.15,
+            test_frac=0.15, bootstrap=False, feature_jitter_std=0.0,
+            verbose=False)
+        (tmp_path / "ens").mkdir()
+        cfg_json = tmp_path / "ens" / "cfg.json"
+        cfg_json.write_text(_json.dumps(_dc.asdict(cfg)))
+        env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+        env["PYTHONPATH"] = str(_P(__file__).resolve().parents[1])
+        r = subprocess.run(
+            [_sys.executable, "-m", "gnnep_tpu.train.member_proc",
+             str(cfg_json), "0"], env=env, capture_output=True, text=True,
+            cwd=_P(__file__).resolve().parents[1])
+        assert r.returncode == 0, r.stderr[-2000:]
+        sub_params, sub_mc = load_member(tmp_path / "ens" / "model_0.npz")
+
+        setup = prepare(cfg)
+        fw = compute_freq_weights(cfg, setup)
+        seed_i, _, train_i, holdout, mc, member_cfg = member_plan(cfg, setup, 0)
+        params, _ = train_member(setup.store, member_cfg, mc,
+                                 setup.transformer, setup.budget, seed_i,
+                                 train_i, holdout, freq_weights=fw)
+        import jax
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(sub_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
