@@ -437,7 +437,8 @@ def boundary_mode():
     from gnnep_tpu.parallel.boundary_shard import (build_boundary_tables,
                                                    plan_boundary)
     from gnnep_tpu.parallel.mesh import make_mesh
-    from gnnep_tpu.parallel.train_step import (make_boundary_train_step,
+    from gnnep_tpu.parallel.train_step import (make_boundary_scan_step,
+                                               make_boundary_train_step,
                                                stack_boundary_for_mesh,
                                                stack_boundary_tables)
     from gnnep_tpu.train.loop import TrainHyper, sigma_mask
@@ -445,6 +446,7 @@ def boundary_mode():
     on_tpu = jax.default_backend() == "tpu"
     n_graphs = int(os.environ.get("BENCH_GRAPHS", 64 if on_tpu else 4))
     iters = int(os.environ.get("BENCH_ITERS", 20 if on_tpu else 2))
+    scan_k = int(os.environ.get("BENCH_SCAN", 10 if on_tpu else 0))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16" if on_tpu else "float32")
     hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
                        compute_dtype=dtype)
@@ -459,39 +461,54 @@ def boundary_mode():
     tables, meta = build_boundary_tables(bb, plan)
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
     dev = jax.devices()[0]
-    stacked_bb = jax.device_put(stack_boundary_for_mesh([bb], 1), dev)
+    one = stack_boundary_for_mesh([bb], 1)
+    stacked_bb = jax.device_put(one, dev)
     stacked_tb = jax.device_put(stack_boundary_tables(tables), dev)
     mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
+    scan_bb = None
+    if scan_k > 1:
+        scan_bb = jax.device_put(jax.tree.map(
+            lambda x: np.stack([np.asarray(x)] * scan_k), one), dev)
 
-    def run(use_tables):
-        step, init_opt = make_boundary_train_step(
-            mesh, cfg, hyper, mu, sd, plan,
-            meta=meta if use_tables else None)
+    def run(use_tables, scan=False):
+        if scan:
+            multi, init_opt = make_boundary_scan_step(
+                mesh, cfg, hyper, mu, sd, plan,
+                meta=meta if use_tables else None)
+        else:
+            multi, init_opt = make_boundary_train_step(
+                mesh, cfg, hyper, mu, sd, plan,
+                meta=meta if use_tables else None)
         params = init_alignn(jrandom.PRNGKey(0), cfg)
         smask = sigma_mask(params)
         opt = init_opt(params)
+        data = scan_bb if scan else stacked_bb
 
         def call(params, opt):
-            if use_tables:
-                return step(params, opt, stacked_bb, stacked_tb,
-                            jrandom.PRNGKey(1), 3e-4, 3e-4, smask)
-            return step(params, opt, stacked_bb, jrandom.PRNGKey(1),
-                        3e-4, 3e-4, smask)
+            args = ((data, stacked_tb) if use_tables else (data,))
+            out = multi(params, opt, *args, jrandom.PRNGKey(1), 3e-4, 3e-4,
+                        smask)
+            return out[0], out[1], out[2]
 
         for _ in range(2):  # compile + donated-aliasing recompile
-            params, opt, loss, _ = call(params, opt)
-        float(np.asarray(loss))
+            params, opt, loss = call(params, opt)
+        float(np.asarray(loss).sum())
+        n_disp = max(iters // (scan_k if scan else 1), 2)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            params, opt, loss, _ = call(params, opt)
-        float(np.asarray(loss))
-        return edges_per_step * iters / (time.perf_counter() - t0)
+        for _ in range(n_disp):
+            params, opt, loss = call(params, opt)
+        float(np.asarray(loss).sum())
+        steps = n_disp * (scan_k if scan else 1)
+        return edges_per_step * steps / (time.perf_counter() - t0)
 
-    # interleaved best-of-2 (PERF.md measurement discipline)
+    # interleaved best-of-2 (PERF.md measurement discipline); the scan
+    # program measures the chip, the per-step number includes dispatch
+    use_scan = scan_k > 1
     eps_coo = run(False)
-    eps_fused = run(True)
+    eps_fused = run(True, scan=use_scan)
     eps_coo = max(eps_coo, run(False))
-    eps_fused = max(eps_fused, run(True))
+    eps_fused = max(eps_fused, run(True, scan=use_scan))
+    eps_step = run(True) if use_scan else eps_fused
     print(json.dumps({
         "metric": "boundary_sharded_train_edges_per_sec_per_chip",
         "value": round(eps_fused, 1),
@@ -500,6 +517,8 @@ def boundary_mode():
         "detail": {
             "formulation": "boundary-exchange, rank-local fused kernels",
             "edges_per_sec_coo_boundary": round(eps_coo, 1),
+            "edges_per_sec_per_step_dispatch": round(eps_step, 1),
+            "scan_steps": scan_k,
             "edges_per_step": int(edges_per_step),
             "graphs_per_batch": n_graphs, "compute_dtype": dtype,
             "conv_impl": impl,

@@ -599,7 +599,7 @@ def _strip_tables(tb):
 
 def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                              log_means: np.ndarray, log_stds: np.ndarray,
-                             plan, meta=None):
+                             plan, meta=None, _body_out=None):
     """Train step on the boundary-exchange edge partition → (step, init_opt).
 
     Mirrors `make_sharded_train_step`'s gradient accounting: the loss is
@@ -654,14 +654,11 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
             loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
         return loss_sum, (sample_loss.sum(), bb.graph_mask.sum())
 
-    def device_step(params, opt_state, bb, tables, rng, lr_mean, lr_sigma,
-                    smask):
-        bb = _strip_boundary(bb)
-        if tables is not None:
-            tables = _strip_tables(tables)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+    def body(params, opt_state, bb, tables, key, lr_mean, lr_sigma, smask):
+        """One optimizer step on already-local (stripped) operands — shared
+        by the single-step wrapper and the scan-over-steps program."""
         (_, (loss_sum, n_local)), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, bb, tables, rng)
+            local_loss, has_aux=True)(params, bb, tables, key)
         grads = jax.lax.pmean(grads, EDGE_AXIS)
         grads = jax.lax.psum(grads, DATA_AXIS)
         n_global = jnp.maximum(jax.lax.psum(n_local, DATA_AXIS), 1.0)
@@ -680,6 +677,18 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                               jax.tree.map(jnp.asarray, smask))
         loss_total = jax.lax.psum(loss_sum, DATA_AXIS)
         return params, opt_state, loss_total / n_global, n_global
+
+    def device_step(params, opt_state, bb, tables, rng, lr_mean, lr_sigma,
+                    smask):
+        bb = _strip_boundary(bb)
+        if tables is not None:
+            tables = _strip_tables(tables)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        return body(params, opt_state, bb, tables, rng, lr_mean, lr_sigma,
+                    smask)
+
+    if _body_out is not None:
+        _body_out.append(body)
 
     if meta is None:
         sharded = shard_map(
@@ -709,6 +718,84 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                            lr_sigma, smask)
 
     return step, (lambda params: adam.init(params))
+
+
+def make_boundary_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
+                            log_means: np.ndarray, log_stds: np.ndarray,
+                            plan, meta=None):
+    """Scan-over-steps variant of the boundary step: ONE jitted program runs
+    K optimizer steps over a [K, D, S, ...]-stacked BoundaryBatch pytree
+    (lax.scan inside shard_map) — the host leaves the inner loop, exactly as
+    `make_aligned_scan_step`. The dense tables are LOOP-INVARIANT (one plan
+    covers every step), so they are passed once, not K-stacked:
+
+        multi(params, opt, stacked_bb, tables?, rng, lr_mean, lr_sigma, smask)
+        → (params, opt, losses [K], ns [K])
+    """
+    body_out: list = []
+    _, init_opt = make_boundary_train_step(mesh, cfg, hyper, log_means,
+                                           log_stds, plan, meta=meta,
+                                           _body_out=body_out)
+    body = body_out[0]
+    from .boundary_shard import BoundaryBatch
+
+    specs = boundary_pspecs()
+    scan_specs = jax.tree.map(lambda s: P(None, *s), specs)
+
+    def strip_scan(bb):
+        return BoundaryBatch(**{
+            f: (getattr(bb, f)[:, 0] if f in _BD_REPLICATED
+                else getattr(bb, f)[:, 0, 0])
+            for f in BoundaryBatch._fields})
+
+    def device_multi(params, opt_state, stacked, tables, rng, lr_mean,
+                     lr_sigma, smask):
+        local = strip_scan(stacked)                       # [K, ...] per rank
+        if tables is not None:
+            tables = _strip_tables(tables)
+        n_steps = jax.tree.leaves(local)[0].shape[0]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        keys = jax.random.split(rng, n_steps)
+
+        def f(carry, xs):
+            p, o = carry
+            b, k = xs
+            p, o, loss, n = body(p, o, b, tables, k, lr_mean, lr_sigma,
+                                 smask)
+            return (p, o), (loss, n)
+
+        (params, opt_state), (losses, ns) = jax.lax.scan(
+            f, (params, opt_state), (local, keys))
+        return params, opt_state, losses, ns
+
+    if meta is None:
+        sharded = shard_map(
+            lambda p, o, bb, r, lm, ls, sm: device_multi(p, o, bb, None, r,
+                                                         lm, ls, sm),
+            mesh=mesh,
+            in_specs=(P(), P(), scan_specs, P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check=False)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi(params, opt_state, bb, rng, lr_mean, lr_sigma, smask):
+            return sharded(params, opt_state, bb, rng, lr_mean, lr_sigma,
+                           smask)
+    else:
+        sharded = shard_map(
+            device_multi, mesh=mesh,
+            in_specs=(P(), P(), scan_specs, boundary_table_pspecs(), P(),
+                      P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check=False)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi(params, opt_state, bb, tables, rng, lr_mean, lr_sigma,
+                  smask):
+            return sharded(params, opt_state, bb, tables, rng, lr_mean,
+                           lr_sigma, smask)
+
+    return multi, init_opt
 
 
 def make_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan,

@@ -390,6 +390,54 @@ class TestBoundaryTables:
                    for l in jax.tree.leaves(got))
 
 
+class TestBoundaryScanStep:
+    def test_scan_equals_sequential_steps(self):
+        """The K-step scan program must reproduce K sequential boundary
+        steps exactly (no dropout/jitter → rng-independent)."""
+        from gnnep_tpu.parallel.boundary_shard import build_boundary_tables
+        from gnnep_tpu.parallel.train_step import (make_boundary_scan_step,
+                                                   stack_boundary_tables)
+
+        b, mc = _giant_batch(seed=31)
+        mc = dataclasses.replace(mc, conv_impl="table", dropout=0.0)
+        hyper = TrainHyper(feature_jitter_std=0.0, log_sigma_l2=0.1)
+        params = init_alignn(jax.random.PRNGKey(9), mc)
+        smask = sigma_mask(params)
+        bb, plan = plan_boundary(b, 4)
+        tables, meta = build_boundary_tables(bb, plan)
+        mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+        mu, sd = np.array([4.32, 3.56]), np.array([0.91, 0.94])
+
+        step, init_opt = make_boundary_train_step(mesh, mc, hyper, mu, sd,
+                                                  plan, meta=meta)
+        one = stack_boundary_for_mesh([bb], 1)
+        tb = stack_boundary_tables(tables)
+        # both steps donate (params, opt): start each from a host copy
+        p0 = jax.tree.map(np.asarray, params)
+        p_seq = jax.tree.map(jnp.asarray, p0)
+        o_seq = init_opt(p_seq)
+        losses_seq = []
+        for k in range(2):
+            p_seq, o_seq, loss, _ = step(p_seq, o_seq, one, tb,
+                                         jax.random.PRNGKey(5), 3e-4, 1e-4,
+                                         smask)
+            losses_seq.append(float(loss))
+
+        multi, init_opt2 = make_boundary_scan_step(mesh, mc, hyper, mu, sd,
+                                                   plan, meta=meta)
+        stacked = jax.tree.map(
+            lambda x: np.stack([np.asarray(x)] * 2), one)
+        p_in = jax.tree.map(jnp.asarray, p0)
+        p_scan, o_scan, losses, ns = multi(p_in, init_opt2(p_in), stacked,
+                                           tb, jax.random.PRNGKey(5), 3e-4,
+                                           1e-4, smask)
+        np.testing.assert_allclose(np.asarray(losses), losses_seq,
+                                   rtol=1e-5, atol=1e-6)
+        for a, bleaf in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_scan)):
+            np.testing.assert_allclose(np.asarray(bleaf), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+
+
 class TestBoundaryGradients:
     def test_matches_single_device_and_allreduce(self):
         """(a): boundary grads ≡ the single-device global-mean gradient ≡ the
