@@ -5,9 +5,11 @@ process_id). Each process brings 4 virtual CPU devices, so the global mesh
 is 8 devices over 2 hosts: init_distributed + make_multihost_mesh(n_edge=2)
 → Mesh(4×2) with the edge axis inside each process's local (ICI-analogue)
 domain. The worker then runs one jitted global computation over the mesh
-(psum-style reduction of a process-sharded array) and one graph-aligned
-training step with per-process sub-batches, proving the multi-host code
-path compiles and executes — not just that the helpers import.
+(psum-style reduction of a process-sharded array), one graph-aligned
+training step, one general edge-sharded (all-reduce) step, and one
+boundary-exchange step with a nonzero cut — so the per-conv boundary kv
+all_to_all crosses the process boundary — proving every multi-host code
+path compiles and executes, not just that the helpers import.
 """
 import os
 import sys
@@ -114,8 +116,45 @@ def main() -> None:
     assert es_n == sum(float(np.asarray(b.graph_mask).sum())
                        for b in es_batches), es_n
 
+    # one boundary-exchange step (fused-table path) across the mesh: the
+    # per-conv boundary kv all_to_all crosses the process boundary — a
+    # nonzero cut is forced by using graphs larger than a rank row window
+    from gnnep_tpu.parallel.boundary_shard import (build_boundary_tables,
+                                                   plan_boundary_batches)
+    from gnnep_tpu.parallel.train_step import (boundary_pspecs,
+                                               boundary_table_pspecs,
+                                               make_boundary_train_step,
+                                               stack_boundary_for_mesh,
+                                               stack_boundary_tables)
+    import dataclasses
+
+    bd_batches = equalize_batches([
+        synthetic_batch(rng, n_graphs=2, mean_atoms=30, degree=5, node_dim=8,
+                        edge_dim=6, angle_dim=5, global_dim=59,
+                        table_cap=16, lg_table_cap=24) for _ in range(4)])
+    pbs, bplan = plan_boundary_batches(bd_batches, 2)
+    assert bplan.bn > 0, "expected a nonzero boundary cut"
+    btables, bmeta = build_boundary_tables(pbs, bplan)
+    bcfg = dataclasses.replace(cfg, conv_impl="table")
+    b_step, b_init = make_boundary_train_step(
+        mesh, bcfg, hyper, np.array([4.32, 3.56]), np.array([0.91, 0.94]),
+        bplan, meta=bmeta)
+    b_stacked = jax.tree.map(globalize, stack_boundary_for_mesh(pbs, 4),
+                             boundary_pspecs())
+    b_tb = jax.tree.map(globalize, stack_boundary_tables(btables),
+                        boundary_table_pspecs())
+    params3 = init_alignn(jax.random.PRNGKey(5), cfg)
+    _, _, b_loss, b_n = b_step(params3, b_init(params3), b_stacked, b_tb,
+                               jax.random.PRNGKey(4), 3e-4, 3e-4, smask)
+    b_loss = float(np.asarray(b_loss.addressable_data(0)))
+    b_n = float(np.asarray(b_n.addressable_data(0)))
+    assert np.isfinite(b_loss), b_loss
+    assert b_n == sum(float(np.asarray(b.graph_mask).sum())
+                      for b in pbs), b_n
+
     print(f"MULTIHOST OK pid={pid} loss={loss:.4f} graphs={int(n)} "
-          f"edge_sharded_loss={es_loss:.4f} graphs={int(es_n)}",
+          f"edge_sharded_loss={es_loss:.4f} graphs={int(es_n)} "
+          f"boundary_loss={b_loss:.4f} bn={bplan.bn}",
           flush=True)
 
 
