@@ -339,13 +339,14 @@ def main():
 
 
 def edge_sharded_mode():
-    """Giant-graph fallback bench: the general edge-sharded training step on
-    a Mesh((1,1)) single chip, COO formulation vs the scatter-free
-    implicit-table formulation (`table_widths=measure_table_widths(...)`).
-    Records edges/s/chip for both and their speedup — the perf story for the
-    only path that matters when a single graph exceeds one chip (VERDICT r2
-    item 5). Steps dispatch asynchronously with donated buffers and only the
-    final loss is read back (PERF.md measurement discipline)."""
+    """All-reduce fallback bench: the general edge-sharded training step on
+    a Mesh((1,1)) single chip, COO formulation vs the scatter-free windowed
+    formulation (`table_widths=measure_table_widths(...)`). NOTE: the
+    recommended giant-graph path is now the boundary-exchange formulation
+    (`--boundary`, 6.02 M edges/s/chip vs 1.91 M here); this mode records
+    the no-pack-time-planning fallback. Steps dispatch asynchronously with
+    donated buffers and only the final loss is read back (PERF.md
+    measurement discipline)."""
     import jax
     import jax.random as jrandom
 
