@@ -123,9 +123,13 @@ class Ensemble:
             }
             # collectors emit NaN where the batch's y_mask marked the target
             # invalid — presence is decided by finiteness, never a magic
-            # value (K=G=1.0 GPa is a legitimate ground truth)
+            # value (K=G=1.0 GPa is a legitimate ground truth). Missing
+            # components serialize as JSON null, not the non-standard NaN
+            # token (json.dumps would emit `NaN`, which strict parsers
+            # reject)
             if np.isfinite(y_row).any():
-                entry["target"] = y_row.tolist()
+                entry["target"] = [float(v) if np.isfinite(v) else None
+                                   for v in y_row]
             results.append(entry)
         return results
 

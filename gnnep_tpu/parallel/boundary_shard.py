@@ -150,7 +150,14 @@ def plan_boundary_batches(batches, n_shards: int):
         min_bn=max(g.bn for g in geoms),
         min_bl=max(g.bl for g in geoms))
     out = [plan_boundary(b, n_shards, **shared) for b in batches]
-    return [bb for bb, _ in out], out[0][1]
+    # geometry fields are identical across re-plans; the boundary-row
+    # DIAGNOSTICS are per-batch actuals, so report the maxima rather than
+    # silently returning batch 0's cut for all batches
+    plan = dataclasses.replace(
+        out[0][1],
+        atom_boundary_rows=max(p.atom_boundary_rows for _, p in out),
+        bond_boundary_rows=max(p.bond_boundary_rows for _, p in out))
+    return [bb for bb, _ in out], plan
 
 
 def plan_boundary(batch, n_shards: int, *, min_e_loc: int = 0,
@@ -282,14 +289,15 @@ def plan_boundary(batch, n_shards: int, *, min_e_loc: int = 0,
         lg_attr_w[s, :cl] = lattr[ll]
         ub = lsrc[ll]
         owners = bond_owner(ub)
+        lmsk = lm[ll] > 0
         lslots = np.full(cl, l_arena - 1, np.int64)
-        for i in range(cl):
-            if lm[ll][i] <= 0:
-                continue
-            if owners[i] == s:
-                lslots[i] = ub[i] - e_start[s]
-            else:
-                lslots[i] = e_loc + l_slot_of[s][int(ub[i])]
+        # vectorized own-rank case; Python only touches the boundary edges
+        # (giant graphs have millions of local LG rows — a full per-row
+        # loop here would dominate pack time)
+        lown = (owners == s) & lmsk
+        lslots[lown] = ub[lown] - e_start[s]
+        for i in np.nonzero(~lown & lmsk)[0]:
+            lslots[i] = e_loc + l_slot_of[s][int(ub[i])]
         l_src_slot[s, :cl] = lslots
 
     bb = BoundaryBatch(

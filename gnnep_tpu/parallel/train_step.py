@@ -39,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..data.batching import GraphBatch
 from ..models.alignn import AlignnConfig
-from ..train.loop import TrainHyper
+from ..train.loop import TrainHyper, masked_sample_nll
 from .edge_shard import sharded_apply
 from .mesh import DATA_AXIS, EDGE_AXIS, shard_map
 
@@ -201,7 +201,7 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
         diff = mean - y_z
         nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * batch.weight[:, None]
-        sample_loss = nll.mean(axis=1) * batch.graph_mask
+        sample_loss = masked_sample_nll(nll, batch.y_mask, batch.graph_mask)
         loss_sum = sample_loss.sum()
         if hyper.log_sigma_l2 > 0.0:
             ls2 = ((0.5 * logvar) ** 2 * batch.graph_mask[:, None]).sum() / y_z.shape[1]
@@ -316,7 +316,7 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
         diff = mean - y_z
         nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * batch.weight[:, None]
-        sample_loss = nll.mean(axis=1) * batch.graph_mask
+        sample_loss = masked_sample_nll(nll, batch.y_mask, batch.graph_mask)
         loss_sum = sample_loss.sum()
         if hyper.log_sigma_l2 > 0.0:
             ls2 = ((0.5 * logvar) ** 2
@@ -646,7 +646,7 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
         diff = mean - y_z
         nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
-        sample_loss = nll.mean(axis=1) * bb.graph_mask
+        sample_loss = masked_sample_nll(nll, bb.y_mask, bb.graph_mask)
         loss_sum = sample_loss.sum()
         if hyper.log_sigma_l2 > 0.0:
             ls2 = ((0.5 * logvar) ** 2
@@ -847,7 +847,7 @@ def make_boundary_grads(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
         diff = mean - y_z
         nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
-        sample_loss = nll.mean(axis=1) * bb.graph_mask
+        sample_loss = masked_sample_nll(nll, bb.y_mask, bb.graph_mask)
         loss_sum = sample_loss.sum()
         if hyper.log_sigma_l2 > 0.0:
             ls2 = ((0.5 * logvar) ** 2

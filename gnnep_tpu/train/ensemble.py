@@ -204,8 +204,14 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
         if use_proc:
             import json as _json
 
+            # absolutize path-valued fields: the child runs from the package
+            # root (see below), not the parent's cwd
+            cfg_dict = dataclasses.asdict(cfg)
+            for f in ("data_dir", "save_dir", "profile_dir"):
+                if cfg_dict.get(f):
+                    cfg_dict[f] = str(Path(cfg_dict[f]).resolve())
             cfg_json_path = save_dir / "train_cfg.json"
-            cfg_json_path.write_text(_json.dumps(dataclasses.asdict(cfg)))
+            cfg_json_path.write_text(_json.dumps(cfg_dict))
         for i in range(cfg.ensemble_size):
             member_path = save_dir / f"model_{i}.npz"
             if cfg.resume and member_path.exists():
@@ -237,17 +243,29 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
                 # round 4) dies with the member's process. The parent must
                 # not touch the TPU until all members finish (it hasn't:
                 # prepare() is numpy-only), so the chip claim hands off
-                # cleanly member to member.
+                # cleanly member to member. The child runs with cwd = the
+                # package's parent dir so `python -m gnnep_tpu...` resolves
+                # regardless of where the parent was launched (PYTHONPATH is
+                # NOT an option: setting it breaks the tunneled TPU plugin's
+                # backend registration — PERF.md measurement discipline);
+                # path-valued cfg fields were absolutized when the JSON was
+                # written. Child stdout streams through the parent's stdout
+                # so log capture (Tee/redirect) sees member epochs.
                 import subprocess
                 import sys as _sys
 
-                r = subprocess.run(
+                pkg_root = Path(__file__).resolve().parents[2]
+                proc = subprocess.Popen(
                     [_sys.executable, "-m", "gnnep_tpu.train.member_proc",
                      str(cfg_json_path), str(i)],
-                    cwd=Path.cwd())
-                if r.returncode != 0:
+                    cwd=pkg_root, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True, bufsize=1)
+                for line in proc.stdout:
+                    print(line, end="")
+                rc = proc.wait()
+                if rc != 0:
                     raise RuntimeError(
-                        f"member {i} subprocess failed (rc={r.returncode})")
+                        f"member {i} subprocess failed (rc={rc})")
                 from .artifacts import load_member
 
                 params, mc = load_member(member_path)

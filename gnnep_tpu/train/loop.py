@@ -129,6 +129,17 @@ def sigma_mask(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def masked_sample_nll(nll: jnp.ndarray, y_mask: jnp.ndarray,
+                      graph_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample mean NLL over VALID targets only — `y_mask` [G, T] is the
+    authority on target validity (data/batching.py); a missing component's
+    1.0 fill value must not be trained toward. Identical to
+    `nll.mean(axis=1) * graph_mask` when every target is valid (the
+    reference's case — it filters to fully-targeted samples)."""
+    valid = jnp.maximum(y_mask.sum(axis=1), 1.0)
+    return (nll * y_mask).sum(axis=1) / valid * graph_mask
+
+
 def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
                y_z: jnp.ndarray, rng: Optional[jax.Array], train: bool,
                dropout_override=None):
@@ -157,7 +168,7 @@ def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
     diff = mean - y_z
     nll = 0.5 * (logvar + diff ** 2 / var)                     # [G, T]
     nll = nll * batch.weight[:, None]
-    sample_loss = nll.mean(axis=1) * batch.graph_mask
+    sample_loss = masked_sample_nll(nll, batch.y_mask, batch.graph_mask)
     n_real = jnp.maximum(batch.graph_mask.sum(), 1.0)
     loss = sample_loss.sum() / n_real
     if hyper.log_sigma_l2 > 0.0:

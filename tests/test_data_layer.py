@@ -218,6 +218,49 @@ class TestBatching:
         assert np.isnan(ys[m[1]]).all()
         assert ys[m[2]][0] == pytest.approx(50.0) and np.isnan(ys[m[2]][1])
 
+    def test_invalid_targets_do_not_enter_the_loss(self):
+        """y_mask is consumed by the loss: a masked-out target component's
+        value must not change loss or gradients (its 1.0 fill would
+        otherwise be trained toward)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gnnep_tpu.models.alignn import init_alignn
+        from gnnep_tpu.train.loop import TrainHyper, hetero_nll
+        from gnnep_tpu.utils.synth import flagship_config, synthetic_batch
+
+        import dataclasses
+
+        b = synthetic_batch(np.random.default_rng(0), n_graphs=4,
+                            mean_atoms=5, degree=3, node_dim=8, edge_dim=6,
+                            angle_dim=5, global_dim=59, table_cap=16,
+                            lg_table_cap=16)
+        cfg = dataclasses.replace(
+            flagship_config(node_dim=8, edge_dim=6, angle_dim=5),
+            hidden=16, layers=1, heads=2, dropout=0.0, conv_impl="coo")
+        params = init_alignn(jax.random.PRNGKey(0), cfg)
+        hyper = TrainHyper(feature_jitter_std=0.0)
+        ym = np.asarray(b.y_mask).copy()
+        ym[1, 1] = 0.0                       # graph 1's G target is invalid
+        mu, sd = jnp.zeros(2), jnp.ones(2)
+
+        def loss_of(y_val):
+            y = np.asarray(b.y).copy()
+            y[1, 1] = y_val
+            bb = b._replace(y=y, y_mask=ym)
+            y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
+            loss, _ = hetero_nll(params, cfg, hyper, bb, y_z, None,
+                                 train=False)
+            return float(loss)
+
+        assert loss_of(1.0) == loss_of(123.0)  # masked value is inert
+        # and with all-valid masks the loss equals the plain target mean
+        bb = b._replace(y_mask=np.ones_like(np.asarray(b.y_mask)))
+        y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
+        loss_masked, _ = hetero_nll(params, cfg, hyper, bb, y_z, None,
+                                    train=False)
+        assert np.isfinite(float(loss_masked))
+
     def test_edge_indices_offset_correctly(self):
         store = make_store(6)
         budget = BatchBudget.plan(store, range(6), batch_size=6)
