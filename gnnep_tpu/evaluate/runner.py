@@ -70,7 +70,17 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
         means.append(mean_z)
         stds.append(sigma_z)
         targets = y
-    return np.stack(means), np.stack(stds), targets
+    means, stds = np.stack(means), np.stack(stds)
+    # the metric suite assumes fully-targeted samples (stores load with
+    # require_target=True); the collectors surface invalid targets as NaN,
+    # so a partially-targeted store slipping through would silently poison
+    # every aggregate metric — drop such rows loudly instead
+    ok = np.isfinite(targets).all(axis=1)
+    if not ok.all():
+        print(f"[evaluate] dropping {int((~ok).sum())} samples with "
+              "missing/partial targets from the metric suite")
+        means, stds, targets = means[:, ok], stds[:, ok], targets[ok]
+    return means, stds, targets
 
 
 def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:

@@ -39,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..data.batching import GraphBatch
 from ..models.alignn import AlignnConfig
-from ..train.loop import TrainHyper, masked_sample_nll
+from ..train.loop import TrainHyper, nll_loss_sums
 from .edge_shard import sharded_apply
 from .mesh import DATA_AXIS, EDGE_AXIS, shard_map
 
@@ -197,16 +197,9 @@ def make_sharded_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                                      comm_chunks=comm_chunks,
                                      table_widths=table_widths, impl=impl,
                                      row_windows=row_windows)
-        logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
-        y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
-        diff = mean - y_z
-        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * batch.weight[:, None]
-        sample_loss = masked_sample_nll(nll, batch.y_mask, batch.graph_mask)
-        loss_sum = sample_loss.sum()
-        if hyper.log_sigma_l2 > 0.0:
-            ls2 = ((0.5 * logvar) ** 2 * batch.graph_mask[:, None]).sum() / y_z.shape[1]
-            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
-        return loss_sum, (sample_loss.sum(), batch.graph_mask.sum())
+        loss_sum, sample_sum, n_real = nll_loss_sums(mean, logvar, batch,
+                                                     mu, sd, hyper)
+        return loss_sum, (sample_sum, n_real)
 
     def device_step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
         # strip the leading data-rank axis (local block size 1)
@@ -310,19 +303,9 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
 
         c_params, c_batch = _cast_for_compute(params, batch, dtype)
         mean, logvar = alignn_apply(c_params, cfg, c_batch, train=True, rng=kd)
-        mean = mean.astype(jnp.float32)
-        logvar = jnp.maximum(logvar.astype(jnp.float32),
-                             hyper.min_logvar_floor)
-        y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
-        diff = mean - y_z
-        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * batch.weight[:, None]
-        sample_loss = masked_sample_nll(nll, batch.y_mask, batch.graph_mask)
-        loss_sum = sample_loss.sum()
-        if hyper.log_sigma_l2 > 0.0:
-            ls2 = ((0.5 * logvar) ** 2
-                   * batch.graph_mask[:, None]).sum() / y_z.shape[1]
-            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
-        return loss_sum, (sample_loss.sum(), batch.graph_mask.sum())
+        loss_sum, sample_sum, n_real = nll_loss_sums(mean, logvar, batch,
+                                                     mu, sd, hyper)
+        return loss_sum, (sample_sum, n_real)
 
     from jax.flatten_util import ravel_pytree
 
@@ -640,19 +623,9 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         mean, logvar = boundary_apply(c_params, cfg, c_bb, plan,
                                       axis_name=EDGE_AXIS, train=True,
                                       rng=rng, tables=tables, meta=meta)
-        mean = mean.astype(jnp.float32)
-        logvar = jnp.maximum(logvar.astype(jnp.float32),
-                             hyper.min_logvar_floor)
-        y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
-        diff = mean - y_z
-        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
-        sample_loss = masked_sample_nll(nll, bb.y_mask, bb.graph_mask)
-        loss_sum = sample_loss.sum()
-        if hyper.log_sigma_l2 > 0.0:
-            ls2 = ((0.5 * logvar) ** 2
-                   * bb.graph_mask[:, None]).sum() / y_z.shape[1]
-            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
-        return loss_sum, (sample_loss.sum(), bb.graph_mask.sum())
+        loss_sum, sample_sum, n_real = nll_loss_sums(mean, logvar, bb,
+                                                     mu, sd, hyper)
+        return loss_sum, (sample_sum, n_real)
 
     def body(params, opt_state, bb, tables, key, lr_mean, lr_sigma, smask):
         """One optimizer step on already-local (stripped) operands — shared
@@ -843,17 +816,8 @@ def make_boundary_grads(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         mean, logvar = boundary_apply(params, cfg, bb, plan,
                                       axis_name=EDGE_AXIS, train=False,
                                       rng=rng, tables=tables, meta=meta)
-        logvar = jnp.maximum(logvar, hyper.min_logvar_floor)
-        y_z = (jnp.log(jnp.maximum(bb.y, 1e-12)) - mu) / sd
-        diff = mean - y_z
-        nll = 0.5 * (logvar + diff ** 2 / jnp.exp(logvar)) * bb.weight[:, None]
-        sample_loss = masked_sample_nll(nll, bb.y_mask, bb.graph_mask)
-        loss_sum = sample_loss.sum()
-        if hyper.log_sigma_l2 > 0.0:
-            ls2 = ((0.5 * logvar) ** 2
-                   * bb.graph_mask[:, None]).sum() / y_z.shape[1]
-            loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
-        return loss_sum, bb.graph_mask.sum()
+        loss_sum, _, n_real = nll_loss_sums(mean, logvar, bb, mu, sd, hyper)
+        return loss_sum, n_real
 
     def device_grads(params, bb, tables, rng):
         bb = _strip_boundary(bb)

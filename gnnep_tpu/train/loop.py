@@ -140,6 +140,27 @@ def masked_sample_nll(nll: jnp.ndarray, y_mask: jnp.ndarray,
     return (nll * y_mask).sum(axis=1) / valid * graph_mask
 
 
+def nll_loss_sums(mean: jnp.ndarray, logvar: jnp.ndarray, batch,
+                  mu: jnp.ndarray, sd: jnp.ndarray, hyper: TrainHyper):
+    """Sum-form heteroscedastic NLL tail shared by every parallel loss
+    (sharded / aligned / boundary train + grads): floor clamp, per-sample
+    weights, y_mask-valid target averaging, log-σ L2. Returns
+    (loss_sum, sample_loss_sum, n_real_graphs) — keeping this in ONE place
+    so a semantics fix cannot diverge across formulations."""
+    mean = mean.astype(jnp.float32)
+    logvar = jnp.maximum(logvar.astype(jnp.float32), hyper.min_logvar_floor)
+    y_z = (jnp.log(jnp.maximum(batch.y, 1e-12)) - mu) / sd
+    nll = 0.5 * (logvar + (mean - y_z) ** 2 / jnp.exp(logvar)) \
+        * batch.weight[:, None]
+    sample_loss = masked_sample_nll(nll, batch.y_mask, batch.graph_mask)
+    loss_sum = sample_loss.sum()
+    if hyper.log_sigma_l2 > 0.0:
+        ls2 = ((0.5 * logvar) ** 2
+               * batch.graph_mask[:, None]).sum() / y_z.shape[1]
+        loss_sum = loss_sum + hyper.log_sigma_l2 * ls2
+    return loss_sum, sample_loss.sum(), batch.graph_mask.sum()
+
+
 def hetero_nll(params, cfg: AlignnConfig, hyper: TrainHyper, batch,
                y_z: jnp.ndarray, rng: Optional[jax.Array], train: bool,
                dropout_override=None):
