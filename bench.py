@@ -4,8 +4,6 @@ AdamW, flagship architecture: hidden 256, 4 layers, 4 heads) on synthetic
 batches with Materials-Project-like graph statistics.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-The reference publishes no throughput numbers (SURVEY.md §6), so
-vs_baseline is 1.0 by definition against an empty baseline.
 """
 from __future__ import annotations
 
@@ -14,6 +12,27 @@ import os
 import time
 
 import numpy as np
+
+
+def _vs_baseline(value: float, key: str = "edges_per_sec_per_chip"):
+    """(ratio, note): ratio of `value` to BASELINE.json's published number
+    for `key` when one exists. The reference publishes NO throughput numbers
+    (SURVEY.md §6 — `published` is `{}`), so absent a baseline the ratio is
+    1.0 BY DEFINITION and the note says so explicitly — it must not read
+    like a measured comparison."""
+    try:
+        import pathlib
+
+        base = json.loads((pathlib.Path(__file__).resolve().parent
+                           / "BASELINE.json").read_text())
+        published = base.get("published") or {}
+        ref = published.get(key)
+        if ref:
+            return round(value / float(ref), 4), f"vs published {key}={ref}"
+    except Exception:
+        pass
+    return 1.0, ("definitional: BASELINE.json publishes no throughput "
+                 "baseline (published={})")
 
 
 def _flagship_batch_and_cfg(n_graphs: int, conv_impl: str, rng_seed: int = 42):
@@ -316,12 +335,14 @@ def main():
     edges_per_sec = edges_per_step * n_steps / dt
     repeat_ms = [round(d / n_steps * 1e3, 3) for d in repeat_dts]
     spread = (max(repeat_ms) - min(repeat_ms)) / min(repeat_ms)
+    vsb, vsb_note = _vs_baseline(edges_per_sec)
     print(json.dumps({
         "metric": "alignn_train_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
-        "vs_baseline": 1.0,
+        "vs_baseline": vsb,
         "detail": {
+            "vs_baseline_basis": vsb_note,
             "device": str(dev),
             "step_ms": round(step_ms, 3),
             "repeat_step_ms": repeat_ms,
@@ -580,12 +601,15 @@ def infer_mode():
         seed = mean[0, 0]
     float(np.asarray(seed))
     dt = time.perf_counter() - t0
+    vsb, vsb_note = _vs_baseline(graphs * iters / dt,
+                                 key="infer_graphs_per_sec_per_chip")
     print(json.dumps({
         "metric": "alignn_infer_graphs_per_sec_per_chip",
         "value": round(graphs * iters / dt, 1),
         "unit": "graphs/s/chip",
-        "vs_baseline": 1.0,
-        "detail": {"edges_per_sec": round(edges * iters / dt, 1),
+        "vs_baseline": vsb,
+        "detail": {"vs_baseline_basis": vsb_note,
+                   "edges_per_sec": round(edges * iters / dt, 1),
                    "ms_per_batch": round(dt / iters * 1e3, 3),
                    "graphs_per_batch": int(graphs),
                    "conv_impl": conv_impl, "hidden": cfg.hidden,

@@ -22,6 +22,15 @@ from ..data.transforms import LogTransformer
 from ..train.metrics import TARGET_NAMES
 
 
+def _nanmean_or_nan(values) -> float:
+    """np.nanmean that returns NaN silently on empty/all-NaN input instead
+    of emitting a 'Mean of empty slice' RuntimeWarning (small eval splits
+    can make every pairwise Q-statistic denominator zero)."""
+    arr = np.asarray(values, dtype=float)
+    finite = arr[np.isfinite(arr)]
+    return float(finite.mean()) if finite.size else float("nan")
+
+
 def r2_score(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
     ss_res = ((pred - target) ** 2).sum(axis=0)
     ss_tot = np.clip(((target - target.mean(axis=0)) ** 2).sum(axis=0), 1e-12, None)
@@ -210,8 +219,8 @@ def diversity_metrics(member_means_z: np.ndarray, member_stds_z: np.ndarray,
         "member_mae_per_target_std": mae_m_t.std(axis=0, ddof=0),
         "member_nll_per_target_mean": nll_m_t.mean(axis=0),
         "member_nll_per_target_std": nll_m_t.std(axis=0, ddof=0),
-        "q_statistic_mean": float(np.nanmean(qs)) if qs else float("nan"),
-        "double_fault_mean": float(np.nanmean(dfs)) if dfs else float("nan"),
+        "q_statistic_mean": _nanmean_or_nan(qs),
+        "double_fault_mean": _nanmean_or_nan(dfs),
         "kendall_w": kendall_w,
         "kendall_w_reference_convention": kendall_w_ref,
         "member_correlation_matrix": corr,

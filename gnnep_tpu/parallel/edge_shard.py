@@ -92,9 +92,13 @@ def edge_sharded_conv(
         # widest windowed stream on the ACTUAL execution path: the
         # no-dropout aggregate concats [v_j*expd_h (H) ‖ expd_pad (128)]
         # → H + 128; with dropout the aggregates run separately, so the
-        # widest stream is max(H, 128)
-        wide = (max(hidden, 128) if dropout_rate > 0.0 and dropout_rng
-                is not None else hidden + 128)
+        # widest stream is max(H, 128). A TRACED dropout_rate (per-member
+        # vmapped rates) can't be compared in Python — use the conservative
+        # H + 128 bound, which dominates both paths.
+        wide = (max(hidden, 128)
+                if isinstance(dropout_rate, (int, float))
+                and dropout_rate > 0.0 and dropout_rng is not None
+                else hidden + 128)
         if _w_ok(n, src.shape[0], table_width, hidden=wide):
             return _windowed_conv(
                 params, x, src, dst, edge_attr, heads=heads,

@@ -262,15 +262,19 @@ def _make_step_body(cfg: AlignnConfig, hyper: TrainHyper, adam,
                                   jax.tree.map(jnp.asarray, smask))
 
         pred = jnp.exp(mean * sd + mu)
-        err = (pred - batch.y) * batch.graph_mask[:, None]
+        # y_mask is the authority on target validity (data/batching.py): an
+        # invalid component's 1.0 fill must not count as a real error, and
+        # n_elements counts only valid (graph, target) cells
+        el_mask = batch.graph_mask[:, None] * batch.y_mask
+        err = (pred - batch.y) * el_mask
         var = jnp.exp(logvar)
         metrics = StepMetrics(
             loss_sum=sample_loss.sum(),
             n_graphs=batch.graph_mask.sum(),
             abs_err_sum=jnp.abs(err).sum(),
             sq_err_sum=(err ** 2).sum(),
-            n_elements=batch.graph_mask.sum() * batch.y.shape[1],
-            logvar_sum=(logvar * batch.graph_mask[:, None]).sum(),
+            n_elements=el_mask.sum(),
+            logvar_sum=(logvar * el_mask).sum(),
             max_var=jnp.max(var * batch.graph_mask[:, None]),
         )
         return params, opt_state, metrics

@@ -32,36 +32,55 @@ except ImportError:  # pragma: no cover
 
 def eval_metrics(mean_z: np.ndarray, sigma_z: np.ndarray, y: np.ndarray,
                  transformer: LogTransformer) -> Dict[str, float]:
-    """Scalar eval metrics over one split; z = log-standardized space."""
-    y_z = transformer.transform(y)
+    """Scalar eval metrics over one split; z = log-standardized space.
+
+    Non-finite targets (NaN from `collect_predictions` for y_mask==0
+    components — partially-targeted samples) are excluded element-wise, so
+    fold-val model selection stays well-defined on partial-target stores.
+    Numerically identical to the unmasked formulas when every target is
+    finite (the reference's case — it filters to fully-targeted samples)."""
+    valid = np.isfinite(y)                       # [N, T] element validity
+    n_valid = valid.sum()
+    y_z = np.where(valid, transformer.transform(np.where(valid, y, 1.0)), np.nan)
     var = sigma_z ** 2
     logvar = np.log(np.maximum(var, 1e-30))
-    diff = mean_z - y_z
-    nll = 0.5 * (logvar + diff ** 2 / np.maximum(var, 1e-30))
+    diff = np.where(valid, mean_z - y_z, 0.0)
+    nll = 0.5 * (logvar + diff ** 2 / np.maximum(var, 1e-30)) * valid
     pred = transformer.inverse(mean_z)
-    abs_lin = np.abs(pred - y)
+    abs_lin = np.where(valid, np.abs(pred - y), 0.0)
     n = y.shape[0]
 
     abs_z = np.abs(diff)
-    coverage = float((abs_z <= sigma_z).mean())
-    cov_levels = (abs_z[None] <= _Z_THRESH[:, None, None] * sigma_z[None]).mean(axis=(1, 2))
-    ece = float(np.abs(cov_levels - _PROB_LEVELS).mean())
+    covered = (abs_z <= sigma_z) & valid
+    coverage = float(covered.sum() / n_valid) if n_valid else float("nan")
+    if n_valid:
+        cov_levels = ((abs_z[None] <= _Z_THRESH[:, None, None] * sigma_z[None])
+                      & valid[None]).sum(axis=(1, 2)) / n_valid
+        ece = float(np.abs(cov_levels - _PROB_LEVELS).mean())
+    else:
+        ece = float("nan")
 
     spear = float("nan")
     if _spearmanr is not None and abs_z.size > 1:
-        flat_e, flat_s = abs_z.ravel(), np.clip(sigma_z.ravel(), 1e-6, None)
+        flat_e = np.where(valid, abs_z, np.nan).ravel()
+        flat_s = np.clip(sigma_z.ravel(), 1e-6, None)
         ok = np.isfinite(flat_e) & np.isfinite(flat_s)
         if ok.sum() > 1:
             r = _spearmanr(flat_e[ok], flat_s[ok])
             spear = float(getattr(r, "statistic", r[0]))
 
     eps = 1e-6
-    mae_log = float(np.abs(np.log(np.clip(pred, eps, None))
-                           - np.log(np.clip(y, eps, None))).sum() / n)
+    mae_log = float((np.abs(np.log(np.clip(pred, eps, None))
+                            - np.log(np.clip(np.where(valid, y, 1.0), eps,
+                                             None))) * valid).sum() / n)
+    # per-sample mean NLL over valid targets, averaged over samples with at
+    # least one valid target (matches masked_sample_nll's convention)
+    per_sample_valid = np.maximum(valid.sum(axis=1), 1)
     return {
-        "nll": float(nll.mean(axis=1).sum() / n),
+        "nll": float((nll.sum(axis=1) / per_sample_valid).sum() / n),
         "mae": float(abs_lin.sum() / n),            # per-sample sum across targets
-        "rmse": float(np.sqrt(((pred - y) ** 2).mean())),
+        "rmse": float(np.sqrt((np.where(valid, pred - y, 0.0) ** 2).sum()
+                              / n_valid)) if n_valid else float("nan"),
         "mae_log": mae_log,
         "coverage": coverage,
         "ece": ece,

@@ -51,10 +51,14 @@ def noise_floor(clean: np.ndarray, sig: np.ndarray, rng) -> dict:
     RMSE/R² use the analytic second moment E(e^ε−1)² = e^{2σ²} − 2e^{σ²/2}+1.
     """
     draws = rng.standard_normal(200_000)
+    # keys use the SAME rounding function on both sides: numpy's scaled
+    # rounding and Python's round() can disagree in last-ulp halfway cases,
+    # and a KeyError here kills the report step after a multi-hour run
+    sig_keys = np.unique(np.round(sig, 4))
     mae_terms = np.array([np.abs(np.exp(s * draws) - 1.0).mean()
-                          for s in np.unique(np.round(sig, 4))])
-    lut = dict(zip(np.unique(np.round(sig, 4)), mae_terms))
-    e_abs = np.array([lut[round(float(s), 4)] for s in sig])
+                          for s in sig_keys])
+    lut = {float(k): v for k, v in zip(sig_keys, mae_terms)}
+    e_abs = np.array([lut[float(np.round(s, 4))] for s in sig])
     mae = float((clean * e_abs).mean())
     var_terms = np.exp(2 * sig ** 2) - 2 * np.exp(sig ** 2 / 2.0) + 1.0
     mse = float((clean ** 2 * var_terms).mean())

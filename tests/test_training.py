@@ -200,6 +200,32 @@ class TestTrainStep:
             assert k in m and math.isfinite(m[k])
         assert 0.0 <= m["coverage"] <= 1.0
 
+    def test_eval_metrics_partial_targets_still_finite(self, rng):
+        """NaN target components (y_mask==0 rows from collect_predictions)
+        are excluded element-wise — a partially-targeted val split must
+        still produce finite selection metrics, or BestSelector silently
+        never picks a best epoch (round-4 advisor finding)."""
+        y = np.exp(rng.normal(4, 0.5, (50, 2)))
+        t = LogTransformer.fit(y)
+        mean_z = t.transform(y) + rng.normal(0, 0.3, (50, 2))
+        sigma = 0.2 + np.abs(rng.normal(0, 0.1, (50, 2)))
+        m_full = eval_metrics(mean_z, sigma, y.copy(), t)
+
+        y_part = y.copy()
+        y_part[::3, 1] = np.nan          # a third of samples missing target 1
+        m_part = eval_metrics(mean_z, sigma, y_part, t)
+        for k in ("nll", "mae", "rmse", "coverage", "ece", "spearman"):
+            assert math.isfinite(m_part[k]), k
+        assert 0.0 <= m_part["coverage"] <= 1.0
+        # masked metrics over fully-valid data are unchanged
+        for k in ("nll", "mae", "rmse", "coverage", "ece"):
+            assert m_full[k] == pytest.approx(
+                eval_metrics(mean_z, sigma, y, t)[k])
+        # and the selector actually picks an epoch from partial metrics
+        sel = BestSelector(TrainConfig())
+        assert sel.consider(1, m_part)
+        assert sel.best_epoch == 1
+
     def test_error_stats_table(self, rng):
         pred = rng.normal(100, 10, (40, 2))
         y = pred + rng.normal(0, 5, (40, 2))
