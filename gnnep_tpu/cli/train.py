@@ -95,6 +95,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--member-parallel",
                    choices=["sequential", "vmap", "shard"],
                    default="sequential")
+    p.add_argument("--data-shards", type=int, default=1,
+                   help="Data-parallel device slots per member: each "
+                        "optimizer step consumes data-shards × edge-shards "
+                        "packed sub-batches over a Mesh((data, edge)) with "
+                        "one fused gradient psum (1 = single device)")
+    p.add_argument("--edge-shards", type=int, default=1,
+                   help="Edge-partition device slots (the mesh's inner/ICI "
+                        "axis). With --giant-graphs boundary this is also "
+                        "the boundary-exchange partition width for graphs "
+                        "exceeding the batch budget")
     p.add_argument("--member-isolation", choices=["none", "process"],
                    default="none",
                    help="'process' trains each member in a subprocess — "
@@ -188,6 +198,7 @@ def config_from_args(args) -> TrainConfig:
         resume=args.resume, profile_dir=args.profile_dir,
         member_parallel=args.member_parallel,
         member_isolation=args.member_isolation,
+        data_shards=args.data_shards, edge_shards=args.edge_shards,
         batch_quantile=args.batch_quantile,
         batch_slack=args.batch_slack, scan_steps=args.scan_steps,
         verbose=not args.quiet)

@@ -124,11 +124,18 @@ class BatchBudget:
     @classmethod
     def plan(cls, store: GraphStore, indices: Sequence[int], batch_size: int,
              slack: float = 1.15, quantile: float = 0.95,
-             win_quantile: float = 0.999) -> "BatchBudget":
+             win_quantile: float = 0.999,
+             cover_all: bool = True) -> "BatchBudget":
         """Size arenas so `batch_size` typical graphs fit: capacity =
         max(largest single graph, batch_size × q-quantile × slack), rounded
         up to a multiple of 8 (TPU sublane) with +1 dummy slot. Dense-table
-        widths are the dataset maxima of atom in-degree / bond LG in-degree."""
+        widths are the dataset maxima of atom in-degree / bond LG in-degree.
+
+        `cover_all=False` drops the largest-single-graph guarantee: arenas
+        size to TYPICAL batch statistics only, so outlier giant graphs no
+        longer balloon every batch's padding — callers must route graphs
+        that do not fit (`parallel.giant.find_giants`) through the
+        boundary-partitioned path instead of this packer."""
         idx = np.asarray(list(indices), dtype=np.int64)
         if idx.size == 0:
             raise ValueError("Cannot plan a batch budget over an empty index set.")
@@ -142,8 +149,9 @@ class BatchBudget:
             # (mostly padding); the packer emits a batch early when a tail
             # graph would overflow, and max() guarantees every graph fits
             per = float(counts.mean()) if counts.size else 1.0
-            need = max(int(counts.max(initial=1)),
-                       int(np.ceil(batch_size * per * slack)))
+            need = int(np.ceil(batch_size * per * slack))
+            if cover_all:
+                need = max(int(counts.max(initial=1)), need)
             return _round_up(need + 1, mult)
 
         deg_a = deg_l = deg_ao = deg_lo = 1

@@ -252,16 +252,24 @@ def aligned_pspecs() -> GraphBatch:
 
 
 def make_aligned_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
-                            log_means: np.ndarray, log_stds: np.ndarray):
+                            log_means: np.ndarray, log_stds: np.ndarray,
+                            full_metrics: bool = False):
     """Graph-aligned multi-chip train step → (step, init_opt). See
-    `_aligned_parts` for the design notes."""
+    `_aligned_parts` for the design notes.
+
+    `full_metrics=True` changes the step's return to
+    `(params, opt_state, StepMetrics)` with globally psum'd sums — the same
+    shape the single-device `make_train_step` returns, so the production
+    trainer (`train/member.py`) consumes either step interchangeably."""
     step, init_opt, _, _ = _aligned_parts(mesh, cfg, hyper, log_means,
-                                          log_stds)
+                                          log_stds,
+                                          full_metrics=full_metrics)
     return step, init_opt
 
 
 def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
-                   log_means: np.ndarray, log_stds: np.ndarray):
+                   log_means: np.ndarray, log_stds: np.ndarray,
+                   full_metrics: bool = False):
     """Graph-aligned multi-chip train step — the production fast path.
 
     A packed batch is a block-diagonal graph, so partitioning its edge and
@@ -289,6 +297,8 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     specs = aligned_pspecs()
     dtype = jnp.bfloat16 if hyper.compute_dtype == "bfloat16" else jnp.float32
 
+    from ..train.loop import StepMetrics
+
     def local_loss(params, batch, rng):
         """Sum-form loss on this device's sub-batch (standard forward)."""
         kd = rng
@@ -305,7 +315,20 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         mean, logvar = alignn_apply(c_params, cfg, c_batch, train=True, rng=kd)
         loss_sum, sample_sum, n_real = nll_loss_sums(mean, logvar, batch,
                                                      mu, sd, hyper)
-        return loss_sum, (sample_sum, n_real)
+        if not full_metrics:
+            return loss_sum, (sample_sum, n_real)
+        # local StepMetrics sums (same fields as the single-device step body
+        # in train/loop._make_step_body: y_mask-valid error diagnostics)
+        lv = jnp.maximum(logvar.astype(jnp.float32), hyper.min_logvar_floor)
+        pred = jnp.exp(mean.astype(jnp.float32) * sd + mu)
+        el_mask = batch.graph_mask[:, None] * batch.y_mask
+        err = (pred - batch.y) * el_mask
+        local_m = StepMetrics(
+            loss_sum=sample_sum, n_graphs=n_real,
+            abs_err_sum=jnp.abs(err).sum(), sq_err_sum=(err ** 2).sum(),
+            n_elements=el_mask.sum(), logvar_sum=(lv * el_mask).sum(),
+            max_var=jnp.max(jnp.exp(lv) * batch.graph_mask[:, None]))
+        return loss_sum, (sample_sum, n_real, local_m)
 
     from jax.flatten_util import ravel_pytree
 
@@ -314,11 +337,24 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         shard_map). Same clip/Adam/update tail as the single-device step
         (see train/loop._make_step_body): per-leaf by default, raveled
         flat-vector under hyper.flat_opt."""
-        (_, (loss_sum, n_local)), grads = jax.value_and_grad(
+        (_, aux), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, batch, rng)
-        # one fused all-reduce: grads + loss + count ride a single psum
-        grads, loss_total, n_global = jax.lax.psum(
-            (grads, loss_sum, n_local), (DATA_AXIS, EDGE_AXIS))
+        if full_metrics:
+            loss_sum, n_local, local_m = aux
+            # one fused all-reduce: grads + every metric sum ride one psum;
+            # max_var is the only max-combined field
+            grads, loss_total, n_global, m_sums = jax.lax.psum(
+                (grads, loss_sum, n_local,
+                 local_m._replace(max_var=jnp.zeros(()))),
+                (DATA_AXIS, EDGE_AXIS))
+            metrics = m_sums._replace(max_var=jax.lax.pmax(
+                local_m.max_var, (DATA_AXIS, EDGE_AXIS)))
+        else:
+            loss_sum, n_local = aux
+            # one fused all-reduce: grads + loss + count ride a single psum
+            grads, loss_total, n_global = jax.lax.psum(
+                (grads, loss_sum, n_local), (DATA_AXIS, EDGE_AXIS))
+            metrics = None
         n_global = jnp.maximum(n_global, 1.0)
         if hyper.flat_opt:
             flat_g, _ = ravel_pytree(grads)
@@ -358,6 +394,8 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
 
             params = jax.tree.map(apply_leaf, updates, params,
                                   jax.tree.map(jnp.asarray, smask))
+        if full_metrics:
+            return params, opt_state, metrics
         return params, opt_state, loss_total / n_global, n_global
 
     def device_step(params, opt_state, batch, rng, lr_mean, lr_sigma, smask):
@@ -367,10 +405,11 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         return device_body(params, opt_state, batch, rng, lr_mean, lr_sigma,
                            smask)
 
+    out_specs = (P(), P(), P()) if full_metrics else (P(), P(), P(), P())
     sharded = shard_map(
         device_step, mesh=mesh,
         in_specs=(P(), P(), specs, P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=out_specs,
         check=False)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -385,14 +424,18 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
 
 
 def make_aligned_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
-                           log_means: np.ndarray, log_stds: np.ndarray):
+                           log_means: np.ndarray, log_stds: np.ndarray,
+                           full_metrics: bool = False):
     """Scan-over-steps variant of the aligned step: ONE jitted program runs
     K optimizer steps over a [K, D·E, ...]-stacked super-batch pytree
     (lax.scan inside shard_map). The multi-chip analogue of
     `train.loop.make_scan_train_step` — the host leaves the inner loop, so
-    timings measure the chips, not the dispatch tunnel."""
+    timings measure the chips, not the dispatch tunnel.
+
+    `full_metrics=True` returns `(params, opt_state, StepMetrics)` with
+    [K]-stacked globally-reduced sums, matching `make_scan_train_step`."""
     _, init_opt, device_body, specs = _aligned_parts(
-        mesh, cfg, hyper, log_means, log_stds)
+        mesh, cfg, hyper, log_means, log_stds, full_metrics=full_metrics)
     # leading K axis is unsharded; per-field slot axis sharding shifts right
     scan_specs = jax.tree.map(lambda s: P(None, *s), specs)
 
@@ -407,17 +450,24 @@ def make_aligned_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
         def f(carry, xs):
             p, o = carry
             b, k = xs
-            p, o, loss, n = device_body(p, o, b, k, lr_mean, lr_sigma, smask)
+            out = device_body(p, o, b, k, lr_mean, lr_sigma, smask)
+            if full_metrics:
+                p, o, m = out
+                return (p, o), m
+            p, o, loss, n = out
             return (p, o), (loss, n)
 
-        (params, opt_state), (losses, ns) = jax.lax.scan(
+        (params, opt_state), ys = jax.lax.scan(
             f, (params, opt_state), (local, keys))
-        return params, opt_state, losses, ns
+        if full_metrics:
+            return params, opt_state, ys
+        return params, opt_state, ys[0], ys[1]
 
+    out_specs = (P(), P(), P()) if full_metrics else (P(), P(), P(), P())
     sharded = shard_map(
         device_multi, mesh=mesh,
         in_specs=(P(), P(), scan_specs, P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=out_specs,
         check=False)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -582,7 +632,8 @@ def _strip_tables(tb):
 
 def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                              log_means: np.ndarray, log_stds: np.ndarray,
-                             plan, meta=None, _body_out=None):
+                             plan, meta=None, _body_out=None,
+                             full_metrics: bool = False):
     """Train step on the boundary-exchange edge partition → (step, init_opt).
 
     Mirrors `make_sharded_train_step`'s gradient accounting: the loss is
@@ -597,8 +648,12 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     takes an extra stacked-BoundaryTables operand after the batch and runs
     each rank's convs on the dense-table / fused-kernel path:
         step(params, opt, bb, tables, rng, lr_mean, lr_sigma, smask)
+
+    `full_metrics=True` returns `(params, opt_state, StepMetrics)` with
+    data-axis-summed sums (metric inputs are edge-replicated), so the
+    production trainer consumes this step interchangeably with the others.
     """
-    from ..train.loop import _cast_for_compute
+    from ..train.loop import StepMetrics, _cast_for_compute
     from .boundary_shard import boundary_apply
 
     adam = optax.scale_by_adam()
@@ -625,13 +680,28 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                                       rng=rng, tables=tables, meta=meta)
         loss_sum, sample_sum, n_real = nll_loss_sums(mean, logvar, bb,
                                                      mu, sd, hyper)
-        return loss_sum, (sample_sum, n_real)
+        if not full_metrics:
+            return loss_sum, (sample_sum, n_real)
+        lv = jnp.maximum(logvar.astype(jnp.float32), hyper.min_logvar_floor)
+        pred = jnp.exp(mean.astype(jnp.float32) * sd + mu)
+        el_mask = bb.graph_mask[:, None] * bb.y_mask
+        err = (pred - bb.y) * el_mask
+        local_m = StepMetrics(
+            loss_sum=sample_sum, n_graphs=n_real,
+            abs_err_sum=jnp.abs(err).sum(), sq_err_sum=(err ** 2).sum(),
+            n_elements=el_mask.sum(), logvar_sum=(lv * el_mask).sum(),
+            max_var=jnp.max(jnp.exp(lv) * bb.graph_mask[:, None]))
+        return loss_sum, (sample_sum, n_real, local_m)
 
     def body(params, opt_state, bb, tables, key, lr_mean, lr_sigma, smask):
         """One optimizer step on already-local (stripped) operands — shared
         by the single-step wrapper and the scan-over-steps program."""
-        (_, (loss_sum, n_local)), grads = jax.value_and_grad(
+        (_, aux), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, bb, tables, key)
+        if full_metrics:
+            loss_sum, n_local, local_m = aux
+        else:
+            loss_sum, n_local = aux
         grads = jax.lax.pmean(grads, EDGE_AXIS)
         grads = jax.lax.psum(grads, DATA_AXIS)
         n_global = jnp.maximum(jax.lax.psum(n_local, DATA_AXIS), 1.0)
@@ -648,6 +718,14 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
 
         params = jax.tree.map(apply_leaf, updates, params,
                               jax.tree.map(jnp.asarray, smask))
+        if full_metrics:
+            # metric inputs are replicated across the edge axis (pooled
+            # outputs are psum'd inside the forward) — sum over DATA only
+            metrics = jax.lax.psum(
+                local_m._replace(max_var=jnp.zeros(())), DATA_AXIS)
+            metrics = metrics._replace(
+                max_var=jax.lax.pmax(local_m.max_var, DATA_AXIS))
+            return params, opt_state, metrics
         loss_total = jax.lax.psum(loss_sum, DATA_AXIS)
         return params, opt_state, loss_total / n_global, n_global
 
@@ -663,13 +741,14 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     if _body_out is not None:
         _body_out.append(body)
 
+    out_specs = (P(), P(), P()) if full_metrics else (P(), P(), P(), P())
     if meta is None:
         sharded = shard_map(
             lambda p, o, bb, r, lm, ls, sm: device_step(p, o, bb, None, r,
                                                         lm, ls, sm),
             mesh=mesh,
             in_specs=(P(), P(), specs, P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=out_specs,
             check=False)
 
         @partial(jax.jit, donate_argnums=(0, 1))
@@ -681,7 +760,7 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
             device_step, mesh=mesh,
             in_specs=(P(), P(), specs, boundary_table_pspecs(), P(), P(),
                       P(), P()),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=out_specs,
             check=False)
 
         @partial(jax.jit, donate_argnums=(0, 1))

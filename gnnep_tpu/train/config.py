@@ -96,6 +96,15 @@ class TrainConfig:
     member_parallel: str = "sequential"  # 'sequential' | 'vmap' (one device,
                                          # table conv) | 'shard' (one member
                                          # per device, fused kernels)
+    # production distributed training (SURVEY §2g): each member trains over
+    # a Mesh(("data","edge")) of data_shards × edge_shards devices via the
+    # graph-aligned multi-chip step — one packed sub-batch per device slot,
+    # one fused grads+metrics psum per optimizer step. Effective batch per
+    # optimizer step = data_shards × edge_shards × batch_size graphs.
+    # Requires that many visible devices; composes with scan_steps, resume,
+    # checkpointing, KNN weighting, and calibration. 1 × 1 = single-device.
+    data_shards: int = 1
+    edge_shards: int = 1
     member_isolation: str = "none"       # 'none' | 'process': train each
                                          # member in a subprocess. Mitigates
                                          # the tunneled-TPU-client host-

@@ -187,6 +187,15 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
                   f"{len(setup.train_idx)} train samples | "
                   f"mean={tw.mean():.3f} min={tw.min():.3f} max={tw.max():.3f}")
 
+    n_mesh_slots = (max(int(getattr(cfg, "data_shards", 1)), 1)
+                    * max(int(getattr(cfg, "edge_shards", 1)), 1))
+    if n_mesh_slots > 1 and cfg.member_parallel in ("vmap", "shard"):
+        raise ValueError(
+            "--data-shards/--edge-shards train each member over a device "
+            "mesh and cannot combine with --member-parallel "
+            f"'{cfg.member_parallel}' (members would contend for the same "
+            "devices). Use sequential members with a mesh, or member "
+            "parallelism with single-device members.")
     if cfg.member_parallel in ("vmap", "shard"):
         from ..parallel.ensemble_vmap import train_members_vmapped
         members, model_cfgs = train_members_vmapped(

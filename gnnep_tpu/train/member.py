@@ -123,17 +123,84 @@ def train_member(
                        optimizer=cfg.optimizer,
                        compute_dtype=cfg.compute_dtype,
                        flat_opt=getattr(cfg, "flat_opt", False))
-    step, init_opt = make_train_step(model_cfg, hyper,
-                                     transformer.means, transformer.stds)
     scan_k = max(int(getattr(cfg, "scan_steps", 0)), 0)
     multi_step = None
-    if scan_k > 1:
-        from .loop import make_scan_train_step
+    # --- device mesh (production distributed training) -------------------
+    # data_shards × edge_shards > 1 trains this member over a
+    # Mesh(("data", "edge")) with the graph-aligned multi-chip step: each
+    # optimizer step consumes one SUPER-batch of D·E packed sub-batches
+    # (one per device slot), gradients ride a single fused psum, and the
+    # update equals the single-device mean-loss gradient over the union
+    # batch (gradient-parity-tested). Effective batch per optimizer step is
+    # therefore D·E × batch_size graphs. SURVEY.md §2g: the mesh axes are
+    # prescribed for *training*, not just benches.
+    n_data = max(int(getattr(cfg, "data_shards", 1)), 1)
+    n_edge = max(int(getattr(cfg, "edge_shards", 1)), 1)
+    n_slots = n_data * n_edge
+    mesh = None
+    if n_slots > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.train_step import (make_aligned_scan_step,
+                                           make_aligned_train_step)
 
-        multi_step, _ = make_scan_train_step(model_cfg, hyper,
-                                             transformer.means,
-                                             transformer.stds)
+        devs = jax.devices()
+        if len(devs) < n_slots:
+            raise ValueError(
+                f"--data-shards {n_data} × --edge-shards {n_edge} = "
+                f"{n_slots} device slots, but only {len(devs)} devices are "
+                "visible. Reduce the shard counts or run on a larger slice "
+                "(CPU tests: XLA_FLAGS=--xla_force_host_platform_device_"
+                f"count={n_slots}).")
+        mesh = make_mesh(n_data, n_edge, devices=devs[:n_slots])
+        astep, init_opt = make_aligned_train_step(
+            mesh, model_cfg, hyper, transformer.means, transformer.stds,
+            full_metrics=True)
+        # adapt to the single-device calling convention (smask last there)
+        step = lambda p, o, sm, b, k, lm, ls: astep(p, o, b, k, lm, ls, sm)
+        if scan_k > 1:
+            amulti, _ = make_aligned_scan_step(
+                mesh, model_cfg, hyper, transformer.means, transformer.stds,
+                full_metrics=True)
+            multi_step = (lambda p, o, sm, b, k, lm, ls:
+                          amulti(p, o, b, k, lm, ls, sm))
+    else:
+        step, init_opt = make_train_step(model_cfg, hyper,
+                                         transformer.means, transformer.stds)
+        if scan_k > 1:
+            from .loop import make_scan_train_step
+
+            multi_step, _ = make_scan_train_step(model_cfg, hyper,
+                                                 transformer.means,
+                                                 transformer.stds)
     forward = make_forward(model_cfg, cfg.min_logvar_floor)
+
+    # host→device staging: on the mesh, target the aligned shardings so each
+    # sub-batch lands on its owning device slot; single-device keeps the
+    # plain async device_put
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..data.batching import GraphBatch
+        from ..parallel.mesh import DATA_AXIS, EDGE_AXIS
+
+        _both = P((DATA_AXIS, EDGE_AXIS))
+        _unit_shard = GraphBatch(**{
+            f: NamedSharding(mesh, _both) for f in GraphBatch._fields})
+        _chunk_shard = GraphBatch(**{
+            f: NamedSharding(mesh, P(None, (DATA_AXIS, EDGE_AXIS)))
+            for f in GraphBatch._fields})
+        put_unit = lambda u: jax.device_put(u, _unit_shard)
+        put_chunk = lambda c: jax.device_put(c, _chunk_shard)
+    else:
+        put_unit = jax.device_put
+        put_chunk = jax.device_put
+
+    def host_params(p):
+        """Host copy for single-device consumers (val forward, KNN embed):
+        mesh-sharded params are committed to the mesh's devices and cannot
+        mix with device-0 staged batches in a plain jit."""
+        return jax.device_get(p) if mesh is not None else p
 
     key = prng_key(member_seed, getattr(cfg, "prng_impl", None))
     key, init_key = jax.random.split(key)
@@ -265,47 +332,58 @@ def train_member(
         batches = graft_weights(next_batches.result(), weight_arr)
         if epoch < cfg.epochs:
             next_batches = submit_pack()
+        for b in batches:
+            meter.count_batch(b)
+        # a training UNIT is one optimizer step's operand: a single batch on
+        # one device, or a [D·E, ...]-stacked super-batch on the mesh (the
+        # epoch's final super-batch pads short with inert all-masked slots)
+        if mesh is not None:
+            from ..parallel.train_step import stack_for_mesh
+
+            units = [stack_for_mesh(batches[i:i + n_slots], n_slots)
+                     for i in range(0, len(batches), n_slots)]
+        else:
+            units = batches
         sums = np.zeros(4)  # loss, graphs, abs_err, sq_err
         logvar_sum = 0.0
         n_el = 0.0
         # double-buffered host→device prefetch: device_put is async, so batch
         # i+1 streams in while batch i computes (host↔device bandwidth is a
-        # first-class cost on tunneled runtimes — see PERF.md)
+        # first-class cost on tunneled runtimes — see PERF.md). On the mesh,
+        # device_put targets the aligned shardings directly so sub-batches
+        # land on their owning devices without a replicate-then-reshard hop.
         with trace_ctx:
-            # full K-batch chunks run as ONE lax.scan program (no per-step
+            # full K-unit chunks run as ONE lax.scan program (no per-step
             # dispatch or metric readback); the remainder runs per-step.
             # Exact optimizer semantics either way — no padded steps.
-            n_scan = (len(batches) // scan_k) * scan_k if multi_step else 0
-            chunks = ([batches[i:i + scan_k] for i in range(0, n_scan, scan_k)]
+            n_scan = (len(units) // scan_k) * scan_k if multi_step else 0
+            chunks = ([units[i:i + scan_k] for i in range(0, n_scan, scan_k)]
                       if n_scan else [])
-            pending_chunk = (jax.device_put(stack_batches(chunks[0]))
+            pending_chunk = (put_chunk(stack_batches(chunks[0]))
                              if chunks else None)
             for ci, chunk in enumerate(chunks):
                 stacked = pending_chunk
                 if ci + 1 < len(chunks):
-                    pending_chunk = jax.device_put(stack_batches(chunks[ci + 1]))
+                    pending_chunk = put_chunk(stack_batches(chunks[ci + 1]))
                 key, chunk_key = jax.random.split(key)
                 params, opt_state, ms = multi_step(
                     params, opt_state, smask, stacked, chunk_key,
                     lr_mean, lr_sigma)
-                for b in chunk:
-                    meter.count_batch(b)
                 sums += np.array([float(ms.loss_sum.sum()),
                                   float(ms.n_graphs.sum()),
                                   float(ms.abs_err_sum.sum()),
                                   float(ms.sq_err_sum.sum())])
                 logvar_sum += float(ms.logvar_sum.sum())
                 n_el += float(ms.n_elements.sum())
-            rest = batches[n_scan:]
-            pending = jax.device_put(rest[0]) if rest else None
+            rest = units[n_scan:]
+            pending = put_unit(rest[0]) if rest else None
             for i, b in enumerate(rest):
                 cur = pending
                 if i + 1 < len(rest):
-                    pending = jax.device_put(rest[i + 1])
+                    pending = put_unit(rest[i + 1])
                 key, step_key = jax.random.split(key)
                 params, opt_state, m = step(params, opt_state, smask, cur,
                                             step_key, lr_mean, lr_sigma)
-                meter.count_batch(b)
                 sums += np.array([float(m.loss_sum), float(m.n_graphs),
                                   float(m.abs_err_sum), float(m.sq_err_sum)])
                 logvar_sum += float(m.logvar_sum)
@@ -316,7 +394,8 @@ def train_member(
         train_logvar = logvar_sum / max(n_el, 1.0)
 
         if val_batches:
-            mean_z, sigma_z, y_val, _ = collect_predictions(forward, params, val_batches)
+            mean_z, sigma_z, y_val, _ = collect_predictions(
+                forward, host_params(params), val_batches)
             vm = eval_metrics(mean_z, sigma_z, y_val, transformer)
         else:
             vm = {"nll": train_loss, "mae": train_mae, "rmse": train_rmse,
@@ -373,7 +452,7 @@ def train_member(
                 snap_ids = sorted({int(g) for g in effective})
                 snap = epoch_batches(store, snap_ids, budget, shuffle=False)
                 weights_by_index = compute_knn_weights(
-                    model_cfg, params, snap, store,
+                    model_cfg, host_params(params), snap, store,
                     k=cfg.knn_k, eps=cfg.knn_eps, alpha=cfg.knn_alpha,
                     beta=cfg.knn_beta,
                     clip_min=cfg.knn_weight_min if cfg.knn_weight_min > 0 else None,
