@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--member-parallel",
                    choices=["sequential", "vmap", "shard"],
                    default="sequential")
+    p.add_argument("--giant-graphs", choices=["error", "boundary"],
+                   default="error",
+                   help="'boundary' sizes batch arenas to typical statistics "
+                        "and trains/predicts graphs exceeding them via the "
+                        "boundary-exchange edge partition over --edge-shards "
+                        "ranks (default: such graphs balloon the budget or "
+                        "error)")
     p.add_argument("--data-shards", type=int, default=1,
                    help="Data-parallel device slots per member: each "
                         "optimizer step consumes data-shards × edge-shards "
@@ -199,6 +206,7 @@ def config_from_args(args) -> TrainConfig:
         member_parallel=args.member_parallel,
         member_isolation=args.member_isolation,
         data_shards=args.data_shards, edge_shards=args.edge_shards,
+        giant_graphs=args.giant_graphs,
         batch_quantile=args.batch_quantile,
         batch_slack=args.batch_slack, scan_steps=args.scan_steps,
         verbose=not args.quiet)

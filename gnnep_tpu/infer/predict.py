@@ -70,11 +70,35 @@ class Ensemble:
 
     def predict(self, store: GraphStore, indices: Sequence[int],
                 batch_size: int = 32,
-                min_logvar_floor: float = MIN_LOGVAR_FLOOR) -> List[Dict[str, Any]]:
-        """Mixture predictions for `indices` of an already-standardized store."""
+                min_logvar_floor: float = MIN_LOGVAR_FLOOR,
+                giant_shards: int = 0) -> List[Dict[str, Any]]:
+        """Mixture predictions for `indices` of an already-standardized store.
+
+        `giant_shards > 0` routes graphs exceeding the typical-statistics
+        batch budget through the boundary-exchange partition over that many
+        edge ranks (`parallel.giant`) instead of letting one outlier balloon
+        every batch's arenas — the inference half of the trainer's
+        `--giant-graphs boundary` path. Giant rows are appended after the
+        packed rows (every member uses the same order)."""
         idx = list(int(i) for i in indices)
-        budget = BatchBudget.plan(store, idx, min(batch_size, len(idx)))
-        batches = epoch_batches(store, idx, budget, shuffle=False)
+        budget = BatchBudget.plan(store, idx, min(batch_size, len(idx)),
+                                  cover_all=giant_shards <= 0)
+        gset = None
+        giant_ids: List[int] = []
+        if giant_shards > 0:
+            from ..parallel.giant import build_giant_set, find_giants
+
+            giant_ids = find_giants(store, idx, budget)
+            if giant_ids:
+                normal = [g for g in idx if g not in set(giant_ids)]
+                if normal:
+                    budget = BatchBudget.plan(store, normal,
+                                              min(batch_size, len(normal)),
+                                              cover_all=True)
+                idx = normal
+                gset = build_giant_set(store, giant_ids, giant_shards)
+        batches = epoch_batches(store, idx, budget, shuffle=False) \
+            if idx else []
         member_means, member_vars = [], []
         order = None
         ys = None
@@ -82,20 +106,52 @@ class Ensemble:
         from ..parallel.train_step import collect_predictions_auto
         from ..train.loop import oneshot_config, reconcile_win64
 
+        if gset is not None:
+            import jax
+
+            from ..parallel.mesh import make_mesh
+            from ..parallel.train_step import cached_boundary_forward
+
+            if giant_shards > len(jax.devices()):
+                raise ValueError(
+                    f"giant_shards={giant_shards} exceeds the "
+                    f"{len(jax.devices())} visible devices")
+            bmesh = make_mesh(1, giant_shards,
+                              devices=jax.devices()[:giant_shards])
+
         checked = False
         for params, cfg in zip(self.members, self.cfgs):
             # checkpoint win64 bounds are training-time; these batches were
             # packed to the fresh inference budget (see reconcile_win64)
             cfg = reconcile_win64(cfg, budget)
-            if not checked:
+            if not checked and batches:
                 verify_win64(batches, cfg)
                 checked = True
-            # multi-device when available (graph-aligned forward fan-out)
-            mean_z, sigma_z, y, sample_idx = collect_predictions_auto(
-                oneshot_config(cfg), min_logvar_floor, params, batches)
+            rows_m, rows_s, rows_y, rows_i = [], [], [], []
+            if batches:
+                # multi-device when available (graph-aligned forward fan-out)
+                mean_z, sigma_z, y, sample_idx = collect_predictions_auto(
+                    oneshot_config(cfg), min_logvar_floor, params, batches)
+                rows_m.append(mean_z)
+                rows_s.append(sigma_z)
+                rows_y.append(y)
+                rows_i.append(sample_idx)
+            if gset is not None:
+                from ..parallel.giant import collect_giant_predictions
+
+                gfwd = cached_boundary_forward(bmesh, cfg,
+                                               min_logvar_floor, gset.plan)
+                gm, gs, gy, gi = collect_giant_predictions(
+                    gfwd, gset, giant_ids, params, 1)
+                rows_m.append(gm)
+                rows_s.append(gs)
+                rows_y.append(gy)
+                rows_i.append(gi)
+            mean_z = np.concatenate(rows_m)
+            sigma_z = np.concatenate(rows_s)
             member_means.append(mean_z)
             member_vars.append(sigma_z ** 2)
-            order, ys = sample_idx, y
+            order, ys = np.concatenate(rows_i), np.concatenate(rows_y)
         mean_z, var_z = ensemble_mixture(np.stack(member_means), np.stack(member_vars))
         std_z = np.sqrt(var_z)
 

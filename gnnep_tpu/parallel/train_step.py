@@ -850,6 +850,15 @@ def make_boundary_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     return multi, init_opt
 
 
+@functools.lru_cache(maxsize=64)
+def cached_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan):
+    """Memoized `make_boundary_forward` (COO path): ensemble loops build one
+    jitted program per distinct (mesh, config, plan), not per member — a
+    fresh jit wrapper per member recompiles the identical program (~minutes
+    each through a remote compile service; see PERF.md round 2)."""
+    return make_boundary_forward(mesh, cfg, floor, plan)
+
+
 def make_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan,
                           meta=None):
     """Jitted eval forward on the boundary partition → [D, G, T] each.

@@ -105,6 +105,16 @@ class TrainConfig:
     # checkpointing, KNN weighting, and calibration. 1 × 1 = single-device.
     data_shards: int = 1
     edge_shards: int = 1
+    # giant-graph routing: 'error' keeps the budget's cover-all guarantee
+    # (one outlier graph balloons every batch's arenas; a graph failing a
+    # fresh budget raises in the packer). 'boundary' sizes the budget to
+    # TYPICAL batch statistics and routes graphs that do not fit through
+    # the boundary-exchange edge partition (parallel/giant.py): each giant
+    # trains as its own boundary-partitioned step over edge_shards ranks
+    # and its fold-val/calib/test predictions come from the boundary
+    # forward. SURVEY.md §2g — the CP-analogue exists precisely for graphs
+    # the packer cannot hold.
+    giant_graphs: str = "error"
     member_isolation: str = "none"       # 'none' | 'process': train each
                                          # member in a subprocess. Mitigates
                                          # the tunneled-TPU-client host-

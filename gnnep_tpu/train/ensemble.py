@@ -50,6 +50,10 @@ class TrainingSetup:
     folds: List[List[int]]
     bin_edges: np.ndarray
     bin_weights: np.ndarray
+    # giant-graph routing (cfg.giant_graphs='boundary'): graphs exceeding
+    # the typical-statistics budget, boundary-partitioned under one shared
+    # plan (parallel/giant.py); None when disabled or none exist
+    giant: Optional["GiantSet"] = None
 
 
 def prepare(cfg: TrainConfig, store: Optional[GraphStore] = None) -> TrainingSetup:
@@ -72,10 +76,54 @@ def prepare(cfg: TrainConfig, store: Optional[GraphStore] = None) -> TrainingSet
     bin_edges, bin_weights, _, _ = compute_bin_statistics(
         train_targets, cfg.freq_bins, cfg.freq_gamma, eps=cfg.relative_eps)
 
+    giant = None
+    route_giants = getattr(cfg, "giant_graphs", "error") == "boundary"
     budget = BatchBudget.plan(std_store, range(std_store.n_graphs), cfg.batch_size,
-                              slack=cfg.batch_slack, quantile=cfg.batch_quantile)
+                              slack=cfg.batch_slack, quantile=cfg.batch_quantile,
+                              cover_all=not route_giants)
+    if route_giants:
+        from ..parallel.giant import build_giant_set, find_giants
+
+        # fixpoint classification: giants inflate the mean-based capacity
+        # of the typical-stats budget, hiding SMALLER giants behind a
+        # bigger one — re-plan over the surviving population until the
+        # giant set stabilizes (strictly shrinking population ⇒ terminates)
+        normal = list(range(std_store.n_graphs))
+        g_idx: List[int] = []
+        while True:
+            grown = find_giants(std_store, normal, budget)
+            if not grown:
+                break
+            g_idx.extend(grown)
+            normal = sorted(set(normal) - set(grown))
+            if not normal:
+                break
+            budget = BatchBudget.plan(
+                std_store, normal, cfg.batch_size,
+                slack=cfg.batch_slack, quantile=cfg.batch_quantile,
+                cover_all=False)
+        if g_idx:
+            g_idx = sorted(g_idx)
+            if normal:
+                # final plan over the normal population with the cover-all
+                # guarantee back on (every NON-giant fits) and giant
+                # statistics no longer inflating table widths/win64 bounds
+                budget = BatchBudget.plan(
+                    std_store, normal, cfg.batch_size,
+                    slack=cfg.batch_slack, quantile=cfg.batch_quantile,
+                    cover_all=True)
+            giant = build_giant_set(std_store, g_idx,
+                                    n_shards=max(int(cfg.edge_shards), 1))
+            if cfg.verbose:
+                print(f"[Giant] {len(g_idx)} graph(s) exceed the batch "
+                      f"budget; routed via boundary partition over "
+                      f"{giant.n_shards} edge shard(s) "
+                      f"(plan: rn={giant.plan.rn} e_loc={giant.plan.e_loc} "
+                      f"l_loc={giant.plan.l_loc} bn={giant.plan.bn} "
+                      f"bl={giant.plan.bl})")
     return TrainingSetup(std_store, scaler, transformer, budget, train_idx,
-                         val_idx, calib_idx, test_idx, folds, bin_edges, bin_weights)
+                         val_idx, calib_idx, test_idx, folds, bin_edges,
+                         bin_weights, giant=giant)
 
 
 def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] = None,
@@ -100,18 +148,48 @@ def model_config(cfg: TrainConfig, store: GraphStore, *, hidden: Optional[int] =
 
 
 def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
-                     batches, floor: float):
+                     batches, floor: float, giant=None,
+                     giant_ids: Optional[List[int]] = None):
     """Member forwards → ([M,N,T] means, [M,N,T] vars, [N,T] targets).
-    Fans out over all visible devices via the graph-aligned forward."""
+    Fans out over all visible devices via the graph-aligned forward.
+
+    With `giant`/`giant_ids`, boundary-forward predictions for the giant
+    graphs are appended after the packed rows (same order for every member,
+    so mixture/conformal row alignment holds)."""
     from ..parallel.train_step import collect_predictions_auto
+
+    if giant_ids:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.train_step import cached_boundary_forward
+
+        bmesh = make_mesh(1, giant.n_shards,
+                          devices=jax.devices()[:giant.n_shards])
 
     means, variances, targets = [], [], None
     for params, mc in zip(members, model_cfgs):
-        mean_z, sigma_z, y, _ = collect_predictions_auto(mc, floor, params,
-                                                         batches)
+        rows_m, rows_s, rows_y = [], [], []
+        if batches:
+            mean_z, sigma_z, y, _ = collect_predictions_auto(mc, floor,
+                                                             params, batches)
+            rows_m.append(mean_z)
+            rows_s.append(sigma_z)
+            rows_y.append(y)
+        if giant_ids:
+            from ..parallel.giant import collect_giant_predictions
+
+            gm, gs, gy, _ = collect_giant_predictions(
+                cached_boundary_forward(bmesh, mc, floor, giant.plan),
+                giant, giant_ids, params, 1)
+            rows_m.append(gm)
+            rows_s.append(gs)
+            rows_y.append(gy)
+        mean_z = np.concatenate(rows_m)
+        sigma_z = np.concatenate(rows_s)
         means.append(mean_z)
         variances.append(sigma_z ** 2)
-        targets = y
+        targets = np.concatenate(rows_y)
     return np.stack(means), np.stack(variances), targets
 
 
@@ -281,7 +359,8 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
             else:
                 params, _ = train_member(s, member_cfg, mc, setup.transformer,
                                          setup.budget, seed_i, train_i,
-                                         holdout, freq_weights=freq_weights)
+                                         holdout, freq_weights=freq_weights,
+                                         giant=setup.giant)
                 save_member(member_path, params, mc)
             members.append(params)
             model_cfgs.append(mc)
@@ -298,9 +377,14 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
     # --- conformal calibration on the dedicated calib split ----------------
     if not setup.calib_idx:
         raise ValueError("Calibration split is empty; set calib_frac > 0 and rerun.")
-    calib_batches = epoch_batches(s, setup.calib_idx, setup.budget, shuffle=False)
+    calib_norm, calib_giant = (setup.giant.split(setup.calib_idx)
+                               if setup.giant else (setup.calib_idx, []))
+    calib_batches = (epoch_batches(s, calib_norm, setup.budget, shuffle=False)
+                     if calib_norm else [])
     m_means, m_vars, calib_y = collect_ensemble(members, model_cfgs, calib_batches,
-                                                cfg.min_logvar_floor)
+                                                cfg.min_logvar_floor,
+                                                giant=setup.giant,
+                                                giant_ids=calib_giant)
     mean_z, var_z = ensemble_mixture(m_means, m_vars)
     std_z = np.sqrt(var_z)
     target_z = setup.transformer.transform(calib_y)
@@ -317,9 +401,14 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
     # --- final test report -------------------------------------------------
     summary: Dict = {"members": len(members), "train_time_s": time.time() - t_start}
     if setup.test_idx:
-        test_batches = epoch_batches(s, setup.test_idx, setup.budget, shuffle=False)
+        test_norm, test_giant = (setup.giant.split(setup.test_idx)
+                                 if setup.giant else (setup.test_idx, []))
+        test_batches = (epoch_batches(s, test_norm, setup.budget,
+                                      shuffle=False) if test_norm else [])
         tm, tv, test_y = collect_ensemble(members, model_cfgs, test_batches,
-                                          cfg.min_logvar_floor)
+                                          cfg.min_logvar_floor,
+                                          giant=setup.giant,
+                                          giant_ids=test_giant)
         mean_zt, var_zt = ensemble_mixture(tm, tv)
         mean_zt = mean_zt * a + b
         std_zt = np.sqrt(var_zt)
@@ -365,6 +454,8 @@ def _save_embeddings(save_dir: Path, members, model_cfgs, store, setup) -> None:
     splits = {"train": setup.train_idx, "val": setup.val_idx,
               "calib": setup.calib_idx, "test": setup.test_idx}
     for name, idx in splits.items():
+        if setup.giant is not None:   # giants: no packed embed pass
+            idx = setup.giant.split(idx)[0]
         if not idx:
             continue
         batches = epoch_batches(store, idx, setup.budget, shuffle=False)

@@ -111,12 +111,19 @@ def train_member(
     train_indices: List[int],
     val_indices: List[int],
     freq_weights: Optional[np.ndarray] = None,
+    giant=None,
 ) -> Tuple[Dict, Dict[str, float]]:
     """Train one member; returns (best_params_on_host, best_val_metrics).
 
     `freq_weights`: optional [n_graphs] per-sample inverse-frequency loss
     weights (active when --freq-gamma > 0; `train.bins.freq_sample_weights`).
-    Composed multiplicatively with KNN density weights when both are on."""
+    Composed multiplicatively with KNN density weights when both are on.
+
+    `giant`: optional `parallel.giant.GiantSet` — train/val graphs in it
+    step through the boundary-exchange partition (its own jitted program
+    over the mesh's edge axis, sharing this member's params and optimizer
+    state); the rest pack normally. Giant steps run after the packed units
+    each epoch, in the epoch's shuffled draw order."""
     hyper = TrainHyper(weight_decay=cfg.weight_decay, log_sigma_l2=cfg.log_sigma_l2,
                        feature_jitter_std=cfg.feature_jitter_std,
                        min_logvar_floor=cfg.min_logvar_floor,
@@ -202,6 +209,50 @@ def train_member(
         mix with device-0 staged batches in a plain jit."""
         return jax.device_get(p) if mesh is not None else p
 
+    # --- giant-graph boundary path (cfg.giant_graphs='boundary') ---------
+    # graphs exceeding the batch budget step through the boundary-exchange
+    # partition: one shared plan → ONE extra jitted program regardless of
+    # how many giants exist; params/optimizer state are shared with the
+    # packed-batch steps (identical per-leaf Adam tail)
+    g_step = g_fwd = None
+    g_n_data = 1
+    if giant is not None:
+        g_train_all = giant.split(train_indices)[1]
+        val_norm, g_val = giant.split(list(val_indices or []))
+    else:
+        g_train_all, g_val = [], []
+        val_norm = list(val_indices or [])
+    if g_train_all or g_val:
+        if hyper.flat_opt:
+            raise ValueError(
+                "giant_graphs='boundary' does not compose with --flat-opt: "
+                "the boundary step runs the per-leaf optimizer tail and its "
+                "state layout must match the packed-batch step's.")
+        if mesh is not None and n_edge != giant.n_shards:
+            raise ValueError(
+                f"GiantSet was planned for {giant.n_shards} edge shards but "
+                f"the training mesh has edge axis {n_edge}; re-run prepare "
+                "with matching --edge-shards.")
+        from ..parallel.mesh import make_mesh
+        from ..parallel.train_step import (cached_boundary_forward,
+                                           make_boundary_train_step)
+
+        if mesh is not None:
+            bmesh = mesh
+        else:
+            if giant.n_shards > len(jax.devices()):
+                raise ValueError(
+                    f"giant boundary partition needs {giant.n_shards} "
+                    f"devices, have {len(jax.devices())}")
+            bmesh = make_mesh(1, giant.n_shards,
+                              devices=jax.devices()[:giant.n_shards])
+        g_n_data = int(bmesh.devices.shape[0])
+        g_step, _ = make_boundary_train_step(
+            bmesh, model_cfg, hyper, transformer.means, transformer.stds,
+            giant.plan, full_metrics=True)
+        g_fwd = cached_boundary_forward(bmesh, model_cfg,
+                                        cfg.min_logvar_floor, giant.plan)
+
     key = prng_key(member_seed, getattr(cfg, "prng_impl", None))
     key, init_key = jax.random.split(key)
     params = init_alignn(init_key, model_cfg)
@@ -226,8 +277,8 @@ def train_member(
     mean_sched = cosine_lr(cfg.epochs, cfg.warmup_epochs, base_lr, cfg.lr_min)
     sigma_sched = cosine_lr(cfg.epochs, cfg.sigma_warmup_epochs, sigma_base, cfg.lr_min)
 
-    val_batches = epoch_batches(store, val_indices, budget, shuffle=False) \
-        if val_indices else []
+    val_batches = epoch_batches(store, val_norm, budget, shuffle=False) \
+        if val_norm else []
     selector = BestSelector(cfg)
     best_params = None
     patience = max(cfg.early_stop, 0)
@@ -296,10 +347,19 @@ def train_member(
     pipeline = ThreadPoolExecutor(max_workers=1)
 
     def submit_pack():
+        """(pack_future, epoch_giant_ids): the permutation is drawn on the
+        MAIN thread (rng stream identical to the synchronous loop); giants
+        ride the same draw — their step order shuffles per epoch without
+        consuming extra rng."""
         order = np.asarray(effective, dtype=np.int64)
         order = order[shuffle_rng.permutation(order.size)]
-        return pipeline.submit(epoch_batches, store, order, budget,
-                               shuffle=False, workers=pack_workers)
+        if giant is not None:
+            norm_order, giant_order = giant.split(order.tolist())
+        else:
+            norm_order, giant_order = order, []
+        fut = pipeline.submit(epoch_batches, store, norm_order, budget,
+                              shuffle=False, workers=pack_workers)
+        return fut, giant_order
 
     def graft_weights(batches, weight_arr):
         if weight_arr is None:
@@ -311,7 +371,7 @@ def train_member(
             out.append(b._replace(weight=w.astype(np.float32)))
         return out
 
-    next_batches = submit_pack()
+    next_batches, next_giants = submit_pack()
     for epoch in range(start_epoch, cfg.epochs + 1):
         trace_ctx = maybe_trace(cfg.profile_dir if epoch == start_epoch
                                 and cfg.profile_dir else None)
@@ -330,8 +390,9 @@ def train_member(
                     weight_arr[gi] *= w
 
         batches = graft_weights(next_batches.result(), weight_arr)
+        giant_epoch = list(next_giants)
         if epoch < cfg.epochs:
-            next_batches = submit_pack()
+            next_batches, next_giants = submit_pack()
         for b in batches:
             meter.count_batch(b)
         # a training UNIT is one optimizer step's operand: a single batch on
@@ -388,14 +449,45 @@ def train_member(
                                   float(m.abs_err_sum), float(m.sq_err_sum)])
                 logvar_sum += float(m.logvar_sum)
                 n_el += float(m.n_elements)
+            # giant graphs: one boundary-partitioned step per group of
+            # g_n_data giants (bootstrap duplicates step again)
+            if giant_epoch and g_step is not None:
+                from ..parallel.train_step import stack_boundary_for_mesh
+
+                for group in giant.groups(giant_epoch, g_n_data, weight_arr):
+                    stacked = stack_boundary_for_mesh(group, g_n_data)
+                    key, g_key = jax.random.split(key)
+                    params, opt_state, m = g_step(params, opt_state, stacked,
+                                                  g_key, lr_mean, lr_sigma,
+                                                  smask)
+                    for bb in group:
+                        meter.edges += float(np.asarray(bb.a_mask).sum()
+                                             + np.asarray(bb.l_mask).sum())
+                        meter.graphs += float(
+                            np.asarray(bb.graph_mask).sum())
+                    sums += np.array([float(m.loss_sum), float(m.n_graphs),
+                                      float(m.abs_err_sum),
+                                      float(m.sq_err_sum)])
+                    logvar_sum += float(m.logvar_sum)
+                    n_el += float(m.n_elements)
         train_loss = sums[0] / max(sums[1], 1.0)
         train_mae = sums[2] / max(sums[1], 1.0)
         train_rmse = math.sqrt(sums[3] / max(n_el, 1.0))
         train_logvar = logvar_sum / max(n_el, 1.0)
 
-        if val_batches:
-            mean_z, sigma_z, y_val, _ = collect_predictions(
-                forward, host_params(params), val_batches)
+        if val_batches or g_val:
+            hp = host_params(params)
+            parts = []
+            if val_batches:
+                parts.append(collect_predictions(forward, hp,
+                                                 val_batches)[:3])
+            if g_val:
+                from ..parallel.giant import collect_giant_predictions
+
+                parts.append(collect_giant_predictions(
+                    g_fwd, giant, g_val, hp, g_n_data)[:3])
+            mean_z, sigma_z, y_val = (np.concatenate([p[i] for p in parts])
+                                      for i in range(3))
             vm = eval_metrics(mean_z, sigma_z, y_val, transformer)
         else:
             vm = {"nll": train_loss, "mae": train_mae, "rmse": train_rmse,
@@ -449,7 +541,11 @@ def train_member(
                 # distance 0 of each other, inflating KNN density (hence
                 # down-weighting) for multiply-drawn samples. The reference
                 # snapshots the train set once (train.py:930-1010).
-                snap_ids = sorted({int(g) for g in effective})
+                # giants are excluded from the KNN snapshot (their
+                # embeddings would need a boundary embed pass); their loss
+                # weights stay at the neutral 1.0
+                snap_ids = sorted({int(g) for g in effective
+                                   if giant is None or g not in giant})
                 snap = epoch_batches(store, snap_ids, budget, shuffle=False)
                 weights_by_index = compute_knn_weights(
                     model_cfg, host_params(params), snap, store,
@@ -462,7 +558,7 @@ def train_member(
                 # coverage guard before activation (train.py:1874-1903):
                 # every effective train id must have a weight — a silent
                 # default-to-1.0 would skew the loss unnoticed
-                expected = set(int(g) for g in effective)
+                expected = set(snap_ids)
                 missing = sorted(expected - set(weights_by_index.keys()))
                 if missing:
                     print(f"[Weights] Coverage failure: KNN weights missing "
@@ -475,7 +571,7 @@ def train_member(
                     miss = 0
                     max_b = int(getattr(cfg, "knn_coverage_max_batches", 0))
                     for b_idx, b in enumerate(
-                            epoch_batches(store, effective, budget,
+                            epoch_batches(store, snap_ids, budget,
                                           shuffle=False)):
                         ids = np.asarray(b.sample_index)
                         real = ids[ids >= 0]

@@ -40,7 +40,7 @@ def main(cfg_path: str, index: str) -> None:
               f"fold_val={len(holdout)}")
     params, _ = train_member(setup.store, member_cfg, mc, setup.transformer,
                              setup.budget, seed_i, train_i, holdout,
-                             freq_weights=freq_weights)
+                             freq_weights=freq_weights, giant=setup.giant)
     save_member(Path(cfg.save_dir) / f"model_{i}.npz", params, mc)
 
 
