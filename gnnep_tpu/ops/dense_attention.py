@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .graph_attention import TransformerConvParams
+from .graph_attention import TransformerConvParams, beta_blend
 from .segment import gather_rows
 
 _NEG = -1e30
@@ -199,9 +199,7 @@ def transformer_conv_table(
                 q, kv[:, :hidden] + e, kv[:, hidden:] + e, row_ptr, dst,
                 heads=heads, max_in_degree=in_edges.shape[1], scale_t=scale_t,
                 mask_e=edge_mask, win64=win64).astype(x.dtype)
-        beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
-                              @ params.w_beta)
-        return beta * r + (1.0 - beta) * msg
+        return beta_blend(params.w_beta, r, msg)
 
     k_j = kv[:, :hidden] + e                           # [E, H]
     v_j = kv[:, hidden:] + e
@@ -263,6 +261,4 @@ def transformer_conv_table(
         v_t = v_t.reshape(n, in_edges.shape[1], heads, ch)
         msg = jnp.einsum("ndh,ndhc->nhc", alpha, v_t).reshape(n, hidden)
 
-    beta = jax.nn.sigmoid(jnp.concatenate([r, msg, r - msg], axis=-1)
-                          @ params.w_beta)
-    return beta * r + (1.0 - beta) * msg
+    return beta_blend(params.w_beta, r, msg)

@@ -47,6 +47,22 @@ class TransformerConvParams(NamedTuple):
     w_beta: jnp.ndarray   # [3H, 1]   (bias-free)
 
 
+def beta_blend(w_beta: jnp.ndarray, r: jnp.ndarray,
+               msg: jnp.ndarray) -> jnp.ndarray:
+    """β-gated skip blend shared by every conv formulation.
+
+    The reference formulation `sigmoid([r ‖ msg ‖ r−msg] @ w_beta)`
+    (PyG TransformerConv beta=True) is evaluated algebraically as
+    `sigmoid(r @ (w₁+w₃) + msg @ (w₂−w₃))` — identical math modulo fp
+    reassociation, but no [·, 3H] concat tensor ever materializes and the
+    3H-wide GEMV becomes two H-wide ones (the concat is a pure layout
+    artifact of the torch module's single Linear)."""
+    h = r.shape[-1]
+    w1, w2, w3 = w_beta[:h], w_beta[h:2 * h], w_beta[2 * h:]
+    beta = jax.nn.sigmoid(r @ (w1 + w3) + msg @ (w2 - w3))
+    return beta * r + (1.0 - beta) * msg
+
+
 def _torch_linear_init(rng, fan_in: int, fan_out: int, with_bias: bool = True):
     """torch.nn.Linear default init: U(±1/√fan_in) for weight and bias."""
     bound = 1.0 / math.sqrt(fan_in)
@@ -105,6 +121,4 @@ def transformer_conv(
     msg = segment_sum(alpha[..., None] * v_j, dst, n).reshape(n, hidden)
 
     r = x @ params.w_skip + params.b_skip
-    gate_in = jnp.concatenate([r, msg, r - msg], axis=-1)
-    beta = jax.nn.sigmoid(gate_in @ params.w_beta)               # [N, 1]
-    return beta * r + (1.0 - beta) * msg
+    return beta_blend(params.w_beta, r, msg)

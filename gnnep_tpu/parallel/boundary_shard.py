@@ -50,7 +50,7 @@ import numpy as np
 
 from ..data.featurize import N_SG
 from ..models.alignn import Params, _dropout, _layer_norm, _mlp
-from ..ops.graph_attention import TransformerConvParams
+from ..ops.graph_attention import TransformerConvParams, beta_blend
 from ..ops.segment import gather_rows, segment_softmax, segment_sum
 
 
@@ -490,9 +490,7 @@ def boundary_conv(
                       dst_loc, arena).reshape(arena, hidden)[:r]
 
     skip = x_own @ params.w_skip + params.b_skip
-    beta = jax.nn.sigmoid(
-        jnp.concatenate([skip, msg, skip - msg], axis=-1) @ params.w_beta)
-    return beta * skip + (1.0 - beta) * msg
+    return beta_blend(params.w_beta, skip, msg)
 
 
 def boundary_conv_fused(

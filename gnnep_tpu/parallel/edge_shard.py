@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..data.featurize import N_SG
 from ..models.alignn import Params, _dropout, _layer_norm, _mlp
-from ..ops.graph_attention import TransformerConvParams
+from ..ops.graph_attention import TransformerConvParams, beta_blend
 from ..ops.segment import gather_rows, segment_mean, segment_sum
 
 _NEG = -1e30
@@ -207,9 +207,7 @@ def edge_sharded_conv(
             continue
         msg = combine(r0, r1)
         rr = r_full[r0:r1]
-        beta = jax.nn.sigmoid(jnp.concatenate([rr, msg, rr - msg], axis=-1)
-                              @ params.w_beta)
-        out = beta * rr + (1.0 - beta) * msg
+        out = beta_blend(params.w_beta, rr, msg)
         outs.append(row_post(out, r0, r1) if row_post is not None else out)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
@@ -378,9 +376,7 @@ def _windowed_conv(params: TransformerConvParams, x, src, dst, edge_attr, *,
             continue
         msg = combine(r0, r1).astype(x.dtype)
         rr = r_full[r0:r1]
-        beta = jax.nn.sigmoid(jnp.concatenate([rr, msg, rr - msg], axis=-1)
-                              @ params.w_beta)
-        out = beta * rr + (1.0 - beta) * msg
+        out = beta_blend(params.w_beta, rr, msg)
         outs.append(row_post(out, r0, r1) if row_post is not None else out)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

@@ -84,6 +84,10 @@ def main():
     ap.add_argument("--cpu-smoke", action="store_true")
     ap.add_argument("--skip-fetch", action="store_true",
                     help="reuse an existing --data-dir")
+    ap.add_argument("--member-dropouts", default=None,
+                    help="comma list, one per member (diversity A/B)")
+    ap.add_argument("--member-lrs", default=None,
+                    help="comma list, one per member (diversity A/B)")
     args = ap.parse_args()
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -128,7 +132,13 @@ def main():
                           # transfer mirrors (PERF.md round 4) — per-member
                           # subprocesses cap it, and finished members are
                           # skipped if the run is re-invoked after a crash
-                          member_isolation="process", resume=True)
+                          member_isolation="process", resume=True,
+                          member_dropouts=[float(x) for x in
+                                           args.member_dropouts.split(",")]
+                          if args.member_dropouts else None,
+                          member_lrs=[float(x) for x in
+                                      args.member_lrs.split(",")]
+                          if args.member_lrs else None)
 
     buf = io.StringIO()
 
