@@ -147,10 +147,10 @@ class TestWeightedLoss:
         real = ens.train_member
 
         def spy(store, cfg, mc, transformer, budget, seed, tr, vl,
-                freq_weights=None):
+                freq_weights=None, **kw):
             captured["w"] = freq_weights
             return real(store, cfg, mc, transformer, budget, seed, tr, vl,
-                        freq_weights=freq_weights)
+                        freq_weights=freq_weights, **kw)
 
         monkeypatch.setattr(ens, "train_member", spy)
         store = make_store(8, seed=3)
