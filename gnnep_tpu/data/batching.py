@@ -84,6 +84,16 @@ class GraphBatch(NamedTuple):
     # graph rows and missing targets are 0 — consumers must use THIS, never
     # a magic y value (a real material with K=G=1.0 GPa is a valid sample)
     y_mask: np.ndarray          # [G, T] f32
+    # span-formulation metadata (optional — None on hand-built batches):
+    # per-target FIRST possible source row. Graphs are packed contiguously,
+    # so every edge into target t sources from t's own graph's row range;
+    # `node_span_lo[t]` (atom conv) / `bond_span_lo[t]` (LG conv) is that
+    # range's first real row, monotone over the arena (padding rows carry
+    # the following real row's value). The span kernels DMA one contiguous
+    # node-table span per target block instead of a gathered edge-space kv
+    # arena (ops/pallas/csr_attention.py "span formulation").
+    node_span_lo: Optional[np.ndarray] = None   # [Np] i32
+    bond_span_lo: Optional[np.ndarray] = None   # [Ep] i32
 
     @property
     def capacity(self):
@@ -395,6 +405,80 @@ def measure_win64(dst_sorted: np.ndarray, n_rows: int, group: int = 64) -> int:
     return int(np.max(rp[end_idx] - starts)) if n_rows else 0
 
 
+def _span_bounds(gid: np.ndarray, real: np.ndarray, n_graphs: int):
+    """Per-row [lo, hi) bounds of the rows' graphs' real-row ranges.
+
+    `gid` [R] per-row graph ids (padding rows excluded via `real`); returns
+    (span_lo [R] i64 monotone — padding rows backward-filled with the next
+    real row's value, tail → R-1 — and span_hi [R] i64, 0 on padding rows).
+    """
+    r = gid.shape[0]
+    idx = np.arange(r, dtype=np.int64)
+    first = np.full(n_graphs, r - 1, np.int64)
+    last = np.full(n_graphs, -1, np.int64)
+    g_real = gid[real].astype(np.int64)
+    np.minimum.at(first, g_real, idx[real])
+    np.maximum.at(last, g_real, idx[real])
+    big = np.int64(1 << 60)
+    lo = np.where(real, first[np.clip(gid, 0, n_graphs - 1)], big)
+    # monotone backward-fill of padding rows (block span starts index the
+    # block's FIRST row, which must lower-bound every row in the block)
+    lo = np.minimum.accumulate(lo[::-1])[::-1]
+    lo = np.minimum(lo, r - 1)
+    hi = np.where(real, last[np.clip(gid, 0, n_graphs - 1)] + 1, 0)
+    return lo, hi
+
+
+def compute_span_lo(node_graph: np.ndarray, edge_dst: np.ndarray,
+                    edge_mask: np.ndarray, n_graphs: int):
+    """Span-formulation metadata for a packed batch (see GraphBatch).
+
+    Returns (node_span_lo [Np] i32, bond_span_lo [Ep] i32): per aggregation
+    target, the first arena row that can source an edge into it — its
+    graph's first real row in the node / bond arena respectively. Must be
+    computed AFTER dilution (dilution relocates rows).
+    """
+    np_, ep = node_graph.shape[0], edge_dst.shape[0]
+    real_n = node_graph < n_graphs
+    n_lo, _ = _span_bounds(node_graph.astype(np.int64), real_n, n_graphs)
+    real_b = edge_mask > 0
+    bond_gid = np.where(real_b,
+                        node_graph[np.clip(edge_dst, 0, np_ - 1)], n_graphs)
+    b_lo, _ = _span_bounds(bond_gid.astype(np.int64), real_b, n_graphs)
+    return n_lo.astype(np.int32), b_lo.astype(np.int32)
+
+
+def measure_span64(node_graph: np.ndarray, edge_dst: np.ndarray,
+                   edge_mask: np.ndarray, n_graphs: int, group: int = 64):
+    """Measured static span bounds for the span-formulation kernels.
+
+    For each aligned `group` of aggregation targets, the kernels DMA the
+    node-table rows [align128_down(span_lo[first]), ·+SPAN); this returns
+    the smallest 128-multiple SPAN that covers every group's sources —
+    (node_span64, bond_span64) for the atom / LG conv respectively.
+    """
+    np_, ep = node_graph.shape[0], edge_dst.shape[0]
+    real_n = node_graph < n_graphs
+    real_b = edge_mask > 0
+    bond_gid = np.where(real_b,
+                        node_graph[np.clip(edge_dst, 0, np_ - 1)], n_graphs)
+
+    def bound(gid, real):
+        lo, hi = _span_bounds(gid.astype(np.int64), real, n_graphs)
+        r = gid.shape[0]
+        req = 0
+        for s in range(0, r, group):
+            e = min(s + group, r)
+            if not np.any(real[s:e]):
+                continue
+            g_lo = (int(lo[s]) // 128) * 128
+            g_hi = int(hi[s:e].max())
+            req = max(req, g_hi - g_lo)
+        return ((req + 127) // 128) * 128 if req else 0
+
+    return bound(node_graph, real_n), bound(bond_gid, real_b)
+
+
 def csr_row_ptrs(edge_dst: np.ndarray, lg_dst: np.ndarray, Np: int, Ep: int):
     """Host-side CSR row pointers of both dst-sorted arenas (see GraphBatch)."""
     e_rp = np.searchsorted(edge_dst, np.arange(Np + 1)).astype(np.int32)
@@ -686,6 +770,8 @@ class BatchPacker:
         if (b.lg_src_win64
                 and measure_seg_win64(l_starts, Lp) > b.lg_src_win64):
             raise DilutionOverflow()
+        n_span_lo, b_span_lo = compute_span_lo(node_graph, edge_dst,
+                                               edge_mask, G)
         return GraphBatch(nodes, node_graph, edge_src, edge_dst, edge_attr,
                           edge_mask, lg_src, lg_dst, lg_attr, lg_mask,
                           globals_, sg_num, y, graph_mask, weight, sample_index,
@@ -693,7 +779,7 @@ class BatchPacker:
                           lg_tab, lg_tab_mask, lg_pos,
                           node_ot, node_ot_mask, lg_ot, lg_ot_mask,
                           e_order, e_starts, l_order, l_starts, e_rp, l_rp,
-                          y_mask)
+                          y_mask, n_span_lo, b_span_lo)
 
 
 def build_tables(edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
@@ -774,8 +860,10 @@ def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
          e_order, e_starts, l_order, l_starts, e_rp, l_rp) = build_tables(
             edge_src, edge_dst, edge_mask, lg_src, lg_dst, lg_mask,
             Np, Ep, Lp, da, dl, doa, dol)
+        ng_grown = grow(node_graph, Np, G)
+        nsl, bsl = compute_span_lo(ng_grown, edge_dst, edge_mask, G)
         out.append(GraphBatch(
-            nodes=grow(b.nodes, Np, 0.0), node_graph=grow(node_graph, Np, G),
+            nodes=grow(b.nodes, Np, 0.0), node_graph=ng_grown,
             edge_src=edge_src, edge_dst=edge_dst,
             edge_attr=grow(b.edge_attr, Ep, 0.0), edge_mask=edge_mask,
             lg_src=lg_src, lg_dst=lg_dst, lg_attr=grow(b.lg_attr, Lp, 0.0),
@@ -792,7 +880,8 @@ def equalize_batches(batches: Sequence[GraphBatch]) -> List[GraphBatch]:
             lg_out_edges=lg_ot, lg_out_mask=lg_ot_mask,
             edge_src_order=e_order, edge_src_starts=e_starts,
             lg_src_order=l_order, lg_src_starts=l_starts,
-            edge_row_ptr=e_rp, lg_row_ptr=l_rp))
+            edge_row_ptr=e_rp, lg_row_ptr=l_rp,
+            node_span_lo=nsl, bond_span_lo=bsl))
     return out
 
 

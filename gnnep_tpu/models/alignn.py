@@ -78,6 +78,14 @@ class AlignnConfig:
     attn_fused: bool = True
     attn_eproj: bool = True
     force_fused: bool = False
+    #   attn_span — node-space kv + in-kernel one-hot gather (span
+    #     formulation): no [E, 2H] edge-space kv arena in either pass.
+    #     Requires the pack-time span bounds below (0 = unavailable → the
+    #     eproj path runs instead). Bounds come from
+    #     `data.batching.measure_span64` on packed batches.
+    attn_span: bool = False
+    edge_span64: int = 0
+    lg_span64: int = 0
 
     def __post_init__(self):
         if self.heads <= 0:
@@ -189,6 +197,8 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
         fused = cfg.conv_impl == "fused" and (
             jax.default_backend() == "tpu" or cfg.force_fused)
 
+        attn_span = getattr(cfg, "attn_span", False)
+
         def lg_conv(p, state, feats, rng):
             return transformer_conv_table(
                 p, state, batch.lg_src, batch.lg_dst, feats,
@@ -200,7 +210,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 win64=cfg.lg_win64, src_win64=cfg.lg_src_win64,
                 row_ptr=getattr(batch, "lg_row_ptr", None),
                 attn_fused=cfg.attn_fused, attn_eproj=cfg.attn_eproj,
-                force_fused=cfg.force_fused)
+                force_fused=cfg.force_fused, attn_span=attn_span,
+                span_lo=getattr(batch, "bond_span_lo", None),
+                span64=getattr(cfg, "lg_span64", 0))
 
         def atom_conv(p, state, feats, rng):
             return transformer_conv_table(
@@ -213,7 +225,9 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
                 win64=cfg.edge_win64, src_win64=cfg.edge_src_win64,
                 row_ptr=getattr(batch, "edge_row_ptr", None),
                 attn_fused=cfg.attn_fused, attn_eproj=cfg.attn_eproj,
-                force_fused=cfg.force_fused)
+                force_fused=cfg.force_fused, attn_span=attn_span,
+                span_lo=getattr(batch, "node_span_lo", None),
+                span64=getattr(cfg, "edge_span64", 0))
     else:
         def lg_conv(p, state, feats, rng):
             return transformer_conv(

@@ -96,6 +96,9 @@ def transformer_conv_table(
     attn_fused: bool = True,   # fully fused attention (q·k SDDMM in-kernel)
     attn_eproj: bool = True,   # in-kernel edge projection
     force_fused: bool = False,  # keep kernels active off-TPU (interpret mode)
+    attn_span: bool = False,   # node-space kv + in-kernel gather (span form)
+    span_lo: Optional[jnp.ndarray] = None,  # [N] monotone per-target span lo
+    span64: int = 0,           # pack-time-measured static span bound
 ) -> jnp.ndarray:
     n = x.shape[0]
     hidden = params.w_query.shape[1]
@@ -118,7 +121,9 @@ def transformer_conv_table(
     # falling back to gather_rows' sort-based segment-sum otherwise. (A
     # dense-table VJP was tried and measured slower — see PERF.md.)
     from .pallas.csr_attention import (attn_eproj_fusable, attn_fusable,
-                                       fused_attention, fused_attention_eproj)
+                                       attn_span_fusable, fused_attention,
+                                       fused_attention_eproj,
+                                       fused_attention_span)
     from .pallas.csr_attention import fusable as _sum_ok
     from .pallas.csr_attention import csr_gather, csr_gather_ordered
 
@@ -156,11 +161,25 @@ def transformer_conv_table(
                      n, e_total, in_edges.shape[1], hidden=hidden,
                      fe=edge_attr.shape[1], win64=win64,
                      itemsize=jnp.dtype(x.dtype).itemsize))
+    # one level deeper again: the kv GATHER moves in-kernel too (span
+    # formulation) — no [E, 2H] edge-space kv in either pass, the backward
+    # emits d(kv) in node space directly
+    use_span = (use_eproj and attn_span and span_lo is not None
+                and attn_span_fusable(
+                    n, x.shape[0], e_total, in_edges.shape[1], hidden=hidden,
+                    fe=edge_attr.shape[1], span=span64, win64=win64,
+                    itemsize=jnp.dtype(x.dtype).itemsize))
     e = None if use_eproj else edge_attr @ params.w_edge   # [E, H]
     # rate may be traced (per-member dropout); concrete zero disables
     use_dropout = dropout_rng is not None and not (
         isinstance(dropout_rate, (int, float)) and dropout_rate <= 0.0)
-    if (fuse_gathers and src_order is not None and src_starts is not None
+    if use_span:
+        kv = None                      # no edge-space kv exists on this path
+        q_dst = None
+        if row_ptr is None:
+            row_ptr = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype)
+                                       ).astype(jnp.int32)
+    elif (fuse_gathers and src_order is not None and src_starts is not None
             and out_edges is not None
             and _sum_ok(src_starts.shape[0], e_total, out_edges.shape[1],
                         hidden=2 * hidden, win64=src_win64)
@@ -189,7 +208,14 @@ def transformer_conv_table(
                                        ).astype(jnp.int32)
         # q/k/v stay in the compute dtype — the kernels window them as-is
         # (bf16 halves DMA bytes and runs native-bf16 MXU contractions)
-        if use_eproj:
+        if use_span:
+            msg = fused_attention_span(
+                q, proj[:, hidden:3 * hidden], edge_attr, params.w_edge,
+                row_ptr, src, span_lo, heads=heads,
+                max_in_degree=in_edges.shape[1], span=span64,
+                scale_t=scale_t, mask_e=edge_mask,
+                win64=win64).astype(x.dtype)
+        elif use_eproj:
             msg = fused_attention_eproj(
                 q, kv, edge_attr, params.w_edge, row_ptr, dst, heads=heads,
                 max_in_degree=in_edges.shape[1], scale_t=scale_t,

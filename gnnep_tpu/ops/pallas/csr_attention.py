@@ -1690,3 +1690,573 @@ def _csr_segment_sum_bwd(e_total_end, max_deg, interpret, win64, res, g):
 
 
 csr_segment_sum.defvjp(_csr_segment_sum_fwd, _csr_segment_sum_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Span formulation: node-space kv, in-kernel gather via one-hot MXU matmul
+# ---------------------------------------------------------------------------
+#
+# The eproj formulation above still consumes a GATHERED edge-space kv arena
+# [E, 2H]: XLA materializes kv[src] (one full [E, 2H] HBM write + read), the
+# backward emits d(kv[src]) edge-space, and a permute + windowed segment-sum
+# fold it back to node space — for the line-graph conv that family is ~45 %
+# of the whole training step's HBM traffic (PERF.md round 5).
+#
+# The span formulation removes the edge-space kv entirely by exploiting how
+# the packer lays out batches: graphs occupy CONTIGUOUS arena rows, and
+# every edge's source lives in the same graph as its target. For a block of
+# BN consecutive targets, all source rows therefore sit in one contiguous
+# node-table span of at most SPAN rows (SPAN measured at pack time —
+# `data.batching.measure_span64`; `span_lo[t]` lower-bounds target t's
+# source range and is monotone over the arena). Each grid step:
+#
+#   - DMAs the node-space kv span [SPAN, 2H] (≤ a couple of graphs) instead
+#     of a gathered [cap, 2H] edge window,
+#   - builds the gather as a 0/1 one-hot matmul P[cap, SPAN] @ span — an
+#     MXU contraction, exact in bf16 (each output row is 1.0 · source row),
+#   - and in the backward scatters d(k_j)/d(v_j) straight into node space
+#     with the transposed matmul Pᵀ @ dkv_edge, read-modify-write
+#     accumulated over the (overlapping, monotone) spans.
+#
+# Nothing of size [E, 2H] exists in HBM in either pass; the backward's
+# output IS the node-space d(kv) the old permute + segment-sum pipeline
+# ended at. Everything else (edge projection, SDDMM, softmax, stats,
+# dropout scales, dea/dW accumulation) is identical to the eproj kernels.
+
+def _attn_sp_kernel(starts_ref, sp_starts_ref, rp_lo_ref, rp_hi_ref,
+                    kvn_hbm,                    # [N, 2H] node-space (k‖v)
+                    ea_hbm, scale_hbm,          # [E, Fe], [heads, E] ANY
+                    mask_hbm, src_hbm,          # [1, E] f32, [1, E] i32 ANY
+                    w_edge_ref,                 # [Fe, H] VMEM (resident)
+                    q_ref,                      # [BN, H] VMEM block
+                    out_ref, stats_ref,         # [BN, H], [BN, 256] blocks
+                    kv_span, ea_win, s_win, m_win, src_win, sems,
+                    *, bn: int, cap: int, span: int, heads: int, ch: int,
+                    inv_sqrt_ch: float):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    hidden = heads * ch
+
+    def copies(idx, s):
+        st = pl.multiple_of(starts_ref[idx], 128)
+        sp = pl.multiple_of(sp_starts_ref[idx], 128)
+        return (pltpu.make_async_copy(kvn_hbm.at[pl.ds(sp, span)],
+                                      kv_span.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(ea_hbm.at[pl.ds(st, cap)], ea_win.at[s],
+                                      sems.at[s, 1]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 2]),
+                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(st, cap)],
+                                      m_win.at[s], sems.at[s, 3]),
+                pltpu.make_async_copy(src_hbm.at[:, pl.ds(st, cap)],
+                                      src_win.at[s], sems.at[s, 4]))
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    start = pl.multiple_of(starts_ref[i], 128)
+    sp_st = pl.multiple_of(sp_starts_ref[i], 128)
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])
+
+    for cp in copies(i, slot):
+        cp.wait()
+    ea_cur = ea_win.at[slot]
+    s_cur = s_win.at[slot]
+    member = member & (m_win.at[slot][0, :][None, :] > 0)
+
+    # one-hot gather: P[r, s] = 1 iff window row r sources from span row s.
+    # Rows whose source lies outside this block's span (alignment-margin
+    # rows of neighboring blocks, padding) get an all-zero P row — they are
+    # never members, so the zeros are inert. The matmul is exact: each
+    # output row is a single 1.0 · (source row) product, f32-accumulated.
+    src_loc = src_win.at[slot][0, :] - sp_st                  # [cap] i32
+    sp_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, span), 1)
+    p_mat = (sp_iota == src_loc[:, None]).astype(kv_span.dtype)
+    gprec = (jax.lax.Precision.HIGHEST if kv_span.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
+    kv_g = jnp.dot(p_mat, kv_span.at[slot][:, :], precision=gprec,
+                   preferred_element_type=jnp.float32).astype(kv_span.dtype)
+
+    e_mat = jnp.dot(ea_cur[:, :], w_edge_ref[:, :],
+                    preferred_element_type=jnp.float32).astype(kv_span.dtype)
+    k_full = kv_g[:, :hidden] + e_mat                         # [cap, H]
+    v_full = kv_g[:, hidden:] + e_mat
+
+    mxs = []
+    dens = []
+    for h in range(heads):
+        q_h = q_ref[:, h * ch:(h + 1) * ch]
+        k_h = k_full[:, h * ch:(h + 1) * ch]
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        mat = jnp.where(member, logits, _NEG)
+        mx = jnp.maximum(jnp.max(mat, axis=1, keepdims=True), _NEG)
+        e = jnp.exp(mat - mx)
+        e = jnp.where(member, e, 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        alpha = (e / denom) * s_cur[h, :][None, :]
+        out_ref[:, h * ch:(h + 1) * ch] = jnp.dot(
+            alpha.astype(v_full.dtype), v_full[:, h * ch:(h + 1) * ch],
+            preferred_element_type=jnp.float32)
+        mxs.append(mx)
+        dens.append(denom)
+    pad = jnp.zeros((bn, 128 - heads), jnp.float32)
+    stats_ref[:, :] = jnp.concatenate([*mxs, pad, *dens, pad], axis=1)
+
+
+def _attn_sp_bwd_kernel(starts_ref, sp_starts_ref, rp_lo_ref, rp_hi_ref,
+                        kvn_hbm, ea_hbm, scale_hbm,  # ANY
+                        mask_hbm, src_hbm,           # [1, E] ANY
+                        w_edge_ref,                  # [Fe, H] VMEM (resident)
+                        q_ref, g_ref, stats_ref,     # [BN, ·] VMEM blocks
+                        dkvn0_hbm, dea0_hbm,         # zero arenas (aliased)
+                        dq_ref,                      # [BN, H] block output
+                        dkvn_out, dea_out,           # [N, 2H], [E, Fe] ANY
+                        dw_ref,                      # [Fe, H] f32 (resident)
+                        kv_span, ea_win, s_win, m_win, src_win,
+                        dkv_acc, dea_acc, sems,
+                        *, bn: int, cap: int, span: int, heads: int, ch: int,
+                        inv_sqrt_ch: float, e_total: int):
+    """Backward: recompute the gather/eproj/softmax, then the per-head MXU
+    contractions; d(kv) scatters into NODE space via Pᵀ with full-span RMW
+    (spans of consecutive blocks overlap wherever they share a graph, so
+    no margin shortcut applies — the previous block's deferred writeback is
+    drained before this block's span read). dea/dW as in the eproj kernel."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    start = pl.multiple_of(starts_ref[i], 128)
+    sp_st = pl.multiple_of(sp_starts_ref[i], 128)
+    hidden = heads * ch
+
+    def copies(idx, s):
+        st = pl.multiple_of(starts_ref[idx], 128)
+        sp = pl.multiple_of(sp_starts_ref[idx], 128)
+        return (pltpu.make_async_copy(kvn_hbm.at[pl.ds(sp, span)],
+                                      kv_span.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(ea_hbm.at[pl.ds(st, cap)], ea_win.at[s],
+                                      sems.at[s, 1]),
+                pltpu.make_async_copy(scale_hbm.at[:, pl.ds(st, cap)],
+                                      s_win.at[s], sems.at[s, 2]),
+                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(st, cap)],
+                                      m_win.at[s], sems.at[s, 3]),
+                pltpu.make_async_copy(src_hbm.at[:, pl.ds(st, cap)],
+                                      src_win.at[s], sems.at[s, 4]))
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:, :] = jnp.zeros_like(dw_ref)
+        for cp in copies(i, slot):
+            cp.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for cp in copies(i + 1, 1 - slot):
+            cp.start()
+
+    margin_ok = cap > 128
+
+    def dkv_read():
+        return pltpu.make_async_copy(dkvn_out.at[pl.ds(sp_st, span)],
+                                     dkv_acc, sems.at[0, 5])
+
+    def dea_reads(rows):
+        return (pltpu.make_async_copy(dea_out.at[pl.ds(start, rows)],
+                                      dea_acc.at[pl.ds(0, rows)],
+                                      sems.at[0, 6]),)
+
+    def writebacks(st, sp):
+        return (pltpu.make_async_copy(dkv_acc, dkvn_out.at[pl.ds(sp, span)],
+                                      sems.at[1, 5]),
+                pltpu.make_async_copy(dea_acc, dea_out.at[pl.ds(st, cap)],
+                                      sems.at[1, 6]))
+
+    # drain block i-1's deferred writebacks BEFORE this block's RMW reads
+    # touch the overlapping arenas or the shared accumulators
+    @pl.when(i > 0)
+    def _():
+        prev = jnp.maximum(i - 1, 0)
+        for cp in writebacks(pl.multiple_of(starts_ref[prev], 128),
+                             pl.multiple_of(sp_starts_ref[prev], 128)):
+            cp.wait()
+
+    dkv_read().start()
+    if not margin_ok:
+        for cp in dea_reads(cap):
+            cp.start()
+    else:
+        full = start + cap >= e_total
+
+        @pl.when(full)
+        def _():
+            for cp in dea_reads(cap):
+                cp.start()
+
+        @pl.when(jnp.logical_not(full))
+        def _():
+            for cp in dea_reads(128):
+                cp.start()
+
+    lo = rp_lo_ref[i, :] - start
+    hi = rp_hi_ref[i, :] - start
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bn, cap), 1)
+    member = (pos >= lo[:, None]) & (pos < hi[:, None])
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    dkv_read().wait()
+    if not margin_ok:
+        for cp in dea_reads(cap):
+            cp.wait()
+    else:
+        @pl.when(full)
+        def _():
+            for cp in dea_reads(cap):
+                cp.wait()
+
+        @pl.when(jnp.logical_not(full))
+        def _():
+            for cp in dea_reads(128):
+                cp.wait()
+            dea_acc[128:, :] = jnp.zeros((cap - 128, dea_acc.shape[1]),
+                                         dea_acc.dtype)
+    ea_cur = ea_win.at[slot]
+    s_curw = s_win.at[slot]
+    member = member & (m_win.at[slot][0, :][None, :] > 0)
+
+    src_loc = src_win.at[slot][0, :] - sp_st
+    sp_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, span), 1)
+    p_mat = (sp_iota == src_loc[:, None]).astype(kv_span.dtype)
+    gprec = (jax.lax.Precision.HIGHEST if kv_span.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
+    kv_g = jnp.dot(p_mat, kv_span.at[slot][:, :], precision=gprec,
+                   preferred_element_type=jnp.float32).astype(kv_span.dtype)
+
+    e_mat = jnp.dot(ea_cur[:, :], w_edge_ref[:, :],
+                    preferred_element_type=jnp.float32).astype(kv_span.dtype)
+    k_full = kv_g[:, :hidden] + e_mat
+    v_full = kv_g[:, hidden:] + e_mat
+
+    stats = stats_ref[:, :]
+    dk_cols = []
+    dv_cols = []
+    for h in range(heads):
+        q_h = q_ref[:, h * ch:(h + 1) * ch]
+        k_h = k_full[:, h * ch:(h + 1) * ch]
+        v_h = v_full[:, h * ch:(h + 1) * ch]
+        g_h = g_ref[:, h * ch:(h + 1) * ch]
+        sc = s_curw[h, :][None, :]
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        mat = jnp.where(member, logits, _NEG)
+        mx = stats[:, h:h + 1]
+        den = stats[:, 128 + h:129 + h]
+        s_mat = jnp.where(mat > 0.5 * _NEG, jnp.exp(mat - mx), 0.0) / den
+        a_mat = s_mat * sc
+        u_mat = jax.lax.dot_general(
+            g_h.astype(v_h.dtype), v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w_mat = sc * u_mat
+        inner = jnp.sum(a_mat * u_mat, axis=1, keepdims=True)
+        dl_mat = (s_mat * (w_mat - inner)).astype(k_h.dtype)  # [BN, cap]
+        dq_ref[:, h * ch:(h + 1) * ch] = (jnp.dot(
+            dl_mat, k_h, preferred_element_type=jnp.float32)
+            * inv_sqrt_ch).astype(dq_ref.dtype)
+        dk_h = jax.lax.dot_general(
+            dl_mat, q_h.astype(k_h.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt_ch
+        dv_h = jax.lax.dot_general(
+            a_mat.astype(v_h.dtype), g_h.astype(v_h.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_cols.append(dk_h)
+        dv_cols.append(dv_h)
+    # edge-space d(k_j)‖d(v_j), rounded to the wire dtype exactly where the
+    # eproj formulation's edge-space dkv output rounded
+    dkv_edge = jnp.concatenate(
+        [*(c.astype(kv_span.dtype) for c in dk_cols),
+         *(c.astype(kv_span.dtype) for c in dv_cols)], axis=1)  # [cap, 2H]
+    # node-space scatter: Pᵀ @ dkv_edge, f32-accumulated, RMW into the span
+    contrib = jax.lax.dot_general(
+        p_mat, dkv_edge, (((0,), (0,)), ((), ())), precision=gprec,
+        preferred_element_type=jnp.float32)                     # [span, 2H]
+    dkv_acc[:, :] = (dkv_acc[:, :].astype(jnp.float32)
+                     + contrib).astype(dkv_acc.dtype)
+    de = jnp.concatenate(
+        [(dk_cols[h] + dv_cols[h]).astype(kv_span.dtype)
+         for h in range(heads)], axis=1)                        # [cap, H]
+    dea_acc[:, :] = dea_acc[:, :] + jax.lax.dot_general(
+        de, w_edge_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dea_acc.dtype)
+    dw_ref[:, :] = dw_ref[:, :] + jax.lax.dot_general(
+        ea_cur[:, :], de, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    for cp in writebacks(start, sp_st):
+        cp.start()
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        for cp in writebacks(start, sp_st):
+            cp.wait()
+
+
+def _span_starts(src_lo, block_n: int, span: int, n_src: int):
+    """Per-block 128-aligned-down span starts, clamped to the node arena.
+
+    `src_lo` [n] is monotone, so the block's first target carries the
+    block-wide minimum; clamping to n_src − span only ever moves a start
+    DOWN, which keeps covering the block's (≤ span wide) source range."""
+    block_lo = src_lo[::block_n]
+    return jnp.clip((block_lo // 128) * 128, 0,
+                    max(n_src - span, 0)).astype(jnp.int32)
+
+
+def _attn_sp_forward(q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo,
+                     row_ptr, *, heads, block_n, cap, span, interpret):
+    e_total = ea.shape[0]
+    n_src = kvn.shape[0]
+    hidden = kvn.shape[1] // 2
+    fe = ea.shape[1]
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    sp_starts = _span_starts(src_lo, block_n, span, n_src)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s, t: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s, t: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((fe, hidden), lambda i, s, t: (0, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s, t: (i, 0)),
+        ],
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s, t: (i, 0)),
+                   pl.BlockSpec((block_n, 256), lambda i, s, t: (i, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, span, 2 * hidden), kvn.dtype),
+            pltpu.VMEM((2, cap, fe), ea.dtype),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+    )
+    kernel = functools.partial(_attn_sp_kernel, bn=block_n, cap=cap,
+                               span=span, heads=heads, ch=ch,
+                               inv_sqrt_ch=1.0 / (ch ** 0.5))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 256), jnp.float32)),
+        interpret=interpret,
+    )(starts, sp_starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), kvn, ea, scale_t, mask2,
+      src2, w_edge, q)
+
+
+def _attn_sp_backward(q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo,
+                      row_ptr, g, stats, *, heads, block_n, cap, span,
+                      interpret):
+    e_total = ea.shape[0]
+    n_src = kvn.shape[0]
+    hidden = kvn.shape[1] // 2
+    fe = ea.shape[1]
+    n = row_ptr.shape[0] - 1
+    ch = hidden // heads
+    n_blocks = n // block_n
+    starts = _window_starts(row_ptr, block_n, cap, e_total)
+    sp_starts = _span_starts(src_lo, block_n, span, n_src)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_blocks, block_n), lambda i, s, t: (0, 0)),
+            pl.BlockSpec((n_blocks, block_n), lambda i, s, t: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((fe, hidden), lambda i, s, t: (0, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s, t: (i, 0)),
+            pl.BlockSpec((block_n, hidden), lambda i, s, t: (i, 0)),
+            pl.BlockSpec((block_n, 256), lambda i, s, t: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(pl.BlockSpec((block_n, hidden), lambda i, s, t: (i, 0)),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec((fe, hidden), lambda i, s, t: (0, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, span, 2 * hidden), kvn.dtype),
+            pltpu.VMEM((2, cap, fe), ea.dtype),
+            pltpu.VMEM((2, heads, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.float32),
+            pltpu.VMEM((2, 1, cap), jnp.int32),
+            pltpu.VMEM((span, 2 * hidden), kvn.dtype),
+            pltpu.VMEM((cap, fe), ea.dtype),
+            pltpu.SemaphoreType.DMA((2, 7)),
+        ],
+    )
+    kernel = functools.partial(_attn_sp_bwd_kernel, bn=block_n, cap=cap,
+                               span=span, heads=heads, ch=ch,
+                               inv_sqrt_ch=1.0 / (ch ** 0.5),
+                               e_total=e_total)
+    dkvn0 = jnp.zeros((n_src, 2 * hidden), kvn.dtype)
+    dea0 = jnp.zeros((e_total, fe), ea.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        # flat inputs: starts, sp_starts, rp_lo, rp_hi, kvn, ea, scale,
+        # mask, src2, w_edge, q, g, stats, dkvn0, dea0
+        input_output_aliases={13: 1, 14: 2},
+        out_shape=(jax.ShapeDtypeStruct((n, hidden), q.dtype),
+                   jax.ShapeDtypeStruct((n_src, 2 * hidden), kvn.dtype),
+                   jax.ShapeDtypeStruct((e_total, fe), ea.dtype),
+                   jax.ShapeDtypeStruct((fe, hidden), jnp.float32)),
+        interpret=interpret,
+    )(starts, sp_starts, row_ptr[:-1].reshape(n_blocks, block_n),
+      row_ptr[1:].reshape(n_blocks, block_n), kvn, ea, scale_t, mask2,
+      src2, w_edge, q, g.astype(jnp.float32), stats, dkvn0, dea0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def csr_attention_span(q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo,
+                       row_ptr, heads, block_n, cap, span, interpret,
+                       bwd_block_n):
+    """`csr_attention_eproj` with the kv gather fused in: `kvn` [N, 2H] is
+    the NODE-space (k‖v) table, `src2` [1, E] the per-edge source rows and
+    `src_lo` [N] the monotone per-target span starts; the kernels gather
+    per-window via a one-hot MXU matmul and the backward returns d(kvn) in
+    node space. Differentiable in q, kvn, ea, w_edge."""
+    return _attn_sp_forward(q, kvn, ea, w_edge, scale_t, mask2, src2,
+                            src_lo, row_ptr, heads=heads, block_n=block_n,
+                            cap=cap, span=span, interpret=interpret)[0]
+
+
+def _attn_sp_fwd(q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo, row_ptr,
+                 heads, block_n, cap, span, interpret, bwd_block_n):
+    out, stats = _attn_sp_forward(q, kvn, ea, w_edge, scale_t, mask2, src2,
+                                  src_lo, row_ptr, heads=heads,
+                                  block_n=block_n, cap=cap, span=span,
+                                  interpret=interpret)
+    return out, (q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo, row_ptr,
+                 stats)
+
+
+def _attn_sp_bwd(heads, block_n, cap, span, interpret, bwd_block_n, res, g):
+    (q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo, row_ptr, stats) = res
+    # fwd and bwd share block_n (pick_block_n_attn_sp budgets for the
+    # heavier backward), so the window cap carries over unchanged
+    dq, dkvn, dea, dw = _attn_sp_backward(
+        q, kvn, ea, w_edge, scale_t, mask2, src2, src_lo, row_ptr, g, stats,
+        heads=heads, block_n=block_n, cap=cap, span=span,
+        interpret=interpret)
+    return (dq, dkvn, dea, dw.astype(w_edge.dtype),
+            None, None, None, None, None)
+
+
+csr_attention_span.defvjp(_attn_sp_fwd, _attn_sp_bwd)
+
+
+def pick_block_n_attn_sp(n: int, n_src: int, e_total: int,
+                         max_in_degree: int, hidden: int, fe: int,
+                         span: int, preferred: int = 64,
+                         win64: int = 0, itemsize: int = 4):
+    """Block size for the span kernels (fwd & bwd share it): double-buffered
+    kv spans + ea windows + the one-hot P matrix + gather/eproj temporaries
+    + (bwd) the span/window RMW accumulators. Span measurement is per
+    64-target group, so blocks never exceed 64."""
+    if e_total % 128 or n_src % 128 or span % 128 or span > n_src:
+        return None
+    for bn in (64, 32, 16, 8):
+        if bn > preferred or n % bn:
+            continue
+        cap = _win_cap(bn, max_in_degree, e_total, win64)
+        win_bytes = (
+            2 * (span * 2 * hidden * itemsize + cap * fe * itemsize
+                 + 10 * cap * 4)
+            + span * 2 * hidden * (itemsize + 4)       # bwd acc + contrib
+            + cap * fe * itemsize                      # dea acc
+            + 2 * fe * hidden * (itemsize + 4)         # W_e + dW
+            + cap * span * itemsize                    # P
+            + cap * hidden * (4 + 4 * itemsize)        # e/k/v/de
+            + 5 * bn * max(hidden, 256) * 4
+            + 6 * bn * cap * 4)
+        if win_bytes <= _VMEM_BUDGET:
+            return bn
+    return None
+
+
+def attn_span_fusable(n: int, n_src: int, e_total: int, max_in_degree: int,
+                      hidden: int = 256, fe: int = 256, span: int = 0,
+                      win64: int = 0, itemsize: int = 4) -> bool:
+    if not span:
+        return False
+    return pick_block_n_attn_sp(n, n_src, e_total, max_in_degree, hidden,
+                                fe, span, win64=win64,
+                                itemsize=itemsize) is not None
+
+
+def fused_attention_span(q: jnp.ndarray, kvn: jnp.ndarray, ea: jnp.ndarray,
+                         w_edge: jnp.ndarray, row_ptr: jnp.ndarray,
+                         src: jnp.ndarray, src_lo: jnp.ndarray, *,
+                         heads: int, max_in_degree: int, span: int,
+                         scale_t: Optional[jnp.ndarray] = None,
+                         mask_e: Optional[jnp.ndarray] = None,
+                         block_n: int = 64, win64: int = 0,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Span-formulation fused CSR attention (gather + eproj + SDDMM +
+    softmax + aggregation in one kernel over NODE-space kv).
+
+    `kvn` [N, 2H] is the conv's node-space (k‖v) table, `src` [E] the
+    per-edge source rows (dst-sorted arena order), `src_lo` [N] the
+    monotone per-target span starts (`data.batching.compute_span_lo`) and
+    `span` the pack-time-measured static bound
+    (`data.batching.measure_span64`). Masking/dummy-row contract as in
+    `fused_attention_eproj`."""
+    n = row_ptr.shape[0] - 1
+    e_total = ea.shape[0]
+    n_src = kvn.shape[0]
+    hidden = kvn.shape[1] // 2
+    fe = ea.shape[1]
+    itemsize = jnp.dtype(kvn.dtype).itemsize
+    bn = pick_block_n_attn_sp(n, n_src, e_total, max_in_degree, hidden, fe,
+                              span, min(block_n, 64), win64=win64,
+                              itemsize=itemsize)
+    if bn is None:
+        raise ValueError("fused_attention_span preconditions not met")
+    cap = _win_cap(bn, max_in_degree, e_total, win64)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale_t is None:
+        scale_t = jnp.ones((heads, e_total), jnp.float32)
+    mask2 = (jnp.ones((1, e_total), jnp.float32) if mask_e is None
+             else mask_e.astype(jnp.float32).reshape(1, e_total))
+    src2 = src.astype(jnp.int32).reshape(1, e_total)
+    return csr_attention_span(q, kvn, ea, w_edge, scale_t, mask2, src2,
+                              src_lo.astype(jnp.int32), row_ptr, heads, bn,
+                              cap, span, interpret, bn)

@@ -63,7 +63,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
     y = np.exp(rng.normal(4.0, 0.9, size=(G, target_dim))).astype(np.float32)
 
     from ..data.batching import (apply_csr_sort, build_incoming_table,
-                                 csr_row_ptrs, src_csr_index)
+                                 compute_span_lo, csr_row_ptrs,
+                                 src_csr_index)
 
     (edge_src, edge_dst, edge_attr, edge_mask,
      lg_src, lg_dst, lg_attr, lg_mask) = apply_csr_sort(
@@ -90,6 +91,7 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
     e_order, e_starts = src_csr_index(edge_src, Np)
     l_order, l_starts = src_csr_index(lg_src, Ep)
     e_rp, l_rp = csr_row_ptrs(edge_dst, lg_dst, Np, Ep)
+    n_span_lo, b_span_lo = compute_span_lo(node_graph, edge_dst, edge_mask, G)
     return GraphBatch(
         nodes=nodes, node_graph=node_graph,
         edge_src=edge_src, edge_dst=edge_dst, edge_attr=edge_attr,
@@ -107,7 +109,8 @@ def synthetic_batch(rng: np.random.Generator, *, n_graphs: int = 64,
         edge_src_order=e_order, edge_src_starts=e_starts,
         lg_src_order=l_order, lg_src_starts=l_starts,
         edge_row_ptr=e_rp, lg_row_ptr=l_rp,
-        y_mask=np.ones_like(y))
+        y_mask=np.ones_like(y),
+        node_span_lo=n_span_lo, bond_span_lo=b_span_lo)
 
 
 def flagship_config(node_dim: int = 206, edge_dim: int = 36, angle_dim: int = 11,
