@@ -35,6 +35,76 @@ def _vs_baseline(value: float, key: str = "edges_per_sec_per_chip"):
                  "baseline (published={})")
 
 
+def _conv_layer_bytes(n, e, cap, heads, hidden, fe, item=2):
+    """Per-layer HBM stream bytes of one fused-eproj conv (fwd+bwd).
+
+    The documented inventory behind the bench's roofline `hbm_gbps_modeled`
+    (families and magnitudes cross-checked against the round-5 trace
+    attribution, PERF.md). Coarse by design — window reads are counted at
+    full cap (the ~12 % dilution amplification), RMW margins at 128 rows.
+    """
+    f32 = 4
+    n_blocks = max(n // 64, 1)
+    win = n_blocks * cap * (2 * hidden + fe) * item      # kv+ea windows
+    strips = n_blocks * cap * (heads + 2) * f32          # scale/mask strips
+    return (
+        n * hidden * item + n * 4 * hidden * item        # proj read+write
+        + n * 2 * hidden * item + e * 2 * hidden * item  # kv gather
+        + win + strips + n * hidden * item               # fwd windows + q
+        + n * (hidden + 256) * f32                       # msg + stats out
+        + win + strips                                   # bwd windows
+        + n * (2 * hidden + 256) * f32                   # q/g/stats reads
+        + n_blocks * cap * (2 * hidden + fe) * item      # dkv+dea writeback
+        + n_blocks * 128 * (2 * hidden + fe) * item      # RMW margin reads
+        + n * hidden * item                              # dq out
+        + e * (2 * hidden + fe) * item                   # dkv/dea zero-init
+        + 2 * e * 2 * hidden * item                      # dkv permute
+        + n_blocks * cap * 2 * hidden * item             # dkv segsum windows
+        + n * 2 * hidden * f32                           # dkv segsum out
+        + 14 * n * hidden * item                         # epilogue passes
+    )
+
+
+def _modeled_step_bytes(cfg, batch) -> float:
+    """Analytic per-step HBM bytes of the flagship fused training step."""
+    np_, ep, lp, g = batch.capacity
+    h = cfg.hidden
+    item = 2  # bf16 compute
+    lg = _conv_layer_bytes(ep, lp, cfg.lg_win64 + 128, cfg.heads, h, h, item)
+    atom = _conv_layer_bytes(np_, ep, cfg.edge_win64 + 128, cfg.heads, h, h,
+                             item)
+    # encoders (angle encoder dominates: [Lp, 11→H] + activations, ×3 for
+    # fwd + grads), pooling/heads/globals (graph-space, small), optimizer
+    # (~7 f32 passes over the parameter set)
+    enc = 3 * (lp + ep + np_) * h * item
+    n_params = (4 * h * h * 4 + 3 * h * h + h * h) * cfg.layers * 2
+    opt = 7 * n_params * 4
+    return float(cfg.layers * (lg + atom) + enc + opt)
+
+
+def _kernel_flops(cfg, batch) -> float:
+    """Analytic MXU FLOPs inside the Pallas custom calls per training step
+    (XLA's cost model cannot see them): per conv layer, the in-window edge
+    projection (fwd + bwd recompute + dea + dW), the per-head SDDMM /
+    aggregation rectangles (5 rectangle contractions in bwd), and the
+    windowed dkv segment-sum's 0/1 matmul."""
+    np_, ep, lp, g = batch.capacity
+    h = cfg.hidden
+    ch = h // cfg.heads
+
+    def conv(n, e, cap):
+        n_blocks = max(n // 64, 1)
+        eproj = 2 * cap * h * h          # one [cap,Fe]@[Fe,H]
+        rect = 2 * 64 * ch * cap         # one [64,ch]·[cap,ch] rectangle
+        fwd = n_blocks * (eproj + cfg.heads * 2 * rect)
+        bwd = n_blocks * (3 * eproj + cfg.heads * 5 * rect)
+        segsum = n_blocks * 2 * 64 * cap * 2 * h
+        return fwd + bwd + segsum
+
+    return float(cfg.layers * (conv(ep, lp, cfg.lg_win64 + 128)
+                               + conv(np_, ep, cfg.edge_win64 + 128)))
+
+
 def _flagship_batch_and_cfg(n_graphs: int, conv_impl: str, rng_seed: int = 42):
     """Flagship config + one synthetic batch with its measured win64 bounds."""
     import dataclasses
@@ -336,6 +406,47 @@ def main():
     repeat_ms = [round(d / n_steps * 1e3, 3) for d in repeat_dts]
     spread = (max(repeat_ms) - min(repeat_ms)) / min(repeat_ms)
     vsb, vsb_note = _vs_baseline(edges_per_sec)
+
+    # Roofline position (VERDICT r4 item 7): achieved HBM GB/s and MXU
+    # FLOP/s for the measured step against hardware ceilings, so future
+    # regressions are judged against limits rather than history. FLOPs =
+    # XLA's count of the scan body (counted once per step; verified
+    # K-invariant) + the analytic inventory of the Pallas kernels' MXU
+    # contractions (XLA cannot see custom-call interiors). Bytes = the
+    # documented stream inventory of _modeled_step_bytes (XLA's "bytes
+    # accessed" sums full logical buffers per instruction — it implies
+    # >1 TB/s here and is unusable as a utilization basis). Ceilings:
+    # v5e HBM 819 GB/s spec (~680 measured on plain XLA streams, PERF.md
+    # round 5) and 197 TFLOP/s bf16 MXU peak.
+    roofline = {}
+    try:
+        if scan_k > 0:
+            ca = (jax.jit(multi)
+                  .lower(params, opt_state, smask, stacked, key, 3e-4, 3e-4)
+                  .compile().cost_analysis())
+        else:
+            ca = (jax.jit(step)
+                  .lower(params, opt_state, smask, batch, key, 3e-4, 3e-4)
+                  .compile().cost_analysis())
+        step_s = step_ms / 1e3
+        kflops = _kernel_flops(cfg, batch)
+        flops = ca["flops"] + kflops
+        gbytes = _modeled_step_bytes(cfg, batch) / 1e9
+        gbps = gbytes / step_s
+        tflops = flops / step_s / 1e12
+        roofline = {
+            "hbm_gbps_modeled": round(gbps, 1),
+            "mxu_tflops": round(tflops, 2),
+            "hbm_utilization_vs_819": round(gbps / 819.0, 3),
+            "mxu_utilization_vs_197tf": round(tflops / 197.0, 4),
+            "flops_xla": float(ca["flops"]),
+            "flops_kernels_analytic": float(kflops),
+            "bytes_modeled": round(gbytes, 3),
+            "roofline_basis": ("bytes: analytic stream inventory; flops: "
+                               "XLA scan body + in-kernel contractions"),
+        }
+    except Exception as exc:  # noqa: BLE001 — roofline is best-effort
+        roofline = {"roofline_error": f"{type(exc).__name__}: {exc}"[:120]}
     print(json.dumps({
         "metric": "alignn_train_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
@@ -355,6 +466,7 @@ def main():
             "edge_src_win64": cfg.edge_src_win64,
             "lg_src_win64": cfg.lg_src_win64,
             "scan_steps": scan_k,
+            **roofline,
         },
     }))
 
