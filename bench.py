@@ -579,7 +579,10 @@ def boundary_mode():
 
     on_tpu = jax.default_backend() == "tpu"
     n_graphs = int(os.environ.get("BENCH_GRAPHS", 64 if on_tpu else 4))
-    iters = int(os.environ.get("BENCH_ITERS", 20 if on_tpu else 2))
+    # ≥6 timed dispatches of the scan program: at 2 dispatches the
+    # per-dispatch tunnel overhead depressed the recorded rate ~15 %
+    # (5.50 vs 6.6-6.7 M measured round 5)
+    iters = int(os.environ.get("BENCH_ITERS", 60 if on_tpu else 2))
     scan_k = int(os.environ.get("BENCH_SCAN", 10 if on_tpu else 0))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16" if on_tpu else "float32")
     hyper = TrainHyper(feature_jitter_std=0.1, log_sigma_l2=0.1,
