@@ -903,6 +903,15 @@ def verify_win64(batches, cfg) -> None:
             np.asarray(b.edge_src_starts), b.edge_src.shape[0])),
         ("lg_src_win64", lambda b: measure_seg_win64(
             np.asarray(b.lg_src_starts), b.lg_src.shape[0])),
+        # span-formulation bounds: same silent-drop hazard class (the span
+        # kernels' one-hot gather returns zero rows for sources outside the
+        # static span window)
+        ("edge_span64", lambda b: measure_span64(
+            np.asarray(b.node_graph), np.asarray(b.edge_dst),
+            np.asarray(b.edge_mask), np.asarray(b.y).shape[0])[0]),
+        ("lg_span64", lambda b: measure_span64(
+            np.asarray(b.node_graph), np.asarray(b.edge_dst),
+            np.asarray(b.edge_mask), np.asarray(b.y).shape[0])[1]),
     )
     for i, b in enumerate(batches):
         for name, fn in checks:

@@ -385,11 +385,17 @@ def reconcile_win64(cfg: AlignnConfig, budget) -> AlignnConfig:
     dilution/deferral asserts (`epoch_batches`) then guarantee each batch
     fits the active bounds. Mirrors the reference's eval-side reconciliation
     contract (`/root/reference/scripts/evaluate.py:539-574`)."""
+    # the span-formulation bounds (attn_span rung) are PACK-TIME MEASURED,
+    # not budget-enforceable — a fresh budget carries no span guarantee, so
+    # the rung degrades to the eproj path on eval-time repacks (same
+    # numerics, different kernel boundary) instead of risking an
+    # under-covered span window
     return dataclasses.replace(
         cfg,
         edge_win64=int(budget.edge_win64), lg_win64=int(budget.lg_win64),
         edge_src_win64=int(budget.edge_src_win64),
-        lg_src_win64=int(budget.lg_src_win64))
+        lg_src_win64=int(budget.lg_src_win64),
+        edge_span64=0, lg_span64=0)
 
 
 def oneshot_config(cfg: AlignnConfig) -> AlignnConfig:
