@@ -159,3 +159,58 @@ def test_edge_sharded_windowed_vs_coo_on_mosaic(hw):
                                rtol=2.5e-2, atol=2e-3)
     np.testing.assert_allclose(np.asarray(lw), np.asarray(lc),
                                rtol=2.5e-2, atol=2e-3)
+
+
+def test_span_formulation_matches_eproj_on_mosaic(hw):
+    """The span rung's one-hot gather must be EXACT on real Mosaic: forward
+    bitwise vs the eproj path (the f32 gather runs Precision.HIGHEST —
+    default TPU f32 matmuls decompose to bf16 passes, a hardware-only
+    divergence interpret mode cannot catch; PERF.md round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnnep_tpu.data.batching import measure_span64
+    from gnnep_tpu.ops.pallas.csr_attention import (fused_attention_eproj,
+                                                    fused_attention_span)
+
+    cfg, batch, params = hw
+    rng = np.random.default_rng(0)
+    ep = batch.edge_src.shape[0]
+    lp = batch.lg_src.shape[0]
+    h, heads = 256, 4
+    _, bsp = measure_span64(np.asarray(batch.node_graph),
+                            np.asarray(batch.edge_dst),
+                            np.asarray(batch.edge_mask), batch.y.shape[0])
+    kvn = jnp.asarray(rng.normal(size=(ep, 2 * h)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(ep, h)).astype(np.float32))
+    ea = jnp.asarray(rng.normal(size=(lp, h)).astype(np.float32))
+    we = jnp.asarray(rng.normal(size=(h, h)).astype(np.float32) * 0.05)
+    row_ptr = jnp.asarray(batch.lg_row_ptr)
+    src = jnp.asarray(batch.lg_src)
+    span_lo = jnp.asarray(batch.bond_span_lo)
+    kw = dict(heads=heads, max_in_degree=batch.lg_in_edges.shape[1],
+              mask_e=jnp.asarray(batch.lg_mask), win64=cfg.lg_win64)
+
+    def f_ep(q, kvn, ea, we):
+        out = fused_attention_eproj(q, kvn[src], ea, we, row_ptr,
+                                    jnp.asarray(batch.lg_dst), **kw)
+        return jnp.sum(out[:ep - 1] ** 2)
+
+    def f_sp(q, kvn, ea, we):
+        out = fused_attention_span(q, kvn, ea, we, row_ptr, src, span_lo,
+                                   span=min(bsp, ep), **kw)
+        return jnp.sum(out[:ep - 1] ** 2)
+
+    out_ep = fused_attention_eproj(q, kvn[src], ea, we, row_ptr,
+                                   jnp.asarray(batch.lg_dst), **kw)
+    out_sp = fused_attention_span(q, kvn, ea, we, row_ptr, src, span_lo,
+                                  span=min(bsp, ep), **kw)
+    np.testing.assert_array_equal(np.asarray(out_ep)[:ep - 1],
+                                  np.asarray(out_sp)[:ep - 1])
+    g_ep = jax.grad(f_ep, argnums=(0, 1, 2, 3))(q, kvn, ea, we)
+    g_sp = jax.grad(f_sp, argnums=(0, 1, 2, 3))(q, kvn, ea, we)
+    for name, a, b in zip(("dq", "dkvn", "dea", "dwe"), g_ep, g_sp):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-6,
+                                   err_msg=name)
