@@ -671,8 +671,11 @@ def boundary_mode():
 def infer_mode():
     """Serving throughput: jitted eval forward (no grad, no optimizer) of
     ONE flagship member over device-resident batches — graphs/s and
-    edges/s for the inference path (`make_forward`, the program behind
-    evaluate/predict). Chained dispatches, scalar readback."""
+    edges/s for the inference path (the programs behind evaluate/predict).
+    Chained dispatches, scalar readback. Measures every serving rung:
+    f32/bf16 (`--compute-dtype`) x per-batch/`make_scan_forward`
+    (the scan-amortized collector); the headline is the fastest rung and
+    `detail.rungs` carries all four."""
     import jax
     import jax.numpy as jnp
 
@@ -680,12 +683,14 @@ def infer_mode():
         jax.config.update("jax_platforms", "cpu")
 
     from gnnep_tpu.models.alignn import init_alignn
-    from gnnep_tpu.train.loop import make_forward, oneshot_config
+    from gnnep_tpu.train.loop import (make_forward, make_scan_forward,
+                                      oneshot_config)
 
     on_tpu = jax.default_backend() == "tpu"
     conv_impl = "fused" if on_tpu else "table"
     n_graphs = int(os.environ.get("BENCH_GRAPHS", 64 if on_tpu else 8))
     iters = int(os.environ.get("BENCH_ITERS", 60 if on_tpu else 3))
+    stack_s = int(os.environ.get("BENCH_STACK", 16 if on_tpu else 2))
     cfg, batch = _flagship_batch_and_cfg(n_graphs, conv_impl, rng_seed=0)
     if not on_tpu:
         import dataclasses
@@ -695,37 +700,56 @@ def infer_mode():
     graphs = float(np.asarray(batch.graph_mask).sum())
     dev = jax.devices()[0]
     batch = jax.device_put(batch, dev)
+    stacked = jax.device_put(
+        jax.tree.map(lambda x: np.stack([np.asarray(x)] * stack_s), batch),
+        dev)
     params = init_alignn(jax.random.PRNGKey(0), cfg)
-    # scan_layers for the compile-time win, exactly as evaluate/predict do
-    base = make_forward(oneshot_config(cfg), -2.9)
+    scfg = oneshot_config(cfg)  # scan_layers, exactly as evaluate/predict do
 
     # chain iterations on device: each forward perturbs its own input from
     # the previous mean, so XLA cannot elide or overlap the calls, and one
     # scalar readback syncs the full chain (block_until_ready under-syncs
     # on this runtime — PERF.md measurement discipline)
-    def fwd(params, batch, seed):
-        b = batch._replace(nodes=batch.nodes + 1e-6 * seed)
-        return base(params, b)
+    def time_rung(base, use_stack):
+        def fwd(seed):
+            if use_stack:
+                b = stacked._replace(nodes=stacked.nodes + 1e-6 * seed)
+                mean, logvar = base(params, b)
+                return mean[-1, 0, 0]
+            b = batch._replace(nodes=batch.nodes + 1e-6 * seed)
+            mean, logvar = base(params, b)
+            return mean[0, 0]
+        float(np.asarray(fwd(jnp.float32(0))))   # compile + warm
+        n = max(1, iters // stack_s) if use_stack else iters
+        t0 = time.perf_counter()
+        seed = jnp.float32(0)
+        for _ in range(n):
+            seed = fwd(seed)
+        float(np.asarray(seed))
+        dt = time.perf_counter() - t0
+        batches_done = n * (stack_s if use_stack else 1)
+        return dt / batches_done * 1e3          # ms per batch
 
-    mean, _ = fwd(params, batch, jnp.float32(0))
-    float(np.asarray(mean[0, 0]))
-    t0 = time.perf_counter()
-    seed = jnp.float32(0)
-    for _ in range(iters):
-        mean, logvar = fwd(params, batch, seed)
-        seed = mean[0, 0]
-    float(np.asarray(seed))
-    dt = time.perf_counter() - t0
-    vsb, vsb_note = _vs_baseline(graphs * iters / dt,
+    rungs = {}
+    for dtype in ("float32", "bfloat16"):
+        rungs[f"{dtype}_per_batch"] = time_rung(
+            make_forward(scfg, -2.9, dtype), use_stack=False)
+        rungs[f"{dtype}_scan{stack_s}"] = time_rung(
+            make_scan_forward(scfg, -2.9, dtype), use_stack=True)
+    best_name = min(rungs, key=rungs.get)
+    ms = rungs[best_name]
+    vsb, vsb_note = _vs_baseline(graphs / ms * 1e3,
                                  key="infer_graphs_per_sec_per_chip")
     print(json.dumps({
         "metric": "alignn_infer_graphs_per_sec_per_chip",
-        "value": round(graphs * iters / dt, 1),
+        "value": round(graphs / ms * 1e3, 1),
         "unit": "graphs/s/chip",
         "vs_baseline": vsb,
-        "detail": {"vs_baseline_basis": vsb_note,
-                   "edges_per_sec": round(edges * iters / dt, 1),
-                   "ms_per_batch": round(dt / iters * 1e3, 3),
+        "detail": {"vs_baseline_basis": vsb_note, "best_rung": best_name,
+                   "edges_per_sec": round(edges / ms * 1e3, 1),
+                   "ms_per_batch": round(ms, 3),
+                   "rungs_ms_per_batch": {k: round(v, 3)
+                                          for k, v in rungs.items()},
                    "graphs_per_batch": int(graphs),
                    "conv_impl": conv_impl, "hidden": cfg.hidden,
                    "layers": cfg.layers, "heads": cfg.heads},

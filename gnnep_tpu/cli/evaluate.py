@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-logvar-floor", type=float, default=MIN_LOGVAR_FLOOR)
     p.add_argument("--coverage-grid", default="0.5,0.6,0.7,0.8,0.9,0.95")
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 = TPU serving fast path; float32 matches "
+                        "reference eval numerics (default)")
     p.add_argument("--device", default=None)
     # reference-CLI compatibility: architecture comes from the embedded
     # checkpoint config here (the reference shape-sniffs and needs these);
@@ -69,7 +73,7 @@ def main(argv=None):
         test_frac=args.test_frac, ensemble_size=args.ensemble_size,
         eval_split=args.eval_split, fold_index=args.fold_index,
         min_logvar_floor=args.min_logvar_floor, coverage_grid=args.coverage_grid,
-        make_plots=not args.no_plots)
+        make_plots=not args.no_plots, compute_dtype=args.compute_dtype)
     run_evaluation(cfg)
 
 

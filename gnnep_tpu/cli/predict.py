@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--min-logvar-floor", type=float, default=MIN_LOGVAR_FLOOR)
     p.add_argument("--output-json", default=None)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 = TPU serving fast path (~2x forward "
+                        "throughput, sub-percent mu/sigma deltas — PERF.md); "
+                        "float32 matches reference inference numerics")
     p.add_argument("--device", default=None)
     p.add_argument("--heads", type=int, default=None,
                    help="Reference-CLI compatibility: heads come from the "
@@ -94,7 +99,8 @@ def main(argv=None):
         indices = list(range(store.n_graphs))
 
     results = ensemble.predict(store, indices, batch_size=args.batch_size,
-                               min_logvar_floor=args.min_logvar_floor)
+                               min_logvar_floor=args.min_logvar_floor,
+                               compute_dtype=args.compute_dtype)
     print_results(results)
     if args.output_json:
         out = Path(args.output_json)

@@ -44,10 +44,14 @@ class EvalConfig:
     min_logvar_floor: float = MIN_LOGVAR_FLOOR
     coverage_grid: str = "0.5,0.6,0.7,0.8,0.9,0.95"
     make_plots: bool = True
+    # 'float32' (default, reference-parity numerics) or 'bfloat16'
+    # (serving fast path; quantified deltas in PERF.md round 5)
+    compute_dtype: str = "float32"
 
 
 def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
-                     budget: BatchBudget, floor: float):
+                     budget: BatchBudget, floor: float,
+                     compute_dtype: str = "float32"):
     batches = epoch_batches(store, indices, budget, shuffle=False)
     means, stds, targets = [], [], None
     from ..data.batching import verify_win64
@@ -66,7 +70,8 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
         # multi-device when available: batches fan out over a flat mesh via
         # the graph-aligned forward; single-device otherwise (identical math)
         mean_z, sigma_z, y, _ = collect_predictions_auto(
-            oneshot_config(cfg), floor, params, batches)
+            oneshot_config(cfg), floor, params, batches,
+            compute_dtype=compute_dtype)
         means.append(mean_z)
         stds.append(sigma_z)
         targets = y
@@ -124,7 +129,8 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
     floor = cfg.min_logvar_floor
 
     means_m, stds_m, targets = _collect_members(ensemble, std_store, eval_idx,
-                                                budget, floor)
+                                                budget, floor,
+                                                compute_dtype=cfg.compute_dtype)
     t_dim = targets.shape[1]
     target_names = [TARGET_NAMES.get(t, f"target_{t}") for t in range(t_dim)]
 
@@ -147,7 +153,8 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
     calib_scores = None
     use_scaled = bool(conf and conf.get("method") == "scaled")
     if calib_idx:
-        cm, cs, cy = _collect_members(ensemble, std_store, calib_idx, budget, floor)
+        cm, cs, cy = _collect_members(ensemble, std_store, calib_idx, budget,
+                                      floor, compute_dtype=cfg.compute_dtype)
         cm = cm * a + b
         cs = cs * np.abs(a)
         mu_c = cm.mean(axis=0)

@@ -71,8 +71,14 @@ class Ensemble:
     def predict(self, store: GraphStore, indices: Sequence[int],
                 batch_size: int = 32,
                 min_logvar_floor: float = MIN_LOGVAR_FLOOR,
-                giant_shards: int = 0) -> List[Dict[str, Any]]:
+                giant_shards: int = 0,
+                compute_dtype: str = "float32") -> List[Dict[str, Any]]:
         """Mixture predictions for `indices` of an already-standardized store.
+
+        `compute_dtype='bfloat16'` runs the trunk in bf16 (the serving fast
+        path — ~2× forward throughput on TPU with sub-percent μ/σ deltas,
+        quantified in PERF.md round 5); default f32 matches the reference's
+        inference numerics exactly.
 
         `giant_shards > 0` routes graphs exceeding the typical-statistics
         batch budget through the boundary-exchange partition over that many
@@ -131,7 +137,8 @@ class Ensemble:
             if batches:
                 # multi-device when available (graph-aligned forward fan-out)
                 mean_z, sigma_z, y, sample_idx = collect_predictions_auto(
-                    oneshot_config(cfg), min_logvar_floor, params, batches)
+                    oneshot_config(cfg), min_logvar_floor, params, batches,
+                    compute_dtype=compute_dtype)
                 rows_m.append(mean_z)
                 rows_s.append(sigma_z)
                 rows_y.append(y)

@@ -243,14 +243,20 @@ def _shared_trunk(params: Params, cfg: AlignnConfig, batch, *,
 
     def layer_pair(edge_state, node_state, eb, nb, keys):
         # EdgeUpdate: line-graph conv with angle features (train.py:303-317)
-        out = lg_conv(eb["conv"], edge_state, angle_emb, keys[0])
+        # conv outputs pinned to the state dtype: scan_layers carries
+        # (edge_state, node_state) through lax.scan, whose carry dtypes
+        # must be loop-invariant — an impl that computes (parts of) the
+        # conv in f32 must not leak the promotion into the bf16 trunk
+        out = lg_conv(eb["conv"], edge_state, angle_emb,
+                      keys[0]).astype(edge_state.dtype)
         out = _layer_norm(out, eb["ln_scale"], eb["ln_bias"])
         updated = edge_state + _dropout(jax.nn.relu(out), drop, keys[1])
         edge_state = jnp.where(has_lg, updated, edge_state)
 
         # NodeUpdate: atom conv fed by projected bond states (train.py:320-336)
         edge_feat = edge_state @ nb["edge_proj_w"] + nb["edge_proj_b"]
-        out = atom_conv(nb["conv"], node_state, edge_feat, keys[2])
+        out = atom_conv(nb["conv"], node_state, edge_feat,
+                        keys[2]).astype(node_state.dtype)
         out = _layer_norm(out, nb["ln_scale"], nb["ln_bias"])
         updated = node_state + _dropout(jax.nn.relu(out), drop, keys[3])
         node_state = jnp.where(has_edges, updated, node_state)

@@ -276,7 +276,12 @@ def transformer_conv_table(
         logits_t = jnp.where(in_mask[..., None] > 0, logits_t, _NEG)
         logits_t = logits_t - jax.lax.stop_gradient(
             jnp.max(logits_t, axis=1, keepdims=True))
-        expd = jnp.exp(logits_t) * in_mask[..., None]
+        # mask in the COMPUTE dtype: batch masks are f32 arrays, and an f32
+        # multiplicand silently promotes the whole [N, D, ·] softmax +
+        # aggregation family (and thence the layer states) to f32 under
+        # bf16 — doubling the table path's bandwidth and breaking the
+        # scan_layers carry-dtype contract
+        expd = jnp.exp(logits_t) * in_mask[..., None].astype(logits_t.dtype)
         alpha = expd / jnp.maximum(expd.sum(axis=1, keepdims=True), 1e-16)
         if use_dropout:
             keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,

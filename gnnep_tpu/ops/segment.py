@@ -86,7 +86,9 @@ def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
     expd = jnp.exp(shifted)
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (expd.ndim - mask.ndim))
-        expd = expd * m
+        # mask in the compute dtype — an f32 mask array would silently
+        # promote a bf16 softmax (and everything downstream) to f32
+        expd = expd * m.astype(expd.dtype)
     denom = segment_sum(expd, segment_ids, num_segments, indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)
     return expd / gather_rows(denom, segment_ids)

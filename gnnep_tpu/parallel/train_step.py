@@ -478,19 +478,26 @@ def make_aligned_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
     return multi, init_opt
 
 
-def make_aligned_forward(mesh, cfg: AlignnConfig, floor: float):
+def make_aligned_forward(mesh, cfg: AlignnConfig, floor: float,
+                         compute_dtype: str = "float32"):
     """Jitted multi-chip eval forward over a [D·E, ...]-stacked super-batch
     of graph-aligned sub-batches → ([D·E, G, T] mean, [D·E, G, T] logvar).
-    Each device runs the standard (fused-kernel) forward on its slot."""
+    Each device runs the standard (fused-kernel) forward on its slot;
+    `compute_dtype='bfloat16'` applies the serving fast path's cast
+    discipline per device (f32 outputs either way)."""
     from ..models.alignn import alignn_apply
+    from ..train.loop import _cast_for_compute
 
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     specs = aligned_pspecs()
     both = P((DATA_AXIS, EDGE_AXIS))
 
     def device_fwd(params, batch):
         batch = jax.tree.map(lambda x: x[0], batch)
+        params, batch = _cast_for_compute(params, batch, dtype)
         mean, logvar = alignn_apply(params, cfg, batch, train=False)
-        return mean[None], jnp.maximum(logvar, floor)[None]
+        return (mean.astype(jnp.float32)[None],
+                jnp.maximum(logvar.astype(jnp.float32), floor)[None])
 
     sharded = shard_map(device_fwd, mesh=mesh,
                         in_specs=(P(), specs),
@@ -503,36 +510,45 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_aligned_forward(cfg: AlignnConfig, floor: float, n_devices: int):
+def _cached_aligned_forward(cfg: AlignnConfig, floor: float, n_devices: int,
+                            compute_dtype: str = "float32"):
     import jax as _jax
 
     mesh = None
     from .mesh import make_mesh
 
     mesh = make_mesh(n_devices, 1, devices=_jax.devices()[:n_devices])
-    return make_aligned_forward(mesh, cfg, floor), n_devices
+    return make_aligned_forward(mesh, cfg, floor, compute_dtype), n_devices
 
 
-def collect_predictions_auto(cfg: AlignnConfig, floor: float, params, batches):
+def collect_predictions_auto(cfg: AlignnConfig, floor: float, params, batches,
+                             compute_dtype: str = "float32"):
     """Multi-device drop-in for `train.loop.collect_predictions`.
 
-    With one visible device (or a single batch) this is exactly the
-    single-device path; with D devices, batches run D-at-a-time through the
-    graph-aligned forward (`make_aligned_forward`) over a flat (D, 1) mesh —
-    each device executes the standard fused/table forward on one complete
-    sub-batch, so results are bit-comparable to the single-device loop.
+    With one visible device (or a single batch) this is the single-device
+    path — scan-amortized over the split's equal-shape batches
+    (`collect_predictions_scanned`: one host dispatch per 16 batches)
+    when the split is large enough to pay for it; with D devices, batches
+    run D-at-a-time through the graph-aligned forward
+    (`make_aligned_forward`) over a flat (D, 1) mesh — each device
+    executes the standard fused/table forward on one complete sub-batch,
+    so results are bit-comparable to the single-device loop.
     Returns (mean_z [N,T], sigma_z [N,T], y [N,T], sample_index [N]) over
     real graphs, in batch order.
+
+    `compute_dtype='bfloat16'` runs the trunk in bf16 on both routes
+    (serving fast path; the aligned forward casts per device).
     """
     import jax as _jax
 
-    from ..train.loop import collect_predictions, make_forward
+    from ..train.loop import collect_predictions_scanned
 
     batches = list(batches)
     n_dev = len(_jax.devices())
     if n_dev <= 1 or len(batches) <= 1:
-        return collect_predictions(make_forward(cfg, floor), params, batches)
-    fwd, n_dev = _cached_aligned_forward(cfg, floor, n_dev)
+        return collect_predictions_scanned(cfg, floor, params, batches,
+                                           compute_dtype=compute_dtype)
+    fwd, n_dev = _cached_aligned_forward(cfg, floor, n_dev, compute_dtype)
     means, sigmas, ys, idxs = [], [], [], []
     for at in range(0, len(batches), n_dev):
         group = batches[at:at + n_dev]

@@ -409,19 +409,62 @@ def oneshot_config(cfg: AlignnConfig) -> AlignnConfig:
 
 
 @functools.lru_cache(maxsize=64)
-def make_forward(cfg: AlignnConfig, floor: float = MIN_LOGVAR_FLOOR):
+def make_forward(cfg: AlignnConfig, floor: float = MIN_LOGVAR_FLOOR,
+                 compute_dtype: str = "float32"):
     """Jitted eval forward → (mean_z, logvar) with the floor applied.
 
-    Memoized on (cfg, floor): every caller that loops over ensemble members
-    or collects multiple splits shares ONE jit cache per architecture —
-    a fresh `@jax.jit` object per member used to recompile the identical
-    program each time (~70 s each on the remote-compile runtime; evaluate
-    spent 280 of its 315 s there)."""
+    Memoized on (cfg, floor, compute_dtype): every caller that loops over
+    ensemble members or collects multiple splits shares ONE jit cache per
+    architecture — a fresh `@jax.jit` object per member used to recompile
+    the identical program each time (~70 s each on the remote-compile
+    runtime; evaluate spent 280 of its 315 s there).
+
+    `compute_dtype='bfloat16'` runs the trunk in bf16 exactly as the
+    training fast path does (`_cast_for_compute`; heads return f32) — the
+    serving-throughput option. Default stays f32: eval numerics are the
+    parity contract with the reference's fp32 inference."""
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     @jax.jit
     def forward(params, batch):
-        mean, logvar = alignn_apply(params, cfg, batch, train=False)
-        return mean, jnp.maximum(logvar, floor)
+        c_params, c_batch = _cast_for_compute(params, batch, dtype)
+        mean, logvar = alignn_apply(c_params, cfg, c_batch, train=False)
+        return (mean.astype(jnp.float32),
+                jnp.maximum(logvar.astype(jnp.float32), floor))
+
+    return forward
+
+
+@functools.lru_cache(maxsize=64)
+def make_scan_forward(cfg: AlignnConfig, floor: float = MIN_LOGVAR_FLOOR,
+                      compute_dtype: str = "float32"):
+    """Eval forward over a whole STACK of same-shape batches in ONE
+    dispatch: `forward(params, stacked)` where every array of `stacked`
+    carries a leading [S] axis (np.stack over a budget's equal-arena
+    batches), scanning the per-batch program → (mean [S,G,T], logvar).
+
+    Per-batch math is the exact `make_forward` program (lax.scan compiles
+    one body; numerics identical — pinned by test_scan_collect_matches),
+    but host dispatch is paid once per stack instead of once per batch: on
+    the tunneled runtime a per-batch round-trip costs ~ms, which at ~10 ms
+    forwards is a measurable serving tax (PERF.md round 5 serving entry)."""
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def forward(params, stacked):
+        if dtype != jnp.float32:    # cast params ONCE, outside the scan body
+            params = jax.tree.map(
+                lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+                params)
+
+        def body(carry, batch):
+            _, c_batch = _cast_for_compute({}, batch, dtype)
+            mean, logvar = alignn_apply(params, cfg, c_batch, train=False)
+            return carry, (mean.astype(jnp.float32),
+                           jnp.maximum(logvar.astype(jnp.float32), floor))
+
+        _, (means, logvars) = jax.lax.scan(body, 0, stacked)
+        return means, logvars
 
     return forward
 
@@ -447,5 +490,53 @@ def collect_predictions(forward, params, batches) -> Tuple[np.ndarray, np.ndarra
         yv = np.where(np.asarray(b.y_mask) > 0, np.asarray(b.y), np.nan)
         ys.append(yv[mask])
         idxs.append(np.asarray(b.sample_index)[mask])
+    return (np.concatenate(means), np.concatenate(sigmas),
+            np.concatenate(ys), np.concatenate(idxs))
+
+
+def _batch_shape_key(batch) -> tuple:
+    return tuple((tuple(a.shape), str(np.asarray(a).dtype)) for a in batch)
+
+
+def collect_predictions_scanned(cfg: AlignnConfig, floor: float, params,
+                                batches, compute_dtype: str = "float32",
+                                chunk: int = 16):
+    """`collect_predictions` in chunked single-dispatch form: stack the
+    budget's equal-arena batches [S, ...] and run `make_scan_forward` once
+    per chunk — identical numerics, 1/S the host round-trips.
+
+    Chunks are padded to a fixed S by repeating the last batch (padded
+    outputs discarded) so exactly ONE scan program compiles regardless of
+    split size — a tail-sized second compile costs more than the wasted
+    forwards on this runtime. Falls back to the per-batch loop when
+    batches are few (padding waste would dominate) or arena shapes differ
+    (mixed budgets)."""
+    batches = list(batches)
+    if len(batches) <= max(2, chunk // 4):
+        return collect_predictions(
+            make_forward(cfg, floor, compute_dtype), params, batches)
+    key0 = _batch_shape_key(batches[0])
+    if any(_batch_shape_key(b) != key0 for b in batches[1:]):
+        return collect_predictions(
+            make_forward(cfg, floor, compute_dtype), params, batches)
+    fwd = make_scan_forward(cfg, floor, compute_dtype)
+    means, sigmas, ys, idxs = [], [], [], []
+    for at in range(0, len(batches), chunk):
+        group = batches[at:at + chunk]
+        n_real = len(group)
+        while len(group) < chunk:        # pad: one compiled S, ever
+            group.append(group[-1])
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+        mean, logvar = fwd(params, jax.device_put(stacked))
+        mean = np.asarray(mean)
+        sigma = np.sqrt(np.exp(np.asarray(logvar)))
+        for s in range(n_real):
+            b = group[s]
+            mask = np.asarray(b.graph_mask) > 0
+            means.append(mean[s][mask])
+            sigmas.append(sigma[s][mask])
+            yv = np.where(np.asarray(b.y_mask) > 0, np.asarray(b.y), np.nan)
+            ys.append(yv[mask])
+            idxs.append(np.asarray(b.sample_index)[mask])
     return (np.concatenate(means), np.concatenate(sigmas),
             np.concatenate(ys), np.concatenate(idxs))
