@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 = TPU serving fast path (~2x forward "
                         "throughput, sub-percent mu/sigma deltas — PERF.md); "
                         "float32 matches reference inference numerics")
+    p.add_argument("--giant-shards", type=int, default=0,
+                   help="route graphs exceeding the batch budget through "
+                        "the boundary-exchange edge partition over N device "
+                        "ranks instead of ballooning every batch's arenas "
+                        "(the inference half of train's --giant-graphs "
+                        "boundary); 0 = every graph must fit the budget")
     p.add_argument("--device", default=None)
     p.add_argument("--heads", type=int, default=None,
                    help="Reference-CLI compatibility: heads come from the "
@@ -100,7 +106,8 @@ def main(argv=None):
 
     results = ensemble.predict(store, indices, batch_size=args.batch_size,
                                min_logvar_floor=args.min_logvar_floor,
-                               compute_dtype=args.compute_dtype)
+                               compute_dtype=args.compute_dtype,
+                               giant_shards=args.giant_shards)
     print_results(results)
     if args.output_json:
         out = Path(args.output_json)

@@ -147,7 +147,8 @@ class Ensemble:
                 from ..parallel.giant import collect_giant_predictions
 
                 gfwd = cached_boundary_forward(bmesh, cfg,
-                                               min_logvar_floor, gset.plan)
+                                               min_logvar_floor, gset.plan,
+                                               compute_dtype=compute_dtype)
                 gm, gs, gy, gi = collect_giant_predictions(
                     gfwd, gset, giant_ids, params, 1)
                 rows_m.append(gm)

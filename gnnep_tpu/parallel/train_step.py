@@ -867,30 +867,39 @@ def make_boundary_scan_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
 
 
 @functools.lru_cache(maxsize=64)
-def cached_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan):
+def cached_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan,
+                            compute_dtype: str = "float32"):
     """Memoized `make_boundary_forward` (COO path): ensemble loops build one
     jitted program per distinct (mesh, config, plan), not per member — a
     fresh jit wrapper per member recompiles the identical program (~minutes
     each through a remote compile service; see PERF.md round 2)."""
-    return make_boundary_forward(mesh, cfg, floor, plan)
+    return make_boundary_forward(mesh, cfg, floor, plan,
+                                 compute_dtype=compute_dtype)
 
 
 def make_boundary_forward(mesh, cfg: AlignnConfig, floor: float, plan,
-                          meta=None):
+                          meta=None, compute_dtype: str = "float32"):
     """Jitted eval forward on the boundary partition → [D, G, T] each.
-    With `meta`, takes a stacked-BoundaryTables operand after the batch."""
+    With `meta`, takes a stacked-BoundaryTables operand after the batch.
+    `compute_dtype='bfloat16'` applies the serving fast path's cast to the
+    local arenas (BoundaryBatch shares the feature field names the cast
+    keys on; f32 outputs either way)."""
+    from ..train.loop import _cast_for_compute
     from .boundary_shard import boundary_apply
 
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     specs = boundary_pspecs()
 
     def device_fwd(params, bb, tables):
         bb = _strip_boundary(bb)
         if tables is not None:
             tables = _strip_tables(tables)
+        params, bb = _cast_for_compute(params, bb, dtype)
         mean, logvar = boundary_apply(params, cfg, bb, plan,
                                       axis_name=EDGE_AXIS, train=False,
                                       tables=tables, meta=meta)
-        return mean[None], jnp.maximum(logvar, floor)[None]
+        return (mean.astype(jnp.float32)[None],
+                jnp.maximum(logvar.astype(jnp.float32), floor)[None])
 
     if meta is None:
         sharded = shard_map(lambda p, bb: device_fwd(p, bb, None), mesh=mesh,

@@ -498,6 +498,15 @@ def _batch_shape_key(batch) -> tuple:
     return tuple((tuple(a.shape), str(np.asarray(a).dtype)) for a in batch)
 
 
+# (cfg, floor, compute_dtype, chunk, arena-shape key) whose scan program a
+# prior collection in this process already built — lets later SMALL splits
+# of the same job (e.g. evaluate's 3-batch calib split after its 10-batch
+# test split) ride the compiled scan program with padding instead of
+# compiling the per-batch program too (~70 s per program on the
+# remote-compile runtime; padded forwards cost milliseconds)
+_SCAN_PROGRAMS_BUILT: set = set()
+
+
 def collect_predictions_scanned(cfg: AlignnConfig, floor: float, params,
                                 batches, compute_dtype: str = "float32",
                                 chunk: int = 16):
@@ -509,17 +518,24 @@ def collect_predictions_scanned(cfg: AlignnConfig, floor: float, params,
     outputs discarded) so exactly ONE scan program compiles regardless of
     split size — a tail-sized second compile costs more than the wasted
     forwards on this runtime. Falls back to the per-batch loop when
-    batches are few (padding waste would dominate) or arena shapes differ
+    batches are few (padding waste would dominate — unless this process
+    already built the matching scan program) or arena shapes differ
     (mixed budgets)."""
     batches = list(batches)
-    if len(batches) <= max(2, chunk // 4):
+    if not batches:
         return collect_predictions(
             make_forward(cfg, floor, compute_dtype), params, batches)
     key0 = _batch_shape_key(batches[0])
+    prog_key = (cfg, floor, compute_dtype, chunk, key0)
+    if len(batches) <= max(2, chunk // 4) \
+            and prog_key not in _SCAN_PROGRAMS_BUILT:
+        return collect_predictions(
+            make_forward(cfg, floor, compute_dtype), params, batches)
     if any(_batch_shape_key(b) != key0 for b in batches[1:]):
         return collect_predictions(
             make_forward(cfg, floor, compute_dtype), params, batches)
     fwd = make_scan_forward(cfg, floor, compute_dtype)
+    _SCAN_PROGRAMS_BUILT.add(prog_key)
     means, sigmas, ys, idxs = [], [], [], []
     for at in range(0, len(batches), chunk):
         group = batches[at:at + chunk]

@@ -150,3 +150,15 @@ class TestGiantGraphs:
         np.testing.assert_allclose(gs, ss, rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(gy, sy)
         assert list(gi) == [21] and list(si) == [21]
+
+        # the serving fast path reaches the giant route too: the bf16
+        # boundary forward tracks its own f32 result within bf16 tolerance
+        fwd16 = cached_boundary_forward(mesh, mc, -2.9, gset.plan,
+                                        compute_dtype="bfloat16")
+        hm, hs, hy, hi = collect_giant_predictions(fwd16, gset, [21],
+                                                   params, 1)
+        assert np.isfinite(hm).all() and (hs > 0).all()
+        np.testing.assert_allclose(hm, gm, atol=5e-2)
+        np.testing.assert_allclose(np.log(hs), np.log(gs), atol=5e-2)
+        np.testing.assert_allclose(hy, gy)
+        assert list(hi) == [21]

@@ -65,6 +65,23 @@ class TestScannedCollection:
         for r, g in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
+    def test_small_split_reuses_built_scan_program(self):
+        # evaluate's pattern: a large split builds the scan program, then a
+        # small split of the SAME budget must ride it (padded) instead of
+        # compiling the per-batch program — and produce identical results
+        _, batches, cfg = _store_batches_cfg(n_graphs=24, batch_size=3)
+        params = init_alignn(jax.random.PRNGKey(5), cfg)
+        collect_predictions_scanned(cfg, -2.9, params, batches, chunk=4)
+        small = batches[:2]
+        ref = collect_predictions(make_forward(cfg, -2.9), params, small)
+        from gnnep_tpu.train import loop as loop_mod
+        key = (cfg, -2.9, "float32", 4,
+               loop_mod._batch_shape_key(small[0]))
+        assert key in loop_mod._SCAN_PROGRAMS_BUILT
+        got = collect_predictions_scanned(cfg, -2.9, params, small, chunk=4)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
     def test_mixed_arena_shapes_fall_back(self):
         # two budgets → different arena shapes; the scanned collector must
         # detect the mismatch and produce the per-batch loop's result
@@ -135,3 +152,10 @@ class TestCliPlumbing:
         from gnnep_tpu.cli.evaluate import build_parser
         args = build_parser().parse_args(["--compute-dtype", "bfloat16"])
         assert args.compute_dtype == "bfloat16"
+
+    def test_predict_cli_exposes_giant_shards(self):
+        from gnnep_tpu.cli.predict import build_parser
+        args = build_parser().parse_args(
+            ["--mode", "random", "--giant-shards", "4"])
+        assert args.giant_shards == 4
+        assert build_parser().parse_args(["--mode", "random"]).giant_shards == 0
