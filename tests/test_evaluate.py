@@ -126,6 +126,18 @@ class TestEvaluateRunner:
                     "error_variance.png", "corr_heatmap.png"):
             assert (out / png).exists(), png
 
+        # the serving fast path through the same pipeline: bf16 metrics
+        # must track f32 closely (sub-GPa on this tiny fixture)
+        bcfg = EvalConfig(
+            ensemble_dir=str(tmp_path / "ens"),
+            output_dir=str(tmp_path / "eval_bf16"),
+            batch_size=8, seed=42, val_frac=0.15, calib_frac=0.15,
+            test_frac=0.15, ensemble_size=2, eval_split="test",
+            make_plots=False, compute_dtype="bfloat16")
+        b = run_evaluation(bcfg, store)
+        assert abs(b["overall"]["mae"] - result["overall"]["mae"]) \
+            < max(0.5, 0.02 * result["overall"]["mae"])
+
     def test_fold_split_evaluation(self, tmp_path):
         store = make_store(28, seed=6)
         tcfg = TrainConfig(
