@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32",
                    help="bfloat16 = TPU serving fast path; float32 matches "
                         "reference eval numerics (default)")
+    p.add_argument("--giant-shards", type=int, default=0,
+                   help="route graphs exceeding the batch budget through "
+                        "the boundary-exchange edge partition over N device "
+                        "ranks (the evaluate side of train's "
+                        "--giant-graphs boundary); 0 = cover-all budget")
     p.add_argument("--device", default=None)
     # reference-CLI compatibility: architecture comes from the embedded
     # checkpoint config here (the reference shape-sniffs and needs these);
@@ -73,7 +78,8 @@ def main(argv=None):
         test_frac=args.test_frac, ensemble_size=args.ensemble_size,
         eval_split=args.eval_split, fold_index=args.fold_index,
         min_logvar_floor=args.min_logvar_floor, coverage_grid=args.coverage_grid,
-        make_plots=not args.no_plots, compute_dtype=args.compute_dtype)
+        make_plots=not args.no_plots, compute_dtype=args.compute_dtype,
+        giant_shards=args.giant_shards)
     run_evaluation(cfg)
 
 

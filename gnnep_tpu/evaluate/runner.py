@@ -47,16 +47,34 @@ class EvalConfig:
     # 'float32' (default, reference-parity numerics) or 'bfloat16'
     # (serving fast path; quantified deltas in PERF.md round 5)
     compute_dtype: str = "float32"
+    # route graphs exceeding the typical-statistics batch budget through
+    # the boundary-exchange edge partition over N device ranks (the
+    # evaluate side of train's --giant-graphs boundary / predict's
+    # --giant-shards); 0 = the budget covers every graph (cover_all)
+    giant_shards: int = 0
 
 
 def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
                      budget: BatchBudget, floor: float,
-                     compute_dtype: str = "float32"):
-    batches = epoch_batches(store, indices, budget, shuffle=False)
+                     compute_dtype: str = "float32", gset=None):
+    giant_ids: List[int] = []
+    if gset is not None:
+        indices, giant_ids = gset.split(indices)
+    batches = epoch_batches(store, indices, budget, shuffle=False) \
+        if indices else []
     means, stds, targets = [], [], None
     from ..data.batching import verify_win64
     from ..parallel.train_step import collect_predictions_auto
     from ..train.loop import oneshot_config, reconcile_win64
+
+    if giant_ids:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.train_step import cached_boundary_forward
+
+        bmesh = make_mesh(1, gset.n_shards,
+                          devices=jax.devices()[:gset.n_shards])
 
     checked = False
     for params, cfg in zip(ensemble.members, ensemble.cfgs):
@@ -64,17 +82,33 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
         # packed/diluted to the fresh eval budget — the kernels must window
         # to the active budget or silently drop edges on denser eval data
         cfg = reconcile_win64(cfg, budget)
-        if not checked:
+        if not checked and batches:
             verify_win64(batches, cfg)
             checked = True
-        # multi-device when available: batches fan out over a flat mesh via
-        # the graph-aligned forward; single-device otherwise (identical math)
-        mean_z, sigma_z, y, _ = collect_predictions_auto(
-            oneshot_config(cfg), floor, params, batches,
-            compute_dtype=compute_dtype)
-        means.append(mean_z)
-        stds.append(sigma_z)
-        targets = y
+        rows_m, rows_s, rows_y = [], [], []
+        if batches:
+            # multi-device when available: batches fan out over a flat mesh
+            # via the graph-aligned forward; single-device otherwise
+            # (identical math)
+            mean_z, sigma_z, y, _ = collect_predictions_auto(
+                oneshot_config(cfg), floor, params, batches,
+                compute_dtype=compute_dtype)
+            rows_m.append(mean_z)
+            rows_s.append(sigma_z)
+            rows_y.append(y)
+        if giant_ids:
+            from ..parallel.giant import collect_giant_predictions
+
+            gfwd = cached_boundary_forward(bmesh, cfg, floor, gset.plan,
+                                           compute_dtype=compute_dtype)
+            gm, gs, gy, _ = collect_giant_predictions(gfwd, gset, giant_ids,
+                                                      params, 1)
+            rows_m.append(gm)
+            rows_s.append(gs)
+            rows_y.append(gy)
+        means.append(np.concatenate(rows_m))
+        stds.append(np.concatenate(rows_s))
+        targets = np.concatenate(rows_y)
     means, stds = np.stack(means), np.stack(stds)
     # the metric suite assumes fully-targeted samples (stores load with
     # require_target=True); the collectors surface invalid targets as NaN,
@@ -125,12 +159,32 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
     if not eval_idx:
         raise ValueError(f"Evaluation split '{split_tag}' is empty.")
 
-    budget = BatchBudget.plan(std_store, range(std_store.n_graphs), cfg.batch_size)
+    budget = BatchBudget.plan(std_store, range(std_store.n_graphs),
+                              cfg.batch_size,
+                              cover_all=cfg.giant_shards <= 0)
+    gset = None
+    if cfg.giant_shards > 0:
+        import jax
+
+        from ..parallel.giant import build_giant_set, find_giants
+
+        if cfg.giant_shards > len(jax.devices()):
+            raise ValueError(f"giant_shards={cfg.giant_shards} exceeds the "
+                             f"{len(jax.devices())} visible devices")
+        giant_all = find_giants(std_store, range(std_store.n_graphs), budget)
+        if giant_all:
+            normal = [g for g in range(std_store.n_graphs)
+                      if g not in set(giant_all)]
+            if normal:
+                budget = BatchBudget.plan(std_store, normal, cfg.batch_size,
+                                          cover_all=True)
+            gset = build_giant_set(std_store, giant_all, cfg.giant_shards)
     floor = cfg.min_logvar_floor
 
     means_m, stds_m, targets = _collect_members(ensemble, std_store, eval_idx,
                                                 budget, floor,
-                                                compute_dtype=cfg.compute_dtype)
+                                                compute_dtype=cfg.compute_dtype,
+                                                gset=gset)
     t_dim = targets.shape[1]
     target_names = [TARGET_NAMES.get(t, f"target_{t}") for t in range(t_dim)]
 
@@ -154,7 +208,8 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
     use_scaled = bool(conf and conf.get("method") == "scaled")
     if calib_idx:
         cm, cs, cy = _collect_members(ensemble, std_store, calib_idx, budget,
-                                      floor, compute_dtype=cfg.compute_dtype)
+                                      floor, compute_dtype=cfg.compute_dtype,
+                                      gset=gset)
         cm = cm * a + b
         cs = cs * np.abs(a)
         mu_c = cm.mean(axis=0)

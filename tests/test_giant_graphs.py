@@ -120,6 +120,28 @@ class TestGiantGraphs:
             assert all(math.isfinite(v) for v in r["mu"])
             assert all(v >= 0.0 for v in r["sigma"])
 
+        # the evaluate pipeline routes giants too: the giant-containing
+        # split evaluates through the boundary forward instead of a
+        # cover-all budget ballooned to the giant's arenas, and produces
+        # the same metrics (same math, partitioned layout)
+        from gnnep_tpu.evaluate.runner import EvalConfig, run_evaluation
+
+        base = dict(ensemble_dir=str(tmp_path / "ens"), batch_size=4,
+                    seed=cfg.seed, val_frac=0.15, calib_frac=0.15,
+                    test_frac=0.15, ensemble_size=1, eval_split="train",
+                    make_plots=False)
+        routed = run_evaluation(EvalConfig(
+            output_dir=str(tmp_path / "eval_routed"), giant_shards=4,
+            **base), mixed_store)
+        cover = run_evaluation(EvalConfig(
+            output_dir=str(tmp_path / "eval_cover"), giant_shards=0,
+            **base), mixed_store)
+        assert math.isfinite(routed["overall"]["mae"])
+        np.testing.assert_allclose(routed["overall"]["mae"],
+                                   cover["overall"]["mae"], rtol=1e-3)
+        np.testing.assert_allclose(routed["overall"]["rmse"],
+                                   cover["overall"]["rmse"], rtol=1e-3)
+
     def test_boundary_predictions_match_unpartitioned(self, mixed_store):
         """The boundary forward on the giant agrees with the single-device
         forward over a covering budget (same math, partitioned layout)."""
