@@ -160,42 +160,52 @@ class Ensemble:
             member_means.append(mean_z)
             member_vars.append(sigma_z ** 2)
             order, ys = np.concatenate(rows_i), np.concatenate(rows_y)
-        mean_z, var_z = ensemble_mixture(np.stack(member_means), np.stack(member_vars))
-        std_z = np.sqrt(var_z)
+        return format_mixture_results(member_means, member_vars, order, ys,
+                                      self.transformer, store)
 
-        t = self.transformer
-        mean_orig = t.inverse(mean_z)
-        log_mean = t.to_log(mean_z)
-        log_std = std_z * t.stds
-        var_lin = (np.exp(log_std ** 2) - 1.0) * np.exp(2 * log_mean + log_std ** 2)
-        std_lin = np.sqrt(np.clip(var_lin, 0.0, None))
-        lower = mean_orig - Z_SCORE_90 * std_lin
-        upper = mean_orig + Z_SCORE_90 * std_lin
 
-        results = []
-        for row, g in enumerate(order):
-            mid = store.material_ids[g] if 0 <= g < store.n_graphs else f"sample_{row}"
-            y_row = ys[row]
-            entry: Dict[str, Any] = {
-                "material_id": mid,
-                "mu": mean_orig[row].tolist(),
-                "sigma": std_lin[row].tolist(),
-                "ci90": [{"lower": max(float(lo), 0.0), "upper": float(hi)}
-                         for lo, hi in zip(lower[row], upper[row])],
-                "prediction": mean_orig[row].tolist(),
-                "uncertainty": std_lin[row].tolist(),
-            }
-            # collectors emit NaN where the batch's y_mask marked the target
-            # invalid — presence is decided by finiteness, never a magic
-            # value (K=G=1.0 GPa is a legitimate ground truth). Missing
-            # components serialize as JSON null, not the non-standard NaN
-            # token (json.dumps would emit `NaN`, which strict parsers
-            # reject)
-            if np.isfinite(y_row).any():
-                entry["target"] = [float(v) if np.isfinite(v) else None
-                                   for v in y_row]
-            results.append(entry)
-        return results
+def format_mixture_results(member_means, member_vars, order, ys, transformer,
+                           store: GraphStore) -> List[Dict[str, Any]]:
+    """Mixture aggregation + lognormal linear-space σ + clipped 90 % CI →
+    the per-material result dicts (`predict.py:582-653` semantics). Shared
+    by `Ensemble.predict` and the AOT serving bundle."""
+    mean_z, var_z = ensemble_mixture(np.stack(member_means),
+                                     np.stack(member_vars))
+    std_z = np.sqrt(var_z)
+
+    t = transformer
+    mean_orig = t.inverse(mean_z)
+    log_mean = t.to_log(mean_z)
+    log_std = std_z * t.stds
+    var_lin = (np.exp(log_std ** 2) - 1.0) * np.exp(2 * log_mean + log_std ** 2)
+    std_lin = np.sqrt(np.clip(var_lin, 0.0, None))
+    lower = mean_orig - Z_SCORE_90 * std_lin
+    upper = mean_orig + Z_SCORE_90 * std_lin
+
+    results = []
+    for row, g in enumerate(order):
+        mid = store.material_ids[g] if 0 <= g < store.n_graphs else f"sample_{row}"
+        y_row = ys[row]
+        entry: Dict[str, Any] = {
+            "material_id": mid,
+            "mu": mean_orig[row].tolist(),
+            "sigma": std_lin[row].tolist(),
+            "ci90": [{"lower": max(float(lo), 0.0), "upper": float(hi)}
+                     for lo, hi in zip(lower[row], upper[row])],
+            "prediction": mean_orig[row].tolist(),
+            "uncertainty": std_lin[row].tolist(),
+        }
+        # collectors emit NaN where the batch's y_mask marked the target
+        # invalid — presence is decided by finiteness, never a magic
+        # value (K=G=1.0 GPa is a legitimate ground truth). Missing
+        # components serialize as JSON null, not the non-standard NaN
+        # token (json.dumps would emit `NaN`, which strict parsers
+        # reject)
+        if np.isfinite(y_row).any():
+            entry["target"] = [float(v) if np.isfinite(v) else None
+                               for v in y_row]
+        results.append(entry)
+    return results
 
 
 def load_custom_samples(input_file: str | Path, ensemble: Ensemble,
