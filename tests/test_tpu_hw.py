@@ -214,3 +214,29 @@ def test_span_formulation_matches_eproj_on_mosaic(hw):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale, atol=1e-6,
                                    err_msg=name)
+
+
+def test_bundle_roundtrip_on_mosaic(hw, tmp_path):
+    """jax.export serializes the fused forward — Mosaic custom calls and
+    all — and the rehydrated program is bit-equal to the live jit on real
+    hardware (the AOT serving bundle's core contract, infer/bundle.py)."""
+    import dataclasses
+
+    import jax
+    from jax import export as jexport
+
+    from gnnep_tpu.infer.bundle import _register_serializations
+    from gnnep_tpu.train.loop import make_forward, oneshot_config
+
+    cfg, batch, params = hw
+    fcfg = oneshot_config(dataclasses.replace(cfg, conv_impl="fused"))
+    _register_serializations()
+    fwd = make_forward(fcfg, -2.9, "bfloat16")
+    blob = jexport.export(fwd)(params, batch).serialize()
+    (tmp_path / "forward.bin").write_bytes(blob)
+
+    rehydrated = jexport.deserialize((tmp_path / "forward.bin").read_bytes())
+    got = rehydrated.call(params, jax.device_put(batch))
+    ref = fwd(params, jax.device_put(batch))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
