@@ -41,9 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float32")
     e.add_argument("--device", default=None)
 
-    s = sub.add_parser("predict", help="serve random samples from a bundle")
+    s = sub.add_parser("predict", help="serve from a bundle (random dataset "
+                                       "samples, or --input-file customs)")
     s.add_argument("--bundle-dir", default="artifacts/serving")
     s.add_argument("--data-dir", default="data/mp_gnn")
+    s.add_argument("--input-file", default=None,
+                   help="custom-inference JSON (same schema as "
+                        "cli.predict --mode custom): serve NEW structures "
+                        "through the pre-compiled program, no dataset "
+                        "needed")
+    s.add_argument("--mat2vec-path", default=None)
     s.add_argument("--num-samples", type=int, default=5)
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--output-json", default=None)
@@ -73,11 +80,18 @@ def main(argv=None):
         return
 
     bundle = ServingBundle.load(args.bundle_dir)
-    raw = GraphStore.load_dir(args.data_dir)
-    store = bundle.ensemble.scaler.apply(raw)
-    rng = np.random.default_rng(args.seed)
-    n = min(args.num_samples, store.n_graphs)
-    indices = rng.choice(store.n_graphs, size=n, replace=False).tolist()
+    if args.input_file:
+        from ..infer.predict import load_custom_samples
+
+        store = load_custom_samples(args.input_file, bundle.ensemble,
+                                    args.mat2vec_path)
+        indices = list(range(store.n_graphs))
+    else:
+        raw = GraphStore.load_dir(args.data_dir)
+        store = bundle.ensemble.scaler.apply(raw)
+        rng = np.random.default_rng(args.seed)
+        n = min(args.num_samples, store.n_graphs)
+        indices = rng.choice(store.n_graphs, size=n, replace=False).tolist()
     results = bundle.predict(store, indices)
     print_results(results)
     if args.output_json:

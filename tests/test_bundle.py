@@ -102,3 +102,40 @@ class TestServingBundle:
         for p in preds:
             assert all(math.isfinite(v) for v in p["mu"])
             assert all(v >= 0.0 for v in p["sigma"])
+
+    def test_cli_predict_custom_input(self, trained, tmp_path):
+        # dataset-free serving: a NEW structure through the pre-compiled
+        # program via the custom-inference JSON schema (neighbor settings
+        # chosen so the graph fits the bundle's packing contract — an
+        # over-dense custom graph is a loud packer error by design)
+        from gnnep_tpu.cli.bundle import main
+
+        ens_dir, store = trained
+        out = tmp_path / "serving"
+        export_bundle(ens_dir, store, out, batch_size=6)
+        custom = {"materials": [{
+            "material_id": "custom-si",
+            "formula": "Si2",
+            "nn_method": "cutoff", "cutoff": 2.7,
+            "k_vrh": 90.0, "g_vrh": 45.0,
+            "structure": {
+                "lattice": {"matrix": [[3.1, 0, 0], [0, 3.1, 0],
+                                       [0, 0, 3.1]]},
+                "sites": [
+                    {"species": [{"element": "Si"}],
+                     "abc": [0.0, 0.0, 0.0]},
+                    {"species": [{"element": "Si"}],
+                     "abc": [0.5, 0.5, 0.5]},
+                ],
+            },
+        }]}
+        in_json = tmp_path / "custom.json"
+        in_json.write_text(json.dumps(custom))
+        pred_json = tmp_path / "custom_preds.json"
+        main(["predict", "--bundle-dir", str(out),
+              "--input-file", str(in_json),
+              "--output-json", str(pred_json)])
+        preds = json.loads(pred_json.read_text())["predictions"]
+        assert len(preds) == 1
+        assert preds[0]["material_id"] == "custom-si"
+        assert all(math.isfinite(v) for v in preds[0]["mu"])
