@@ -420,12 +420,15 @@ def main():
     # round 5) and 197 TFLOP/s bf16 MXU peak.
     roofline = {}
     try:
+        # NB: `multi`/`step` are already jitted — lower them directly so the
+        # compile options (incl. donation) match the timed call and the
+        # compile resolves from cache instead of building a second program
         if scan_k > 0:
-            ca = (jax.jit(multi)
+            ca = (multi
                   .lower(params, opt_state, smask, stacked, key, 3e-4, 3e-4)
                   .compile().cost_analysis())
         else:
-            ca = (jax.jit(step)
+            ca = (step
                   .lower(params, opt_state, smask, batch, key, 3e-4, 3e-4)
                   .compile().cost_analysis())
         step_s = step_ms / 1e3

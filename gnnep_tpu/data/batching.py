@@ -905,14 +905,19 @@ def verify_win64(batches, cfg) -> None:
             np.asarray(b.lg_src_starts), b.lg_src.shape[0])),
         # span-formulation bounds: same silent-drop hazard class (the span
         # kernels' one-hot gather returns zero rows for sources outside the
-        # static span window)
-        ("edge_span64", lambda b: measure_span64(
-            np.asarray(b.node_graph), np.asarray(b.edge_dst),
-            np.asarray(b.edge_mask), np.asarray(b.y).shape[0])[0]),
-        ("lg_span64", lambda b: measure_span64(
-            np.asarray(b.node_graph), np.asarray(b.edge_dst),
-            np.asarray(b.edge_mask), np.asarray(b.y).shape[0])[1]),
+        # static span window); one measure_span64 pass yields both bounds
+        ("edge_span64", lambda b: _span64_pair(b)[0]),
+        ("lg_span64", lambda b: _span64_pair(b)[1]),
     )
+
+    def _span64_pair(b, _cache={}):
+        key = id(b)
+        if key not in _cache:
+            _cache.clear()   # one live batch at a time; never grows
+            _cache[key] = measure_span64(
+                np.asarray(b.node_graph), np.asarray(b.edge_dst),
+                np.asarray(b.edge_mask), np.asarray(b.y).shape[0])
+        return _cache[key]
     for i, b in enumerate(batches):
         for name, fn in checks:
             bound = int(getattr(cfg, name, 0) or 0)

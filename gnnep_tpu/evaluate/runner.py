@@ -68,13 +68,9 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
     from ..train.loop import oneshot_config, reconcile_win64
 
     if giant_ids:
-        import jax
+        from ..parallel.giant import make_giant_collector
 
-        from ..parallel.mesh import make_mesh
-        from ..parallel.train_step import cached_boundary_forward
-
-        bmesh = make_mesh(1, gset.n_shards,
-                          devices=jax.devices()[:gset.n_shards])
+        gcollect = make_giant_collector(gset, floor, compute_dtype)
 
     checked = False
     for params, cfg in zip(ensemble.members, ensemble.cfgs):
@@ -97,12 +93,7 @@ def _collect_members(ensemble: Ensemble, store: GraphStore, indices: List[int],
             rows_s.append(sigma_z)
             rows_y.append(y)
         if giant_ids:
-            from ..parallel.giant import collect_giant_predictions
-
-            gfwd = cached_boundary_forward(bmesh, cfg, floor, gset.plan,
-                                           compute_dtype=compute_dtype)
-            gm, gs, gy, _ = collect_giant_predictions(gfwd, gset, giant_ids,
-                                                      params, 1)
+            gm, gs, gy, _ = gcollect(params, cfg, giant_ids)
             rows_m.append(gm)
             rows_s.append(gs)
             rows_y.append(gy)
@@ -159,26 +150,27 @@ def run_evaluation(cfg: EvalConfig, store: Optional[GraphStore] = None) -> Dict:
     if not eval_idx:
         raise ValueError(f"Evaluation split '{split_tag}' is empty.")
 
-    budget = BatchBudget.plan(std_store, range(std_store.n_graphs),
-                              cfg.batch_size,
-                              cover_all=cfg.giant_shards <= 0)
     gset = None
     if cfg.giant_shards > 0:
         import jax
 
-        from ..parallel.giant import build_giant_set, find_giants
+        from ..parallel.giant import build_giant_set, classify_giants
 
         if cfg.giant_shards > len(jax.devices()):
             raise ValueError(f"giant_shards={cfg.giant_shards} exceeds the "
                              f"{len(jax.devices())} visible devices")
-        giant_all = find_giants(std_store, range(std_store.n_graphs), budget)
+        # fixpoint classification (shared with train's prepare()): one huge
+        # graph inflates the typical-stats capacity and can hide smaller
+        # giants, which would then balloon the cover-all eval budget
+        _, giant_all, budget = classify_giants(
+            std_store, range(std_store.n_graphs),
+            lambda pop, ca: BatchBudget.plan(std_store, pop, cfg.batch_size,
+                                             cover_all=ca))
         if giant_all:
-            normal = [g for g in range(std_store.n_graphs)
-                      if g not in set(giant_all)]
-            if normal:
-                budget = BatchBudget.plan(std_store, normal, cfg.batch_size,
-                                          cover_all=True)
             gset = build_giant_set(std_store, giant_all, cfg.giant_shards)
+    else:
+        budget = BatchBudget.plan(std_store, range(std_store.n_graphs),
+                                  cfg.batch_size, cover_all=True)
     floor = cfg.min_logvar_floor
 
     means_m, stds_m, targets = _collect_members(ensemble, std_store, eval_idx,

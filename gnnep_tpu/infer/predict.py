@@ -87,22 +87,23 @@ class Ensemble:
         `--giant-graphs boundary` path. Giant rows are appended after the
         packed rows (every member uses the same order)."""
         idx = list(int(i) for i in indices)
-        budget = BatchBudget.plan(store, idx, min(batch_size, len(idx)),
-                                  cover_all=giant_shards <= 0)
         gset = None
         giant_ids: List[int] = []
         if giant_shards > 0:
-            from ..parallel.giant import build_giant_set, find_giants
+            from ..parallel.giant import build_giant_set, classify_giants
 
-            giant_ids = find_giants(store, idx, budget)
+            # fixpoint classification (shared with train/evaluate): a huge
+            # outlier can hide smaller giants behind an inflated budget
+            idx, giant_ids, budget = classify_giants(
+                store, idx,
+                lambda pop, ca: BatchBudget.plan(
+                    store, pop, min(batch_size, max(len(pop), 1)),
+                    cover_all=ca))
             if giant_ids:
-                normal = [g for g in idx if g not in set(giant_ids)]
-                if normal:
-                    budget = BatchBudget.plan(store, normal,
-                                              min(batch_size, len(normal)),
-                                              cover_all=True)
-                idx = normal
                 gset = build_giant_set(store, giant_ids, giant_shards)
+        else:
+            budget = BatchBudget.plan(store, idx, min(batch_size, len(idx)),
+                                      cover_all=True)
         batches = epoch_batches(store, idx, budget, shuffle=False) \
             if idx else []
         member_means, member_vars = [], []
@@ -113,17 +114,10 @@ class Ensemble:
         from ..train.loop import oneshot_config, reconcile_win64
 
         if gset is not None:
-            import jax
+            from ..parallel.giant import make_giant_collector
 
-            from ..parallel.mesh import make_mesh
-            from ..parallel.train_step import cached_boundary_forward
-
-            if giant_shards > len(jax.devices()):
-                raise ValueError(
-                    f"giant_shards={giant_shards} exceeds the "
-                    f"{len(jax.devices())} visible devices")
-            bmesh = make_mesh(1, giant_shards,
-                              devices=jax.devices()[:giant_shards])
+            gcollect = make_giant_collector(gset, min_logvar_floor,
+                                            compute_dtype)
 
         checked = False
         for params, cfg in zip(self.members, self.cfgs):
@@ -144,13 +138,7 @@ class Ensemble:
                 rows_y.append(y)
                 rows_i.append(sample_idx)
             if gset is not None:
-                from ..parallel.giant import collect_giant_predictions
-
-                gfwd = cached_boundary_forward(bmesh, cfg,
-                                               min_logvar_floor, gset.plan,
-                                               compute_dtype=compute_dtype)
-                gm, gs, gy, gi = collect_giant_predictions(
-                    gfwd, gset, giant_ids, params, 1)
+                gm, gs, gy, gi = gcollect(params, cfg, giant_ids)
                 rows_m.append(gm)
                 rows_s.append(gs)
                 rows_y.append(gy)

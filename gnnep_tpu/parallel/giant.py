@@ -46,6 +46,37 @@ def find_giants(store: GraphStore, indices: Sequence[int],
     return [int(g) for g in indices if not fits_budget(store, g, budget)]
 
 
+def classify_giants(store: GraphStore, indices: Sequence[int], plan_budget
+                    ) -> Tuple[List[int], List[int], BatchBudget]:
+    """Fixpoint giant classification shared by train/evaluate/predict.
+
+    Giants inflate the mean-based capacity of a typical-statistics budget,
+    hiding SMALLER giants behind a bigger one — so re-plan over the
+    surviving population until the giant set stabilizes (strictly shrinking
+    population ⇒ terminates). `plan_budget(population, cover_all)` builds a
+    BatchBudget for a population (each caller binds its own batch-size /
+    slack / quantile knobs). Returns `(normal, giants, budget)` with
+    `normal` order-preserving, `giants` sorted, and `budget` the final plan
+    over the normal population — cover-all (every non-giant fits) whenever
+    any giant was split off; when none were, the initial typical-stats plan
+    is returned unchanged (it demonstrably covers every graph).
+    """
+    normal = [int(g) for g in indices]
+    giants: List[int] = []
+    budget = plan_budget(normal, False)
+    while normal:
+        grown = set(find_giants(store, normal, budget))
+        if not grown:
+            break
+        giants.extend(grown)
+        normal = [g for g in normal if g not in grown]
+        if normal:
+            budget = plan_budget(normal, False)
+    if giants and normal:
+        budget = plan_budget(normal, True)
+    return normal, sorted(giants), budget
+
+
 @dataclasses.dataclass
 class GiantSet:
     """All giant graphs' boundary-partitioned batches under ONE shared plan
@@ -148,8 +179,39 @@ def collect_giant_predictions(fwd, giant: GiantSet, ids: Sequence[int],
             ys.append(yv[mask])
             idxs.append(np.full(int(mask.sum()), g, dtype=np.int32))
     if not means:
-        t = giant.plan and 2
+        t = int(np.asarray(next(iter(giant.bbs.values())).y).shape[-1])
         return (np.zeros((0, t)), np.zeros((0, t)), np.zeros((0, t)),
                 np.zeros(0, np.int32))
     return (np.concatenate(means), np.concatenate(sigmas),
             np.concatenate(ys), np.concatenate(idxs))
+
+
+def make_giant_collector(gset: GiantSet, floor: float,
+                         compute_dtype: str = "float32"):
+    """Validated boundary mesh + per-member giant collection, shared by
+    evaluate/_collect_members, Ensemble.predict, and calibration's
+    collect_ensemble (one implementation — the three call sites had begun
+    to drift on device validation and compute_dtype).
+
+    Builds the (1 × n_shards) mesh once — raising the same clear ValueError
+    every sibling path raises when fewer devices are visible than edge
+    shards — and returns `collect(params, cfg, ids)` mapping one member to
+    `collect_giant_predictions`' (mean_z, sigma_z, y, sample_index) rows.
+    """
+    import jax
+
+    from .mesh import make_mesh
+    from .train_step import cached_boundary_forward
+
+    n_dev = len(jax.devices())
+    if gset.n_shards > n_dev:
+        raise ValueError(f"giant boundary routing needs {gset.n_shards} "
+                         f"edge-shard devices, have {n_dev} visible")
+    bmesh = make_mesh(1, gset.n_shards, devices=jax.devices()[:gset.n_shards])
+
+    def collect(params, cfg, ids: Sequence[int]):
+        fwd = cached_boundary_forward(bmesh, cfg, floor, gset.plan,
+                                      compute_dtype=compute_dtype)
+        return collect_giant_predictions(fwd, gset, ids, params, 1)
+
+    return collect

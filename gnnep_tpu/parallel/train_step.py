@@ -319,7 +319,10 @@ def _aligned_parts(mesh, cfg: AlignnConfig, hyper: TrainHyper,
             return loss_sum, (sample_sum, n_real)
         # local StepMetrics sums (same fields as the single-device step body
         # in train/loop._make_step_body: y_mask-valid error diagnostics)
-        lv = jnp.maximum(logvar.astype(jnp.float32), hyper.min_logvar_floor)
+        # RAW logvar, matching the single-device step body's diagnostics
+        # (train/loop._make_step_body) — mesh and single-device members must
+        # report comparable train_logvar/max_var even when the floor binds
+        lv = logvar.astype(jnp.float32)
         pred = jnp.exp(mean.astype(jnp.float32) * sd + mu)
         el_mask = batch.graph_mask[:, None] * batch.y_mask
         err = (pred - batch.y) * el_mask
@@ -698,7 +701,10 @@ def make_boundary_train_step(mesh, cfg: AlignnConfig, hyper: TrainHyper,
                                                      mu, sd, hyper)
         if not full_metrics:
             return loss_sum, (sample_sum, n_real)
-        lv = jnp.maximum(logvar.astype(jnp.float32), hyper.min_logvar_floor)
+        # RAW logvar, matching the single-device step body's diagnostics
+        # (train/loop._make_step_body) — mesh and single-device members must
+        # report comparable train_logvar/max_var even when the floor binds
+        lv = logvar.astype(jnp.float32)
         pred = jnp.exp(mean.astype(jnp.float32) * sd + mu)
         el_mask = bb.graph_mask[:, None] * bb.y_mask
         err = (pred - bb.y) * el_mask

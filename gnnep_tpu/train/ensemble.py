@@ -78,40 +78,18 @@ def prepare(cfg: TrainConfig, store: Optional[GraphStore] = None) -> TrainingSet
 
     giant = None
     route_giants = getattr(cfg, "giant_graphs", "error") == "boundary"
-    budget = BatchBudget.plan(std_store, range(std_store.n_graphs), cfg.batch_size,
-                              slack=cfg.batch_slack, quantile=cfg.batch_quantile,
-                              cover_all=not route_giants)
     if route_giants:
-        from ..parallel.giant import build_giant_set, find_giants
+        from ..parallel.giant import build_giant_set, classify_giants
 
-        # fixpoint classification: giants inflate the mean-based capacity
-        # of the typical-stats budget, hiding SMALLER giants behind a
-        # bigger one — re-plan over the surviving population until the
-        # giant set stabilizes (strictly shrinking population ⇒ terminates)
-        normal = list(range(std_store.n_graphs))
-        g_idx: List[int] = []
-        while True:
-            grown = find_giants(std_store, normal, budget)
-            if not grown:
-                break
-            g_idx.extend(grown)
-            normal = sorted(set(normal) - set(grown))
-            if not normal:
-                break
-            budget = BatchBudget.plan(
-                std_store, normal, cfg.batch_size,
-                slack=cfg.batch_slack, quantile=cfg.batch_quantile,
-                cover_all=False)
+        # fixpoint classification (parallel/giant.py, shared with
+        # evaluate/predict): re-plans until the giant set stabilizes, then
+        # restores the cover-all guarantee over the normal population
+        _, g_idx, budget = classify_giants(
+            std_store, range(std_store.n_graphs),
+            lambda pop, ca: BatchBudget.plan(
+                std_store, pop, cfg.batch_size, slack=cfg.batch_slack,
+                quantile=cfg.batch_quantile, cover_all=ca))
         if g_idx:
-            g_idx = sorted(g_idx)
-            if normal:
-                # final plan over the normal population with the cover-all
-                # guarantee back on (every NON-giant fits) and giant
-                # statistics no longer inflating table widths/win64 bounds
-                budget = BatchBudget.plan(
-                    std_store, normal, cfg.batch_size,
-                    slack=cfg.batch_slack, quantile=cfg.batch_quantile,
-                    cover_all=True)
             giant = build_giant_set(std_store, g_idx,
                                     n_shards=max(int(cfg.edge_shards), 1))
             if cfg.verbose:
@@ -121,6 +99,10 @@ def prepare(cfg: TrainConfig, store: Optional[GraphStore] = None) -> TrainingSet
                       f"(plan: rn={giant.plan.rn} e_loc={giant.plan.e_loc} "
                       f"l_loc={giant.plan.l_loc} bn={giant.plan.bn} "
                       f"bl={giant.plan.bl})")
+    else:
+        budget = BatchBudget.plan(std_store, range(std_store.n_graphs),
+                                  cfg.batch_size, slack=cfg.batch_slack,
+                                  quantile=cfg.batch_quantile, cover_all=True)
     return TrainingSetup(std_store, scaler, transformer, budget, train_idx,
                          val_idx, calib_idx, test_idx, folds, bin_edges,
                          bin_weights, giant=giant)
@@ -159,13 +141,11 @@ def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
     from ..parallel.train_step import collect_predictions_auto
 
     if giant_ids:
-        import jax
+        from ..parallel.giant import make_giant_collector
 
-        from ..parallel.mesh import make_mesh
-        from ..parallel.train_step import cached_boundary_forward
-
-        bmesh = make_mesh(1, giant.n_shards,
-                          devices=jax.devices()[:giant.n_shards])
+        # validates device count too — this path is reachable via resume
+        # without train_member's guard (all members already checkpointed)
+        gcollect = make_giant_collector(giant, floor)
 
     means, variances, targets = [], [], None
     for params, mc in zip(members, model_cfgs):
@@ -177,11 +157,7 @@ def collect_ensemble(members: List[Dict], model_cfgs: List[AlignnConfig],
             rows_s.append(sigma_z)
             rows_y.append(y)
         if giant_ids:
-            from ..parallel.giant import collect_giant_predictions
-
-            gm, gs, gy, _ = collect_giant_predictions(
-                cached_boundary_forward(bmesh, mc, floor, giant.plan),
-                giant, giant_ids, params, 1)
+            gm, gs, gy, _ = gcollect(params, mc, giant_ids)
             rows_m.append(gm)
             rows_s.append(gs)
             rows_y.append(gy)
