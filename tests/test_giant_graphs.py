@@ -184,3 +184,40 @@ class TestGiantGraphs:
         np.testing.assert_allclose(np.log(hs), np.log(gs), atol=5e-2)
         np.testing.assert_allclose(hy, gy)
         assert list(hi) == [21]
+
+    def test_classify_fixpoint_catches_hidden_giants(self, mixed_store):
+        """The shared fixpoint (parallel/giant.classify_giants, used by
+        train's prepare() AND evaluate/predict): the ~5.5k-atom giant
+        inflates the typical-stats capacity enough that a single
+        find_giants pass misses the 250-atom giant — which would then
+        balloon the cover-all budget the routing exists to protect."""
+        from gnnep_tpu.parallel.giant import classify_giants, find_giants
+
+        pop = list(range(mixed_store.n_graphs))
+        plan = lambda p, ca: BatchBudget.plan(mixed_store, p, 4,
+                                              cover_all=ca)
+        # the hazard: one pass over the full population flags ONLY the big
+        # giant (its arena inflates the mean-based capacity past the medium
+        # one) — this is what evaluate/predict used to do
+        assert find_giants(mixed_store, pop, plan(pop, False)) == [20]
+        normal, giants, budget = classify_giants(mixed_store, pop, plan)
+        assert giants == [20, 21]
+        assert normal == list(range(20))        # order-preserving
+        # final budget: cover-all over the normal population, giant-free
+        # statistics (a typical 2-atom-cell batch, not a 43,904-bond arena)
+        assert budget.n_edges < 4000
+        for g in normal:
+            e = mixed_store.counts(g)[1]
+            assert e <= budget.n_edges - 1
+
+    def test_collect_empty_ids_matches_target_dim(self, mixed_store):
+        """collect_giant_predictions' empty-ids rows must carry the store's
+        real target width (was hardcoded to 2)."""
+        from gnnep_tpu.parallel.giant import (build_giant_set,
+                                              collect_giant_predictions)
+
+        gset = build_giant_set(mixed_store, [21], 2)
+        m, s, y, i = collect_giant_predictions(None, gset, [], None, 1)
+        t = mixed_store.target_dim
+        assert m.shape == (0, t) and s.shape == (0, t) and y.shape == (0, t)
+        assert i.shape == (0,)
