@@ -22,7 +22,7 @@ from ..data.store import GraphStore
 from ..infer.predict import Ensemble
 from ..train.calibrate import apply_conformal_intervals
 from ..train.artifacts import load_conformal
-from ..train.loop import MIN_LOGVAR_FLOOR, collect_predictions, make_forward
+from ..train.loop import MIN_LOGVAR_FLOOR
 from ..train.metrics import TARGET_NAMES, error_stats
 from . import metrics as M
 from . import plots as P

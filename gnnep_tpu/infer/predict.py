@@ -26,7 +26,7 @@ from ..data.transforms import FeatureScaler, LogTransformer
 from ..models.alignn import AlignnConfig
 from ..train.artifacts import load_member, load_scaler_state, member_paths
 from ..train.calibrate import ensemble_mixture
-from ..train.loop import MIN_LOGVAR_FLOOR, collect_predictions, make_forward
+from ..train.loop import MIN_LOGVAR_FLOOR
 
 Z_SCORE_90 = 1.6449  # Φ⁻¹(0.95)
 

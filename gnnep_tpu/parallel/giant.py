@@ -9,6 +9,9 @@ The pieces:
 
 - `find_giants`: classify graphs that do not fit a batch budget (the same
   predicate the packer raises on, `data/batching.py` BatchPacker.pack).
+- `classify_giants`: the fixpoint over `find_giants` shared by train's
+  prepare(), evaluate, and predict (a huge giant inflates the
+  typical-stats capacity and can hide smaller giants from one pass).
 - `build_giant_set`: one covering single-graph budget over all giants, one
   shared `BoundaryPlan` (so every giant trains/predicts under ONE compiled
   boundary program), one BoundaryBatch per giant.
@@ -16,6 +19,8 @@ The pieces:
   mesh's data axis, padding short groups with inert (all-masked) copies.
 - `collect_giant_predictions`: boundary-forward collection that mirrors
   `train.loop.collect_predictions`'s return contract.
+- `make_giant_collector`: the validated (1 × n_shards) mesh + per-member
+  collection shared by evaluate, predict, and calibration.
 
 Enabled by `TrainConfig.giant_graphs = "boundary"`
 (`cli/train --giant-graphs boundary --edge-shards S`); the default "error"

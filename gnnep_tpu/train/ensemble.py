@@ -28,7 +28,6 @@ from .bins import compute_bin_statistics
 from .calibrate import (apply_conformal_intervals, conformal_calibration,
                         ensemble_mixture, fit_affine_debias)
 from .config import TrainConfig
-from .loop import collect_predictions, make_forward
 from .member import train_member
 from .metrics import error_stats
 
@@ -419,8 +418,6 @@ def run_training(cfg: TrainConfig, store: Optional[GraphStore] = None) -> Dict:
 def _save_embeddings(save_dir: Path, members, model_cfgs, store, setup) -> None:
     """Ensemble-mean penultimate embeddings per split (train.py:2125-2131)."""
     import jax
-
-    from ..models.alignn import alignn_embed
 
     # ONE jitted embed per distinct member config — a fresh jax.jit wrapper
     # per (batch, member) recompiled the same program hundreds of times
